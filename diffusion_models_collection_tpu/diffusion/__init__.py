@@ -1,0 +1,29 @@
+"""Diffusion processes (parity: reference diffusion/__init__.py:6-9)."""
+
+from .base import (
+    apply_x0_constraint,
+    cfg_eps,
+    diffusion_loss,
+    dynamic_threshold,
+    p_losses,
+    predict_x0_from_eps,
+    q_sample,
+)
+from .ddim import DDIM
+from .ddpm import DDPM
+from .schedule import NoiseSchedule, ddim_timesteps, make_betas
+
+__all__ = [
+    "DDPM",
+    "DDIM",
+    "NoiseSchedule",
+    "make_betas",
+    "ddim_timesteps",
+    "q_sample",
+    "p_losses",
+    "diffusion_loss",
+    "predict_x0_from_eps",
+    "dynamic_threshold",
+    "apply_x0_constraint",
+    "cfg_eps",
+]

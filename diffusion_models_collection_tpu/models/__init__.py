@@ -1,0 +1,11 @@
+"""Denoiser backbones (parity: reference models/__init__.py:6-10).
+
+Uniform contract across all three: `apply(variables, x, t, y, train=...)`
+returns predicted epsilon with x in NHWC layout.
+"""
+
+from .dim import DiM
+from .dit import DiT
+from .unet import UNet
+
+__all__ = ["UNet", "DiT", "DiM"]

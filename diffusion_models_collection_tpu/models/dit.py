@@ -1,0 +1,170 @@
+"""DiT — Diffusion Transformer (parity target: reference models/dit.py).
+
+adaLN-Zero transformer over patch tokens (Peebles & Xie 2023). TPU-native
+choices: NHWC input, attention via `ops.multihead_attention` (Pallas flash
+kernel on TPU for long sequences), exact-erf GELU to match torch, and the
+reference's init scheme (xavier for all dense layers, N(0, 0.02) positional
+embedding, zero-init adaLN and final projection — dit.py:227-247) so the
+model starts as an identity-residual network exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import multihead_attention
+from . import initializers as init
+from .layers import (
+    AdaLNModulation,
+    LabelEmbedder,
+    PatchEmbed,
+    TimestepEmbedder,
+    modulate,
+    unpatchify,
+)
+
+
+class SelfAttention(nn.Module):
+    """QKV self-attention (parity: torch nn.MultiheadAttention at
+    dit.py:94 — xavier in/out projections, zero biases, dropout applied to
+    the attention probabilities)."""
+
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dim = x.shape[-1]
+        qkv = nn.Dense(
+            3 * dim, kernel_init=init.xavier_uniform, bias_init=init.zeros
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        rng = self.make_rng("dropout") if (train and self.dropout > 0) else None
+        out = multihead_attention(
+            q,
+            k,
+            v,
+            self.num_heads,
+            dropout_rate=self.dropout,
+            deterministic=not train,
+            dropout_rng=rng,
+        )
+        return nn.Dense(
+            dim, kernel_init=init.xavier_uniform, bias_init=init.zeros
+        )(out)
+
+
+class Mlp(nn.Module):
+    """Dense -> GELU(exact) -> Dropout -> Dense -> Dropout (dit.py:97-103)."""
+
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(
+            self.hidden_dim, kernel_init=init.xavier_uniform, bias_init=init.zeros
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(
+            self.out_dim, kernel_init=init.xavier_uniform, bias_init=init.zeros
+        )(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class DiTBlock(nn.Module):
+    """adaLN-Zero transformer block (parity: dit.py:87-132)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, c, train: bool = False):
+        (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = (
+            AdaLNModulation(self.hidden_size, 6)(c)
+        )
+        h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False)(x)
+        h = modulate(h, shift_msa, scale_msa)
+        h = SelfAttention(self.num_heads, self.dropout)(h, train)
+        x = x + gate_msa[:, None, :] * h
+
+        h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False)(x)
+        h = modulate(h, shift_mlp, scale_mlp)
+        h = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+                self.dropout)(h, train)
+        x = x + gate_mlp[:, None, :] * h
+        return x
+
+
+class FinalLayer(nn.Module):
+    """2-way adaLN + zero-init linear to patch pixels (dit.py:135-151)."""
+
+    hidden_size: int
+    patch_size: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, c):
+        shift, scale = AdaLNModulation(self.hidden_size, 2)(c)
+        x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False)(x)
+        x = modulate(x, shift, scale)
+        return nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels,
+            kernel_init=init.zeros,
+            bias_init=init.zeros,
+        )(x)
+
+
+class DiT(nn.Module):
+    """Diffusion Transformer (constructor parity: reference dit.py:154-225).
+
+    Contract: `apply(variables, x, t, y, train=...) -> eps`, x NHWC.
+    """
+
+    img_size: Union[int, Tuple[int, int]] = (32, 32)
+    patch_size: int = 2
+    in_channels: int = 3
+    hidden_size: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_classes: Optional[int] = None
+    dropout: float = 0.1
+
+    def _hw(self) -> Tuple[int, int]:
+        if isinstance(self.img_size, int):
+            return (self.img_size, self.img_size)
+        return tuple(self.img_size)
+
+    @nn.compact
+    def __call__(self, x, t, y=None, train: bool = False):
+        img_h, img_w = self._hw()
+        h_tokens = img_h // self.patch_size
+        w_tokens = img_w // self.patch_size
+        num_patches = h_tokens * w_tokens
+
+        x = PatchEmbed(self.patch_size, self.hidden_size)(x)
+        pos_embed = self.param(
+            "pos_embed", init.normal_002, (1, num_patches, self.hidden_size)
+        )
+        x = x + pos_embed
+
+        c = TimestepEmbedder(self.hidden_size)(t)
+        if self.num_classes is not None and y is not None:
+            c = c + LabelEmbedder(self.num_classes, self.hidden_size)(y)
+
+        for _ in range(self.depth):
+            x = DiTBlock(
+                self.hidden_size, self.num_heads, self.mlp_ratio, self.dropout
+            )(x, c, train)
+
+        x = FinalLayer(self.hidden_size, self.patch_size, self.in_channels)(x, c)
+        return unpatchify(x, h_tokens, w_tokens, self.patch_size, self.in_channels)

@@ -1,0 +1,202 @@
+"""UNet denoiser (parity target: reference models/unet.py:123-292).
+
+TPU-native design decisions vs the reference:
+  * NHWC layout throughout (XLA:TPU's native conv layout — no transposes).
+  * Attention runs through `ops.multihead_attention` (Pallas flash kernel
+    on TPU where profitable, fused XLA einsum otherwise).
+  * Same structural semantics: channel_mult levels, `num_res_blocks` per
+    level, attention at levels whose running resolution intersects
+    `attention_resolutions` (including the reference's exact check at
+    unet.py:202,228 — resolution updated *after* the up-block is built),
+    skip connections via a stack.
+
+Uniform contract: `apply(variables, x, t, y, train=...) -> eps` with
+x: (B, H, W, C) float32, t: (B,) int32, y: (B,) int32 labels where 0 is the
+CFG null class (labels pre-shifted +1 by the trainer).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import multihead_attention
+from . import initializers as init
+from .layers import LabelEmbedder, UNetTimeEmbed
+
+
+def _conv3(features: int, in_ch: int, strides: int = 1) -> nn.Conv:
+    return nn.Conv(
+        features,
+        kernel_size=(3, 3),
+        strides=(strides, strides),
+        padding=((1, 1), (1, 1)),
+        kernel_init=init.torch_default_kernel,
+        bias_init=init.torch_default_bias(in_ch * 9),
+    )
+
+
+def _conv1(features: int, in_ch: int) -> nn.Conv:
+    return nn.Conv(
+        features,
+        kernel_size=(1, 1),
+        kernel_init=init.torch_default_kernel,
+        bias_init=init.torch_default_bias(in_ch),
+    )
+
+
+class ResidualBlock(nn.Module):
+    """GroupNorm(8)+SiLU+Conv ×2 with additive time/label conditioning
+    (parity: reference models/unet.py:28-72)."""
+
+    out_channels: int
+    conditional: bool = False
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, t_emb, y_emb=None, train: bool = False):
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=8, epsilon=1e-5)(x)
+        h = nn.silu(h)
+        h = _conv3(self.out_channels, in_ch)(h)
+
+        t_dim = t_emb.shape[-1]
+        h = h + nn.Dense(
+            self.out_channels,
+            kernel_init=init.torch_default_kernel,
+            bias_init=init.torch_default_bias(t_dim),
+        )(nn.silu(t_emb))[:, None, None, :]
+
+        if self.conditional and y_emb is not None:
+            h = h + nn.Dense(
+                self.out_channels,
+                use_bias=False,
+                kernel_init=init.torch_default_kernel,
+            )(nn.silu(y_emb))[:, None, None, :]
+
+        h = nn.GroupNorm(num_groups=8, epsilon=1e-5)(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = _conv3(self.out_channels, self.out_channels)(h)
+
+        if in_ch != self.out_channels:
+            x = _conv1(self.out_channels, in_ch)(x)
+        return h + x
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over H*W tokens (parity: unet.py:75-99)."""
+
+    num_heads: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hidden = nn.GroupNorm(num_groups=8, epsilon=1e-5)(x)
+        qkv = _conv1(3 * c, c)(hidden).reshape(b, h * w, 3, c)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = multihead_attention(q, k, v, self.num_heads)
+        out = _conv1(c, c)(out.reshape(b, h, w, c))
+        return x + out
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv (parity: unet.py:102-109)."""
+
+    @nn.compact
+    def __call__(self, x):
+        return _conv3(x.shape[-1], x.shape[-1], strides=2)(x)
+
+
+class Upsample(nn.Module):
+    """Nearest ×2 + conv (parity: unet.py:112-120)."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return _conv3(x.shape[-1], x.shape[-1])(x)
+
+
+class UNet(nn.Module):
+    """UNet for diffusion (constructor parity: reference unet.py:139-241).
+
+    `num_classes=None` builds the unconditional variant; otherwise labels
+    use the +1 shift / 0-null CFG convention (unet.py:174-185,256-258).
+    """
+
+    image_size: Tuple[int, int] = (32, 32)
+    in_channels: int = 3
+    model_channels: int = 128
+    out_channels: int = 3
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (16, 8)
+    dropout: float = 0.1
+    channel_mult: Sequence[int] = (1, 2, 2, 2)
+    num_classes: Optional[int] = None
+    use_attention: bool = True
+
+    @nn.compact
+    def __call__(self, x, t, y=None, train: bool = False):
+        conditional = self.num_classes is not None
+        time_dim = self.model_channels * 4
+
+        t_emb = UNetTimeEmbed(self.model_channels)(t)
+        y_emb = None
+        if conditional and y is not None:
+            y_emb = LabelEmbedder(self.num_classes, time_dim)(y)
+
+        def attend_here(resolution):
+            return self.use_attention and (
+                resolution[0] in self.attention_resolutions
+                or resolution[1] in self.attention_resolutions
+            )
+
+        h = _conv3(self.model_channels, self.in_channels)(x)
+        hs = [h]
+        resolution = list(self.image_size)
+
+        # Down path (parity: unet.py:190-211)
+        for level, mult in enumerate(self.channel_mult):
+            out_ch = self.model_channels * mult
+            for _ in range(self.num_res_blocks):
+                h = ResidualBlock(out_ch, conditional, self.dropout)(
+                    h, t_emb, y_emb, train
+                )
+                if attend_here(resolution):
+                    h = AttentionBlock()(h)
+                hs.append(h)
+            if level != len(self.channel_mult) - 1:
+                h = Downsample()(h)
+                hs.append(h)
+                resolution[0] //= 2
+                resolution[1] //= 2
+
+        # Middle (parity: unet.py:213-218)
+        ch = h.shape[-1]
+        h = ResidualBlock(ch, conditional, self.dropout)(h, t_emb, y_emb, train)
+        if self.use_attention:
+            h = AttentionBlock()(h)
+        h = ResidualBlock(ch, conditional, self.dropout)(h, t_emb, y_emb, train)
+
+        # Up path (parity: unet.py:220-234 — note the reference updates
+        # `resolution` only after building the Upsample, so the attention
+        # check in the same iteration uses the pre-upsample resolution)
+        for level, mult in enumerate(reversed(self.channel_mult)):
+            for i in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = ResidualBlock(
+                    self.model_channels * mult, conditional, self.dropout
+                )(h, t_emb, y_emb, train)
+                if attend_here(resolution):
+                    h = AttentionBlock()(h)
+                if level != len(self.channel_mult) - 1 and i == self.num_res_blocks:
+                    h = Upsample()(h)
+                    resolution[0] *= 2
+                    resolution[1] *= 2
+
+        # Output head (parity: unet.py:237-241)
+        h = nn.GroupNorm(num_groups=8, epsilon=1e-5)(h)
+        h = nn.silu(h)
+        return _conv3(self.out_channels, h.shape[-1])(h)

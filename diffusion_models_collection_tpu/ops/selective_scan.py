@@ -1,0 +1,138 @@
+"""Selective-state-space scan (the Mamba recurrence) for TPU.
+
+TPU-native replacement for the reference's `mamba_ssm` CUDA selective-scan
+dependency (reference models/dim.py:11-17,104-109). The recurrence
+
+    h_t = exp(dt_t * A) * h_{t-1} + dt_t * B_t * x_t
+    y_t = C_t . h_t + D * x_t
+
+is a first-order affine recurrence, so it maps onto a parallel
+`associative_scan` over (decay, increment) pairs: O(log L) depth, fully
+vectorized over (batch, channel, state) — the TPU answer to the CUDA
+sequential-scan kernel. A chunked variant bounds peak memory for long
+sequences by scanning over chunks with carried state.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _affine_combine(left, right):
+    """Compose affine maps h -> a*h + b applied left-then-right."""
+    a_l, b_l = left
+    a_r, b_r = right
+    return a_r * a_l, a_r * b_l + b_r
+
+
+def associative_affine_scan(a: jnp.ndarray, b: jnp.ndarray, axis: int = 1):
+    """All-prefix solutions of h_t = a_t*h_{t-1} + b_t with h_{-1} = 0."""
+    _, h = jax.lax.associative_scan(_affine_combine, (a, b), axis=axis)
+    return h
+
+
+def selective_scan(
+    x: jnp.ndarray,
+    dt: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    D: Optional[jnp.ndarray] = None,
+    *,
+    chunk_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """Selective SSM scan.
+
+    Args:
+      x:  (batch, L, d_inner) input sequence (post conv + SiLU).
+      dt: (batch, L, d_inner) positive step sizes (post softplus).
+      A:  (d_inner, d_state) state matrix (negative real).
+      B:  (batch, L, d_state) input-dependent input matrix.
+      C:  (batch, L, d_state) input-dependent output matrix.
+      D:  (d_inner,) skip connection, optional.
+      chunk_size: if set, scan sequentially over chunks of this length with
+        an associative scan inside each chunk — bounds the (B,L,D,N)
+        intermediate to (B,chunk,D,N) for long sequences.
+
+    Returns:
+      y: (batch, L, d_inner)
+    """
+    # Discretize: decay a = exp(dt*A), drive b = dt*B*x  — (B, L, D, N)
+    dA = jnp.exp(dt[..., None] * A[None, None])
+    dBx = dt[..., None] * B[:, :, None, :] * x[..., None]
+
+    if chunk_size is None or x.shape[1] <= chunk_size:
+        h = associative_affine_scan(dA, dBx, axis=1)
+        y = jnp.einsum("bldn,bln->bld", h, C)
+    else:
+        batch, length, d_inner = x.shape
+        d_state = A.shape[1]
+        assert length % chunk_size == 0, "sequence length must divide chunk_size"
+        n_chunks = length // chunk_size
+        dA_c = dA.reshape(batch, n_chunks, chunk_size, d_inner, d_state)
+        dBx_c = dBx.reshape(batch, n_chunks, chunk_size, d_inner, d_state)
+        C_c = C.reshape(batch, n_chunks, chunk_size, d_state)
+
+        def chunk_step(h_prev, inputs):
+            a, b, c = inputs  # (B, chunk, D, N), (B, chunk, D, N), (B, chunk, N)
+            h = associative_affine_scan(a, b, axis=1)
+            # fold in the carried state: h_t += (prod a_{<=t}) * h_prev
+            a_cum = jnp.cumprod(a, axis=1)
+            h = h + a_cum * h_prev[:, None]
+            y = jnp.einsum("bldn,bln->bld", h, c)
+            return h[:, -1], y
+
+        _, y = jax.lax.scan(
+            chunk_step,
+            jnp.zeros((batch, d_inner, d_state), x.dtype),
+            (
+                dA_c.transpose(1, 0, 2, 3, 4),
+                dBx_c.transpose(1, 0, 2, 3, 4),
+                C_c.transpose(1, 0, 2, 3),
+            ),
+        )
+        y = y.transpose(1, 0, 2, 3).reshape(batch, length, d_inner)
+
+    if D is not None:
+        y = y + x * D[None, None, :]
+    return y
+
+
+def selective_scan_sequential(
+    x: jnp.ndarray,
+    dt: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    D: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """O(L)-step sequential reference implementation (for parity tests)."""
+    dA = jnp.exp(dt[..., None] * A[None, None])
+    dBx = dt[..., None] * B[:, :, None, :] * x[..., None]
+
+    def step(h, inputs):
+        a, b, c = inputs
+        h = a * h + b
+        y = jnp.einsum("bdn,bn->bd", h, c)
+        return h, y
+
+    batch, _, d_inner = x.shape
+    d_state = A.shape[1]
+    h0 = jnp.zeros((batch, d_inner, d_state), x.dtype)
+    _, ys = jax.lax.scan(
+        step,
+        h0,
+        (
+            dA.transpose(1, 0, 2, 3),
+            dBx.transpose(1, 0, 2, 3),
+            C.transpose(1, 0, 2),
+        ),
+    )
+    y = ys.transpose(1, 0, 2)
+    if D is not None:
+        y = y + x * D[None, None, :]
+    return y

@@ -1,0 +1,26 @@
+"""Test configuration: run everything on a fake 8-device CPU mesh.
+
+This is the TPU-native answer to "test distributed code without a cluster"
+(SURVEY.md §4): XLA's host platform is forced to expose 8 virtual devices so
+sharding/collective paths compile and execute in CI, while numerics tests
+run on the same backend deterministically.
+
+Must set env vars before jax initializes its backends, hence module scope.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Force CPU: the ambient sitecustomize registers the TPU plugin and sets
+# jax_platforms programmatically, so the env var alone is not enough — the
+# config must be overridden after import, before backends initialize.
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)

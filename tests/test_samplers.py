@@ -1,0 +1,171 @@
+"""Sampler semantics: scan trajectories vs step-by-step reference math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_models_collection_tpu.diffusion import (
+    DDIM,
+    DDPM,
+    cfg_eps,
+    diffusion_loss,
+    dynamic_threshold,
+)
+from diffusion_models_collection_tpu.diffusion.base import as_pytree_fn
+
+SHAPE = (2, 8, 8, 3)
+
+
+def dummy_model(x, t, y=None):
+    """A deterministic fake denoiser: eps = tanh(x) scaled by t."""
+    scale = (t.astype(jnp.float32) / 100.0 + 0.1).reshape(-1, 1, 1, 1)
+    out = jnp.tanh(x) * scale
+    if y is not None:
+        out = out + 0.01 * y.astype(jnp.float32).reshape(-1, 1, 1, 1)
+    return out
+
+
+def test_q_sample_statistics():
+    """q_sample(x, t) must have mean sqrt(acp_t)*x and var (1-acp_t)."""
+    ddpm = DDPM(num_timesteps=100)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((4096, 2, 2, 1))
+    t = jnp.full((4096,), 50, dtype=jnp.int32)
+    noise = jax.random.normal(rng, x.shape)
+    xt = ddpm.q_sample(x, t, noise)
+    acp = float(ddpm.schedule.alphas_cumprod[50])
+    assert abs(float(xt.mean()) - np.sqrt(acp)) < 0.02
+    assert abs(float(xt.var()) - (1 - acp)) < 0.05
+
+
+def test_losses():
+    a = jnp.array([0.0, 1.0, 2.0])
+    b = jnp.array([0.5, 1.0, 4.0])
+    np.testing.assert_allclose(diffusion_loss(a, b, "l2"), np.mean([0.25, 0, 4]), rtol=1e-6)
+    np.testing.assert_allclose(diffusion_loss(a, b, "l1"), np.mean([0.5, 0, 2]), rtol=1e-6)
+    # huber (smooth_l1, beta=1): 0.5*0.25, 0, 2-0.5
+    np.testing.assert_allclose(
+        diffusion_loss(a, b, "huber"), np.mean([0.125, 0, 1.5]), rtol=1e-6
+    )
+    with pytest.raises(ValueError):
+        diffusion_loss(a, b, "nope")
+
+
+def test_ddpm_scan_matches_stepwise():
+    """The fused lax.scan sampler must equal manual per-step p_sample calls."""
+    ddpm = DDPM(num_timesteps=10)
+    rng = jax.random.PRNGKey(42)
+    out = ddpm.sample(dummy_model, SHAPE, rng)
+
+    # replicate: same init noise, same per-step fold_in stream
+    rng_loop, init_rng = jax.random.split(rng)
+    img = jax.random.normal(init_rng, SHAPE, dtype=jnp.float32)
+    for i in range(9, -1, -1):
+        t = jnp.full((SHAPE[0],), i, dtype=jnp.int32)
+        step_rng = jax.random.fold_in(rng_loop, i)
+        img = ddpm.p_sample(dummy_model, img, t, step_rng)
+    np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-5)
+
+
+def test_ddpm_return_all_timesteps():
+    ddpm = DDPM(num_timesteps=5)
+    rng = jax.random.PRNGKey(0)
+    traj = ddpm.sample(dummy_model, SHAPE, rng, return_all_timesteps=True)
+    assert traj.shape == (5,) + SHAPE
+    final = ddpm.sample(dummy_model, SHAPE, rng)
+    np.testing.assert_allclose(traj[-1], final, rtol=1e-6)
+
+
+def test_cfg_eps_fused_equals_two_calls():
+    x = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+    t = jnp.full((SHAPE[0],), 3, dtype=jnp.int32)
+    y = jnp.array([1, 2])
+    scale = 2.5
+    fused = cfg_eps(as_pytree_fn(dummy_model), x, t, y, scale)
+    eps_c = dummy_model(x, t, y)
+    eps_u = dummy_model(x, t, jnp.zeros_like(y))
+    expected = eps_u + scale * (eps_c - eps_u)
+    np.testing.assert_allclose(fused, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_dynamic_threshold():
+    x = jnp.concatenate(
+        [jnp.full((1, 4, 4, 1), 3.0), jnp.full((1, 4, 4, 1), 0.5)], axis=0
+    )
+    out = dynamic_threshold(x, 0.995)
+    # sample 0: s = 3 -> clipped to [-3,3]/3 = 1.0
+    np.testing.assert_allclose(out[0], 1.0, rtol=1e-6)
+    # sample 1: s = max(0.5, 1) = 1 -> unchanged
+    np.testing.assert_allclose(out[1], 0.5, rtol=1e-6)
+
+
+def test_ddpm_cfg_sampler_runs_and_is_deterministic():
+    ddpm = DDPM(num_timesteps=8)
+    rng = jax.random.PRNGKey(7)
+    y = jnp.array([1, 2])
+    a = ddpm.sample_with_cfg(dummy_model, SHAPE, y, rng, cfg_scale=2.0)
+    b = ddpm.sample_with_cfg(dummy_model, SHAPE, y, rng, cfg_scale=2.0)
+    np.testing.assert_array_equal(a, b)
+    c = ddpm.sample_with_cfg(dummy_model, SHAPE, y, rng, cfg_scale=5.0)
+    assert not np.allclose(a, c)
+    with pytest.raises(ValueError):
+        ddpm.sample_with_cfg(dummy_model, SHAPE, None, rng)
+    with pytest.raises(ValueError):
+        ddpm.sample_with_cfg(dummy_model, SHAPE, y, rng, p_threshold=1.5)
+
+
+def test_ddim_scan_matches_stepwise():
+    ddim = DDIM(num_timesteps=100, num_inference_steps=7, eta=0.0)
+    rng = jax.random.PRNGKey(3)
+    out = ddim.sample(dummy_model, SHAPE, rng)
+
+    _, init_rng = jax.random.split(rng)
+    img = jax.random.normal(init_rng, SHAPE, dtype=jnp.float32)
+    ts = [int(v) for v in np.asarray(ddim.inference_timesteps)]
+    for i, t_val in enumerate(ts):
+        t = jnp.full((SHAPE[0],), t_val, dtype=jnp.int32)
+        t_next_val = ts[i + 1] if i < len(ts) - 1 else -1
+        t_next = jnp.full((SHAPE[0],), t_next_val, dtype=jnp.int32)
+        img = ddim.p_sample(dummy_model, img, t, t_next)
+    np.testing.assert_allclose(out, img, rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_final_step_alpha_one():
+    """At t_next = -1 the update must use alpha_bar_next = 1 (ddim.py:176-179):
+    with eta=0 the final output is exactly the (clipped) x0 prediction."""
+    ddim = DDIM(num_timesteps=50, num_inference_steps=1, eta=0.0)
+    rng = jax.random.PRNGKey(11)
+    out = ddim.sample(dummy_model, SHAPE, rng)
+    _, init_rng = jax.random.split(rng)
+    img = jax.random.normal(init_rng, SHAPE, dtype=jnp.float32)
+    t = jnp.full((SHAPE[0],), 49, dtype=jnp.int32)
+    eps = dummy_model(img, t, None)
+    sched = ddim.schedule
+    a_t = sched.alphas_cumprod[49]
+    x0 = (img - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+    x0 = jnp.clip(x0, -1, 1)
+    np.testing.assert_allclose(out, x0, rtol=1e-5, atol=1e-6)
+
+
+def test_ddim_eta_stochastic():
+    ddim = DDIM(num_timesteps=50, num_inference_steps=10, eta=1.0)
+    a = ddim.sample(dummy_model, SHAPE, jax.random.PRNGKey(0))
+    b = ddim.sample(dummy_model, SHAPE, jax.random.PRNGKey(1))
+    assert not np.allclose(a, b)
+
+
+def test_ddim_set_inference_steps():
+    ddim = DDIM(num_timesteps=1000, num_inference_steps=50)
+    assert ddim.inference_timesteps.shape[0] == 50
+    ddim.set_inference_steps(25)
+    assert ddim.inference_timesteps.shape[0] == 25
+    assert int(ddim.inference_timesteps[0]) == 999
+
+
+def test_ddim_cfg_runs():
+    ddim = DDIM(num_timesteps=40, num_inference_steps=5)
+    y = jnp.array([1, 2])
+    out = ddim.sample_with_cfg(dummy_model, SHAPE, y, jax.random.PRNGKey(0), 2.0)
+    assert out.shape == SHAPE
+    assert np.isfinite(np.asarray(out)).all()
