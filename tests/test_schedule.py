@@ -76,7 +76,9 @@ def test_derived_coefficients():
     )
     # Posterior variance at t=0 uses acp_prev=1 => exactly 0, log clipped.
     assert float(sched.posterior_variance[0]) == 0.0
-    assert float(sched.posterior_log_variance_clipped[0]) == math.log(1e-20)
+    assert float(sched.posterior_log_variance_clipped[0]) == pytest.approx(
+        math.log(1e-20), rel=1e-6
+    )
 
 
 def test_ddim_timestep_grid():
