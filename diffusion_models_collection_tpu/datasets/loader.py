@@ -1,0 +1,147 @@
+"""Batched data loader with per-process sharding and background prefetch.
+
+TPU-native replacement for torch DataLoader + DistributedSampler
+(reference train.py:107-128, utils/trainer.py:210-211): per-epoch seeded
+shuffling, disjoint per-process index shards (the DistributedSampler
+contract), drop_last for training, batch-level vectorized horizontal flip,
+and a background thread that assembles the next batches while the device
+computes — host input pipeline and TPU step overlap.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from .transforms import flip_batch
+
+
+class DataLoader:
+    """Iterates numpy batches: images (B, H, W, C) float32 in [-1, 1], and
+    labels (B,) int64 when the dataset is conditional.
+
+    Args:
+      dataset: object with __len__ and __getitem__ -> img or (img, label).
+      batch_size: per-iteration LOCAL batch size.
+      shuffle: reshuffle each epoch with seed `seed + epoch`
+        (set_epoch parity: utils/trainer.py:210-211).
+      drop_last: drop the trailing partial batch (train parity).
+      process_index / process_count: shard indices across hosts
+        (DistributedSampler parity: disjoint strided shards).
+      random_flip: apply batch-level horizontal flip with p=0.5.
+      prefetch: number of batches assembled ahead in a background thread.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        random_flip: Optional[bool] = None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+        self.prefetch = prefetch
+        transform = getattr(dataset, "transform", None)
+        self.random_flip = (
+            random_flip
+            if random_flip is not None
+            else bool(getattr(transform, "random_flip", False))
+        )
+        self.conditional = bool(getattr(dataset, "conditional", False))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # strided shard per process (DistributedSampler semantics); pad so
+        # every process sees the same number of samples
+        if self.process_count > 1:
+            per = -(-n // self.process_count)
+            padded = np.concatenate([idx, idx[: per * self.process_count - n]])
+            idx = padded[self.process_index :: self.process_count]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _assemble(self, indices: np.ndarray, flip_rng) -> Tuple:
+        first = self.dataset[int(indices[0])]
+        has_label = isinstance(first, tuple)
+        imgs = np.empty((len(indices),) + np.asarray(first[0] if has_label else first).shape,
+                        dtype=np.float32)
+        labels = np.empty((len(indices),), dtype=np.int64) if has_label else None
+        for j, i in enumerate(indices):
+            item = self.dataset[int(i)]
+            if has_label:
+                imgs[j], labels[j] = item
+            else:
+                imgs[j] = item
+        if self.random_flip:
+            imgs = flip_batch(imgs, flip_rng)
+        return (imgs, labels) if has_label else (imgs, None)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, Optional[np.ndarray]]]:
+        indices = self._epoch_indices()
+        nb = len(self)
+        flip_rng = np.random.default_rng(self.seed * 7919 + self.epoch)
+
+        if self.prefetch <= 0:
+            for b in range(nb):
+                yield self._assemble(
+                    indices[b * self.batch_size : (b + 1) * self.batch_size],
+                    flip_rng,
+                )
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    batch = self._assemble(
+                        indices[b * self.batch_size : (b + 1) * self.batch_size],
+                        flip_rng,
+                    )
+                    q.put(batch)
+                q.put(None)
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,29 @@
+"""Device-mesh parallelism utilities.
+
+TPU-native replacement for the reference's NCCL/DDP stack
+(utils/helpers.py:83-88, utils/trainer.py:58-61,277-281, train.py:296-328):
+a `jax.sharding.Mesh` with a 'data' axis, GSPMD-sharded batches and
+replicated parameters — XLA inserts the gradient all-reduce over ICI where
+DDP hooked NCCL buckets, and the loss mean is computed globally under jit
+where the reference issued a separate `dist.all_reduce`.
+"""
+
+from .mesh import (
+    batch_sharding,
+    data_parallel_mesh,
+    local_batch_to_global,
+    process_count,
+    process_index,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "data_parallel_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "local_batch_to_global",
+    "process_index",
+    "process_count",
+]

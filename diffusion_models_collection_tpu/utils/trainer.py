@@ -1,0 +1,435 @@
+"""Training runtime (parity target: reference utils/trainer.py:21-421).
+
+TPU-native redesign of the reference's DDP epoch loop:
+
+  * ONE jitted train step fuses q_sample, the model forward/backward,
+    global-norm clipping, the optimizer, CFG label dropout and the EMA
+    lerp — the reference performs these as separate host-dispatched ops
+    (trainer.py:221-273). Gradient accumulation via optax.MultiSteps.
+  * Data parallelism is GSPMD: batches sharded over the mesh 'data' axis,
+    state replicated; XLA inserts the gradient all-reduce over ICI. The
+    loss is a global mean under jit, so there is no separate
+    `dist.all_reduce` (trainer.py:277-281) and no process groups.
+  * The EMA is an on-device pytree lerp inside the step (replacing the
+    rank-0 state-dict walk at trainer.py:187-202), gated on accumulation
+    boundaries exactly like the reference (trainer.py:257-265).
+  * Loss scalars stay on device during the epoch; one host sync per epoch.
+
+Checkpoint keys and file naming follow the reference contract
+(trainer.py:328-365); resume keeps the epoch-extension semantics
+(trainer.py:150-154).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..diffusion import base as diffusion_base
+from ..parallel import mesh as pmesh
+from . import checkpoint as ckpt_lib
+from .ema import ema_update
+from .helpers import count_parameters, resolve_image_size, save_image_grid
+from .lr_schedules import build_lr_schedule
+from .tracker import NullTracker, Tracker, build_tracker
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any  # None when EMA disabled
+
+
+def build_optimizer(config: dict, updates_per_epoch: int):
+    """Optimizer chain (parity: train.py:131-209 + clip at trainer.py:259).
+
+    torch Adam's `weight_decay` is an L2 term added to the gradient, torch
+    AdamW's is decoupled — both reproduced. Clipping precedes the optimizer
+    exactly as clip_grad_norm_ precedes optimizer.step().
+    """
+    lr_schedule = build_lr_schedule(config, updates_per_epoch)
+    wd = float(config.get("weight_decay", 0.0))
+    opt_type = config.get("optimizer", "adamw").lower()
+    if opt_type == "adamw":
+        core = optax.adamw(learning_rate=lr_schedule, weight_decay=wd)
+    elif opt_type == "adam":
+        core = optax.chain(
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.adam(learning_rate=lr_schedule),
+        )
+    else:
+        raise ValueError(f"Unknown optimizer: {opt_type}")
+    tx = optax.chain(optax.clip_by_global_norm(1.0), core)
+    accum = int(config.get("gradient_accumulation_steps", 1))
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx, lr_schedule, accum
+
+
+class DiffusionTrainer:
+    """Trainer (API parity: reference trainer.py:21-421).
+
+    Args mirror the reference where meaningful on TPU; `optimizer` is built
+    from the config when not given (the optax transform replaces the torch
+    optimizer+scheduler pair — the LR schedule is a pure function of the
+    update count, so there is no scheduler object to pass).
+    """
+
+    def __init__(
+        self,
+        model,
+        diffusion,
+        train_loader,
+        optimizer=None,
+        config: Optional[dict] = None,
+        rng: Optional[jax.Array] = None,
+        mesh=None,
+        resume_path: Optional[str] = None,
+        tracker: Optional[Tracker] = None,
+    ):
+        self.model = model
+        self.diffusion = diffusion
+        self.train_loader = train_loader
+        self.config = config or {}
+        cfg = self.config
+
+        self.epochs = cfg.get("epochs", 100)
+        self.save_dir = Path(cfg.get("save_dir", "./checkpoints"))
+        self.sample_dir = Path(cfg.get("sample_dir", "./generated_images"))
+        self.loss_type = cfg.get("loss_type", "l2")
+        self.save_interval = cfg.get("save_interval", 10)
+        self.sample_interval = cfg.get("sample_interval", 5)
+        self.sample_start_epoch = cfg.get("sample_start_epoch", 20)
+        self.num_samples = cfg.get("num_samples", 16)
+        self.cfg_dropout_prob = cfg.get("cfg_dropout_prob", 0.2)
+        self.cfg_scale = cfg.get("cfg_scale", 1.8)
+        self.use_ema = cfg.get("use_ema", False)
+        self.ema_decay = cfg.get("ema_decay", 0.9999)
+        self.conditional = cfg.get("conditional", False)
+        self.num_classes = cfg.get("num_classes", None)
+        self.image_size = resolve_image_size(cfg.get("image_size", 32))
+        self.in_channels = cfg.get("model_params", {}).get("in_channels", 3)
+
+        self.mesh = mesh if mesh is not None else pmesh.data_parallel_mesh()
+        self.is_main_process = pmesh.process_index() == 0
+        self.world_size = self.mesh.devices.size
+
+        if self.is_main_process:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            self.sample_dir.mkdir(parents=True, exist_ok=True)
+
+        self.rng = rng if rng is not None else jax.random.PRNGKey(cfg.get("seed", 42))
+        self.rng, init_rng = jax.random.split(self.rng)
+
+        # --- init params ---------------------------------------------------
+        h, w = self.image_size
+        dummy_x = jnp.zeros((1, h, w, self.in_channels), jnp.float32)
+        dummy_t = jnp.zeros((1,), jnp.int32)
+        dummy_y = jnp.zeros((1,), jnp.int32) if self.conditional else None
+        variables = model.init(init_rng, dummy_x, dummy_t, dummy_y)
+        self.params = variables["params"]
+        if self.is_main_process:
+            print(f"Model parameters: {count_parameters(self.params):,}")
+
+        # --- optimizer -----------------------------------------------------
+        num_batches = max(1, len(train_loader))
+        if optimizer is None:
+            self.accum = int(cfg.get("gradient_accumulation_steps", 1))
+            updates_per_epoch = max(1, num_batches // self.accum)
+            optimizer, self.lr_schedule, self.accum = build_optimizer(
+                cfg, updates_per_epoch
+            )
+        else:
+            self.lr_schedule = lambda c: jnp.asarray(
+                cfg.get("learning_rate", 1e-4), jnp.float32
+            )
+            self.accum = int(cfg.get("gradient_accumulation_steps", 1))
+        self.optimizer = optimizer
+        opt_state = optimizer.init(self.params)
+        # EMA starts as a *copy* of params (trainer.py:156-173); distinct
+        # buffers matter because the train step donates its input state.
+        ema_params = (
+            jax.tree_util.tree_map(jnp.copy, self.params)
+            if self.use_ema
+            else None
+        )
+
+        self.state = TrainState(
+            params=self.params, opt_state=opt_state, ema_params=ema_params
+        )
+        self.state = pmesh.replicate(self.mesh, self.state)
+
+        self.best_loss = float("inf")
+        self.start_epoch = 1
+        self.global_step = 0
+
+        self._train_step = self._build_train_step()
+
+        if resume_path:
+            self.load_checkpoint(resume_path)
+
+        if tracker is not None:
+            self.tracker = tracker
+        elif self.is_main_process:
+            self.tracker = build_tracker(cfg, str(self.save_dir))
+        else:
+            self.tracker = NullTracker()
+
+    # ---------------------------------------------------------------- step
+    def _build_train_step(self):
+        schedule = self.diffusion.schedule
+        num_timesteps = self.diffusion.num_timesteps
+        model = self.model
+        optimizer = self.optimizer
+        conditional = self.conditional
+        num_classes = self.num_classes
+        cfg_dropout = float(self.cfg_dropout_prob)
+        loss_type = self.loss_type
+        use_ema = self.use_ema
+        ema_decay = float(self.ema_decay)
+        is_multisteps = isinstance(optimizer, optax.MultiSteps)
+
+        def train_step(state: TrainState, images, labels, rng):
+            t_rng, noise_rng, drop_rng, dropout_rng = jax.random.split(rng, 4)
+            batch = images.shape[0]
+            t = jax.random.randint(t_rng, (batch,), 0, num_timesteps)
+            noise = jax.random.normal(noise_rng, images.shape, images.dtype)
+
+            if conditional:
+                # +1 shift, 0 reserved as CFG null; random dropout to null
+                # (parity: trainer.py:226-231)
+                y = labels.astype(jnp.int32) + 1
+                if cfg_dropout > 0 and num_classes is not None:
+                    drop = jax.random.uniform(drop_rng, (batch,)) < cfg_dropout
+                    y = jnp.where(drop, 0, y)
+            else:
+                y = None
+
+            def loss_fn(params):
+                def model_fn(x, tt, yy):
+                    return model.apply(
+                        {"params": params},
+                        x,
+                        tt,
+                        yy,
+                        train=True,
+                        rngs={"dropout": dropout_rng},
+                    )
+
+                return diffusion_base.p_losses(
+                    schedule, model_fn, images, t, noise, y=y, loss_type=loss_type
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+
+            new_ema = state.ema_params
+            if use_ema:
+                if is_multisteps:
+                    applied = optimizer.has_updated(new_opt_state)
+                    lerped = ema_update(state.ema_params, new_params, ema_decay)
+                    new_ema = jax.tree_util.tree_map(
+                        lambda e_new, e_old: jnp.where(applied, e_new, e_old),
+                        lerped,
+                        state.ema_params,
+                    )
+                else:
+                    new_ema = ema_update(state.ema_params, new_params, ema_decay)
+
+            return (
+                TrainState(
+                    params=new_params,
+                    opt_state=new_opt_state,
+                    ema_params=new_ema,
+                ),
+                loss,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # --------------------------------------------------------------- epoch
+    def train_epoch(self, epoch: int) -> float:
+        """One epoch (parity: trainer.py:204-283). Returns the mean loss
+        over batches — already a global mean across devices/processes."""
+        if hasattr(self.train_loader, "set_epoch"):
+            self.train_loader.set_epoch(epoch)
+
+        losses = []
+        for images, labels in self.train_loader:
+            batch = pmesh.local_batch_to_global(
+                self.mesh,
+                (
+                    np.asarray(images, dtype=np.float32),
+                    np.asarray(labels if labels is not None else
+                               np.zeros(len(images)), dtype=np.int32),
+                ),
+            )
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, loss = self._train_step(
+                self.state, batch[0], batch[1], step_rng
+            )
+            losses.append(loss)
+            self.global_step += 1
+
+        if not losses:
+            return float("nan")
+        return float(jnp.mean(jnp.stack(losses)))
+
+    # ------------------------------------------------------------- sampling
+    def _eval_model_fn(self, use_ema: Optional[bool] = None):
+        """Eval-mode denoiser closure over (EMA) params (trainer.py:291)."""
+        params = self.state.params
+        if (use_ema if use_ema is not None else self.use_ema) and (
+            self.state.ema_params is not None
+        ):
+            params = self.state.ema_params
+
+        def fn(x, t, y):
+            return self.model.apply({"params": params}, x, t, y, train=False)
+
+        return jax.tree_util.Partial(fn)
+
+    def sample_images(self, epoch: int, num_samples: Optional[int] = None):
+        """In-training sample grid (parity: trainer.py:286-326)."""
+        if num_samples is None:
+            num_samples = self.num_samples
+        h, w = self.image_size
+        shape = (num_samples, h, w, self.in_channels)
+        nrow = max(1, int(math.sqrt(num_samples)))
+        model_fn = self._eval_model_fn()
+
+        self.rng, sample_rng = jax.random.split(self.rng)
+        if self.conditional and self.num_classes:
+            num_rows = (num_samples + nrow - 1) // nrow
+            row_labels = np.arange(num_rows) % self.num_classes
+            labels = jnp.asarray(
+                np.repeat(row_labels + 1, nrow)[:num_samples], jnp.int32
+            )
+            if self.is_main_process:
+                print(f"Sampling with labels: {np.asarray(labels)}")
+            samples = self.diffusion.sample_with_cfg(
+                model_fn, shape, labels, sample_rng, cfg_scale=self.cfg_scale
+            )
+        else:
+            samples = self.diffusion.sample(model_fn, shape, sample_rng)
+
+        samples = np.clip((np.asarray(samples) + 1) / 2, 0, 1)
+        if self.is_main_process:
+            save_path = self.sample_dir / f"epoch_{epoch:04d}.png"
+            save_image_grid(samples, save_path, nrow=nrow)
+            self.tracker.log_image("samples", str(save_path), step=epoch)
+        return samples
+
+    # ---------------------------------------------------------- checkpoints
+    def save_checkpoint(self, epoch: int, is_best: bool = False):
+        """Parity: trainer.py:328-365 (current/best/periodic files)."""
+        if not self.is_main_process:
+            return
+
+        def write(path):
+            ckpt_lib.save_checkpoint(
+                path,
+                epoch=epoch,
+                params=self.state.params,
+                opt_state=self.state.opt_state,
+                best_loss=self.best_loss,
+                config=self.config,
+                ema_params=self.state.ema_params,
+            )
+
+        write(self.save_dir / "current_model.ckpt")
+        if is_best:
+            write(self.save_dir / "best_model.ckpt")
+        if epoch % self.save_interval == 0:
+            write(self.save_dir / f"model_epoch_{epoch:04d}.ckpt")
+
+    def load_checkpoint(self, checkpoint_path):
+        """Parity: trainer.py:120-154 incl. epoch-extension semantics."""
+        print(f"Loading checkpoint from {checkpoint_path}...")
+        payload = ckpt_lib.load_checkpoint(checkpoint_path)
+        params = payload["model_state_dict"]
+        opt_state = payload.get("optimizer_state_dict", self.state.opt_state)
+        ema = payload.get("ema_model_state_dict")
+        if ema is None and self.use_ema:
+            ema = jax.tree_util.tree_map(np.copy, params)
+        state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema if self.use_ema else None,
+        )
+        self.state = pmesh.replicate(self.mesh, state)
+        self.start_epoch = payload.get("epoch", 0) + 1
+        self.best_loss = payload.get("best_loss", float("inf"))
+        print(f"Resuming training from epoch {self.start_epoch}")
+        if self.start_epoch > self.epochs:
+            extend = self.config.get("epochs", 100)
+            print(
+                f"Checkpoint epoch ({self.start_epoch - 1}) is greater than "
+                f"configured epochs ({self.epochs})."
+            )
+            print(f"Extending training by {extend} epochs...")
+            self.epochs = self.start_epoch + extend
+            print(f"New target epochs: {self.epochs}")
+
+    # ----------------------------------------------------------------- loop
+    def current_lr(self) -> float:
+        count = self.global_step // max(1, self.accum)
+        return float(self.lr_schedule(jnp.asarray(count)))
+
+    def train(self):
+        """Main loop (parity: trainer.py:367-416)."""
+        if self.is_main_process:
+            print(f"Starting training for {self.epochs} epochs")
+            print(f"Mesh: {self.mesh} ({self.world_size} devices)")
+
+        for epoch in range(self.start_epoch, self.epochs + 1):
+            start_time = time.time()
+            avg_loss = self.train_epoch(epoch)
+            epoch_time = time.time() - start_time
+
+            if self.is_main_process:
+                lr = self.current_lr()
+                print(
+                    f"Epoch {epoch}/{self.epochs} - Loss: {avg_loss:.4f} - "
+                    f"LR: {lr:.6f} - Time: {epoch_time:.2f}s"
+                )
+                self.tracker.log(
+                    {
+                        "train/loss": avg_loss,
+                        "train/lr": lr,
+                        "train/epoch_time": epoch_time,
+                    },
+                    step=epoch,
+                )
+
+            is_best = avg_loss < self.best_loss
+            if is_best:
+                self.best_loss = avg_loss
+            self.save_checkpoint(epoch, is_best)
+
+            if (
+                self.is_main_process
+                and epoch >= self.sample_start_epoch
+                and epoch % self.sample_interval == 0
+            ):
+                print(f"Generating samples at epoch {epoch}...")
+                self.sample_images(epoch)
+
+        if self.is_main_process:
+            print("Training completed!")
+            self.tracker.finish()
+
+    def cleanup(self):
+        """No process groups to tear down under JAX (trainer.py:418-421)."""

@@ -1,0 +1,234 @@
+"""Trainer runtime: LR schedules, EMA, checkpoints, loss-decreases e2e."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_models_collection_tpu.datasets import (
+    DataLoader,
+    DiffusionDataset,
+    ImageTransform,
+)
+from diffusion_models_collection_tpu.diffusion import DDPM
+from diffusion_models_collection_tpu.models import UNet
+from diffusion_models_collection_tpu.utils import (
+    DiffusionTrainer,
+    build_lr_schedule,
+    ema_update,
+    load_checkpoint,
+)
+from diffusion_models_collection_tpu.utils.tracker import NullTracker
+
+
+def small_config(tmp_path, **overrides):
+    cfg = {
+        "model_type": "unet",
+        "model_params": {
+            "image_size": (8, 8),
+            "in_channels": 3,
+            "model_channels": 16,
+            "out_channels": 3,
+            "num_res_blocks": 1,
+            "attention_resolutions": (4,),
+            "channel_mult": (1, 2),
+        },
+        "image_size": (8, 8),
+        "conditional": False,
+        "num_timesteps": 10,
+        "beta_start": 1e-4,
+        "beta_end": 0.02,
+        "beta_schedule": "linear",
+        "loss_type": "l2",
+        "epochs": 2,
+        "batch_size": 16,
+        "optimizer": "adamw",
+        "learning_rate": 1e-3,
+        "weight_decay": 0.0,
+        "gradient_accumulation_steps": 1,
+        "use_ema": True,
+        "ema_decay": 0.9,
+        "cfg_dropout_prob": 0.2,
+        "use_scheduler": False,
+        "save_dir": str(tmp_path / "ckpt"),
+        "sample_dir": str(tmp_path / "samples"),
+        "save_interval": 10,
+        "sample_interval": 100,
+        "sample_start_epoch": 100,
+        "num_samples": 4,
+        "seed": 0,
+        "use_swanlab": False,
+    }
+    cfg.update(overrides)
+    return cfg
+
+
+def make_trainer(tmp_path, **overrides):
+    cfg = small_config(tmp_path, **overrides)
+    model = UNet(**{**cfg["model_params"],
+                    "num_classes": cfg.get("num_classes")
+                    if cfg.get("conditional") else None})
+    diffusion = DDPM(cfg["num_timesteps"], cfg["beta_start"], cfg["beta_end"],
+                     cfg["beta_schedule"])
+    ds = DiffusionDataset(
+        "synthetic",
+        conditional=cfg.get("conditional", False),
+        transform=ImageTransform((8, 8), train=True),
+        image_size=(8, 8),
+        n_train=64,
+    )
+    loader = DataLoader(ds, batch_size=cfg["batch_size"], seed=0, prefetch=0)
+    return (
+        DiffusionTrainer(model, diffusion, loader, config=cfg,
+                         tracker=NullTracker()),
+        cfg,
+    )
+
+
+# ------------------------------------------------------------- LR schedules
+def test_lr_constant_without_scheduler():
+    sched = build_lr_schedule({"learning_rate": 1e-3, "use_scheduler": False}, 10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(1000)) == pytest.approx(1e-3)
+
+
+def test_lr_cosine_matches_torch_formula():
+    cfg = {"learning_rate": 1e-3, "use_scheduler": True,
+           "scheduler_type": "cosine", "epochs": 100}
+    sched = build_lr_schedule(cfg, updates_per_epoch=5)
+    eta_min = 1e-6
+    for epoch in [0, 1, 50, 99, 100]:
+        expected = eta_min + (1e-3 - eta_min) * (
+            1 + math.cos(math.pi * epoch / 100)
+        ) / 2
+        got = float(sched(epoch * 5))
+        assert got == pytest.approx(expected, rel=1e-4, abs=1e-9), epoch
+
+
+def test_lr_warmup_cosine():
+    cfg = {
+        "learning_rate": 1e-3, "use_scheduler": True,
+        "scheduler_type": "warmup_cosine", "epochs": 100,
+        "warmup_epochs": 10, "warmup_start_factor": 0.01,
+    }
+    sched = build_lr_schedule(cfg, updates_per_epoch=1)
+    assert float(sched(0)) == pytest.approx(1e-5, rel=1e-4)
+    # warmup end -> base lr at epoch 10
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-3)
+    assert float(sched(9)) < float(sched(10))
+    # cosine decays after warmup
+    assert float(sched(60)) < float(sched(10))
+
+
+def test_lr_step():
+    cfg = {"learning_rate": 1.0, "use_scheduler": True,
+           "scheduler_type": "step", "epochs": 100, "step_size": 10,
+           "gamma": 0.5}
+    sched = build_lr_schedule(cfg, updates_per_epoch=1)
+    assert float(sched(0)) == 1.0
+    assert float(sched(10)) == 0.5
+    assert float(sched(25)) == 0.25
+
+
+def test_lr_unknown_raises():
+    with pytest.raises(ValueError):
+        build_lr_schedule(
+            {"learning_rate": 1.0, "use_scheduler": True,
+             "scheduler_type": "nope", "epochs": 1}, 1
+        )
+
+
+# --------------------------------------------------------------------- EMA
+def test_ema_update_lerp():
+    ema = {"w": jnp.ones((3,))}
+    params = {"w": jnp.zeros((3,))}
+    out = ema_update(ema, params, 0.9)
+    np.testing.assert_allclose(out["w"], 0.9, rtol=1e-6)
+
+
+# ----------------------------------------------------------- trainer e2e
+def test_train_loss_decreases(tmp_path):
+    trainer, cfg = make_trainer(tmp_path)
+    l1 = trainer.train_epoch(1)
+    losses = [trainer.train_epoch(e) for e in range(2, 6)]
+    assert math.isfinite(l1)
+    assert min(losses) < l1, (l1, losses)
+
+
+def test_trainer_conditional_runs(tmp_path):
+    trainer, cfg = make_trainer(
+        tmp_path, conditional=True, num_classes=10,
+        model_params={
+            "image_size": (8, 8), "in_channels": 3, "model_channels": 16,
+            "out_channels": 3, "num_res_blocks": 1,
+            "attention_resolutions": (4,), "channel_mult": (1, 2),
+        },
+    )
+    loss = trainer.train_epoch(1)
+    assert math.isfinite(loss)
+
+
+def test_ema_tracks_params(tmp_path):
+    trainer, _ = make_trainer(tmp_path)
+    p0 = jax.tree_util.tree_leaves(trainer.state.params)[0].copy()
+    trainer.train_epoch(1)
+    p1 = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    e1 = jax.tree_util.tree_leaves(trainer.state.ema_params)[0]
+    assert not np.allclose(p0, p1)  # params moved
+    assert not np.allclose(e1, p1)  # ema lags params
+    assert not np.allclose(e1, p0)  # but has moved off the init
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    trainer, cfg = make_trainer(tmp_path)
+    trainer.train_epoch(1)
+    trainer.best_loss = 0.5
+    trainer.save_checkpoint(1, is_best=True)
+
+    ckpt_dir = tmp_path / "ckpt"
+    assert (ckpt_dir / "current_model.ckpt").exists()
+    assert (ckpt_dir / "best_model.ckpt").exists()
+
+    payload = load_checkpoint(ckpt_dir / "current_model.ckpt")
+    assert payload["epoch"] == 1
+    assert payload["best_loss"] == 0.5
+    assert payload["config"]["model_type"] == "unet"
+    assert "ema_model_state_dict" in payload
+
+    # fresh trainer resumes
+    trainer2, _ = make_trainer(tmp_path)
+    trainer2.load_checkpoint(ckpt_dir / "current_model.ckpt")
+    assert trainer2.start_epoch == 2
+    assert trainer2.best_loss == 0.5
+    a = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    b = jax.tree_util.tree_leaves(trainer2.state.params)[0]
+    np.testing.assert_allclose(a, b)
+
+
+def test_resume_epoch_extension(tmp_path):
+    """Resume past configured epochs extends training (trainer.py:150-154)."""
+    trainer, cfg = make_trainer(tmp_path)
+    trainer.save_checkpoint(5)
+    trainer2, _ = make_trainer(tmp_path)
+    trainer2.load_checkpoint(tmp_path / "ckpt" / "current_model.ckpt")
+    assert trainer2.start_epoch == 6
+    assert trainer2.epochs == 6 + cfg["epochs"]
+
+
+def test_grad_accumulation(tmp_path):
+    trainer, _ = make_trainer(tmp_path, gradient_accumulation_steps=2)
+    loss = trainer.train_epoch(1)
+    assert math.isfinite(loss)
+    # ema must still have updated at accumulation boundaries
+    e = jax.tree_util.tree_leaves(trainer.state.ema_params)[0]
+    p0 = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    assert not np.allclose(e, p0)
+
+
+def test_sample_images(tmp_path):
+    trainer, _ = make_trainer(tmp_path)
+    samples = trainer.sample_images(epoch=1, num_samples=4)
+    assert samples.shape == (4, 8, 8, 3)
+    assert (tmp_path / "samples" / "epoch_0001.png").exists()
