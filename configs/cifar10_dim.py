@@ -1,0 +1,68 @@
+"""CIFAR-10 DiM (Diffusion Mamba) training config (reference
+configs/cifar10_dim.py schema, pointed at real CIFAR-10). The Mamba mixer
+runs the Pallas/XLA selective scan — no mamba_ssm CUDA dependency."""
+
+config = {
+    'project_name': 'diffusion-models',
+    'experiment_name': 'cifar10-dim-ddpm',
+
+    'model_type': 'dim',
+    'model_params': {
+        'img_size': (32, 32),
+        'patch_size': 2,
+        'in_channels': 3,
+        'hidden_size': 384,
+        'depth': 12,
+        'state_size': 16,
+        'mlp_ratio': 4.0,
+        'dropout': 0.1,
+    },
+
+    'dataset': 'cifar10',
+    'data_root': './data',
+    'image_size': (32, 32),
+    'conditional': True,
+    'num_classes': 10,
+    'use_subdirs': False,
+    'label_file': None,
+
+    'num_timesteps': 1000,
+    'beta_start': 0.0001,
+    'beta_end': 0.02,
+    'beta_schedule': 'linear',
+    'loss_type': 'l2',
+    'cfg_scale': 1.8,
+
+    'num_inference_steps': 50,
+    'ddim_eta': 0.0,
+
+    'epochs': 2000,
+    'batch_size': 128,
+    'num_workers': 4,
+    'optimizer': 'adamw',
+    'learning_rate': 2e-4,
+    'weight_decay': 1e-4,
+    'gradient_accumulation_steps': 1,
+    'use_ema': True,
+    'ema_decay': 0.9999,
+    'cfg_dropout_prob': 0.2,
+
+    'use_scheduler': True,
+    'scheduler_type': 'warmup_cosine',
+    'warmup_epochs': 20,
+    'warmup_start_factor': 0.01,
+
+    'save_dir': './checkpoints/cifar10_dim',
+    'save_interval': 50,
+    'resume_path': None,
+
+    'sample_dir': './generated_images/cifar10_dim',
+    'sample_interval': 50,
+    'sample_start_epoch': 200,
+    'num_samples': 16,
+
+    'use_swanlab': False,
+    'gpu_ids': [0],
+    'port': '12355',
+    'seed': 42,
+}

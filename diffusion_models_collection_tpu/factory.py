@@ -1,0 +1,153 @@
+"""Composition helpers shared by the train/sample/evaluate CLIs.
+
+Parity targets: reference train.py:27-128 (get_model / get_diffusion /
+get_dataset / get_dataloader) and sample.py:42-64 (sampling-method switch).
+These are the only places where models, diffusion processes and data meet —
+preserving the reference's key invariant that the layers below never import
+each other.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .datasets import CustomImageDataset, DataLoader, DiffusionDataset
+from .diffusion import DDIM, DDPM
+from .models import DiM, DiT, UNet
+from .parallel import mesh as pmesh
+from .utils.helpers import resolve_image_size
+
+MODEL_CLASSES = {"unet": UNet, "dit": DiT, "dim": DiM}
+
+# config keys accepted for reference parity but without a TPU meaning
+_IGNORED_MODEL_PARAMS = ()
+
+
+def get_model(config: dict):
+    """Build the denoiser from config (parity: train.py:27-56), injecting
+    the normalized image size and conditional num_classes."""
+    model_type = config["model_type"].lower()
+    model_params = dict(config.get("model_params", {}))
+    image_size = resolve_image_size(config["image_size"])
+
+    if model_type == "unet":
+        model_params["image_size"] = image_size
+    elif model_type in ("dit", "dim"):
+        if "img_size" in model_params or True:
+            model_params["img_size"] = image_size
+
+    if config.get("conditional", False):
+        model_params["num_classes"] = config.get("num_classes")
+    else:
+        model_params["num_classes"] = None
+
+    # tuples keep flax dataclass fields hashable
+    for key in ("image_size", "img_size", "attention_resolutions", "channel_mult"):
+        if key in model_params and isinstance(model_params[key], list):
+            model_params[key] = tuple(model_params[key])
+
+    try:
+        cls = MODEL_CLASSES[model_type]
+    except KeyError:
+        raise ValueError(f"Unknown model type: {model_type}") from None
+    return cls(**model_params)
+
+
+def get_diffusion(config: dict, sampling_method: str = "ddpm"):
+    """Build the diffusion process (parity: train.py:59-70 — training always
+    uses DDPM; sample.py:42-64 — DDIM selected per CLI flag)."""
+    common = dict(
+        num_timesteps=config["num_timesteps"],
+        beta_start=config["beta_start"],
+        beta_end=config["beta_end"],
+        beta_schedule=config["beta_schedule"],
+    )
+    if sampling_method.lower() == "ddim":
+        return DDIM(
+            num_inference_steps=config.get("num_inference_steps", 50),
+            eta=config.get("ddim_eta", 0.0),
+            **common,
+        )
+    return DDPM(**common)
+
+
+def get_dataset(config: dict, train: bool = True):
+    """Build the dataset (parity: train.py:73-104)."""
+    dataset_name = config["dataset"].lower()
+    img_size = resolve_image_size(config["image_size"])
+
+    if dataset_name == "custom":
+        transform = CustomImageDataset.get_default_transform(
+            img_size, "rgb", train=train
+        )
+        return CustomImageDataset(
+            root=config["data_root"],
+            transform=transform,
+            conditional=config.get("conditional", False),
+            label_file=config.get("label_file"),
+            use_subdirs=config.get("use_subdirs", False),
+        )
+
+    transform = DiffusionDataset.get_default_transform(
+        img_size, dataset_name, train=train
+    )
+    kwargs = {}
+    if dataset_name == "synthetic":
+        kwargs = dict(
+            image_size=img_size,
+            channels=config.get("model_params", {}).get("in_channels", 3),
+            num_classes=config.get("num_classes", 10) or 10,
+        )
+    return DiffusionDataset(
+        dataset_name=dataset_name,
+        root=config.get("data_root", "./data"),
+        train=train,
+        transform=transform,
+        download=True,
+        conditional=config.get("conditional", False),
+        **kwargs,
+    )
+
+
+def get_dataloader(config: dict, dataset, train: bool = True, seed: int = 0):
+    """Build the loader (parity: train.py:107-128 + DistributedSampler).
+
+    The LOCAL batch is config batch_size / process_count so the global
+    batch matches the reference's per-step batch semantics on one host.
+    """
+    pcount = pmesh.process_count()
+    local_bs = max(1, config["batch_size"] // pcount)
+    return DataLoader(
+        dataset,
+        batch_size=local_bs,
+        shuffle=train,
+        drop_last=train,
+        seed=seed,
+        process_index=pmesh.process_index(),
+        process_count=pcount,
+    )
+
+
+def eval_model_fn(model, params):
+    """Pytree-friendly eval-mode denoiser closure `(x, t, y) -> eps`."""
+
+    def fn(x, t, y):
+        return model.apply({"params": params}, x, t, y, train=False)
+
+    return jax.tree_util.Partial(fn)
+
+
+def load_model_for_inference(checkpoint: dict, config: dict, use_ema: bool):
+    """Rebuild model + params from a checkpoint payload (parity:
+    sample.py:116-126: --use_ema picks the EMA weights when present)."""
+    model = get_model(config)
+    if use_ema and "ema_model_state_dict" in checkpoint:
+        print("Using EMA model")
+        params = checkpoint["ema_model_state_dict"]
+    else:
+        params = checkpoint["model_state_dict"]
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return model, params

@@ -1,0 +1,17 @@
+"""Evaluation metrics (parity: reference metrics/__init__.py — which
+declares __all__ without importing; we import properly, fixing the
+reference's latent bug noted in SURVEY.md §2)."""
+
+from .fid import FIDScore
+from .inception import InceptionFeatures, InceptionV3
+from .inception_score import InceptionScore
+from .lpips_score import LPIPSScore, calculate_all_metrics
+
+__all__ = [
+    "FIDScore",
+    "InceptionScore",
+    "LPIPSScore",
+    "calculate_all_metrics",
+    "InceptionFeatures",
+    "InceptionV3",
+]

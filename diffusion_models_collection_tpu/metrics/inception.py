@@ -1,0 +1,290 @@
+"""InceptionV3 feature extractor in Flax (parity target: reference
+metrics/fid.py:14-108 — the pytorch-fid-style torchvision InceptionV3).
+
+Eval-mode-only port of the torchvision `inception_v3` graph
+(transform_input=False): BasicConv2d = conv(bias=False) + frozen BatchNorm
+(eps=1e-3) + ReLU, Inception A/B/C/D/E blocks, 2048-d global-average pool
+features (FID) and the 1000-way fc logits (Inception Score). NHWC layout.
+
+Weights: `load_torchvision_weights(path)` converts a torchvision
+`inception_v3_google-*.pth` state dict (torch-cpu is available for
+unpickling) into this module's param tree — module names match torchvision
+keys 1:1 so the conversion is mechanical. Without a weights file the
+params are deterministically random-initialized and metrics are flagged
+as uncalibrated (this environment cannot download the weights).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+WEIGHTS_ENV_VAR = "DMC_TPU_INCEPTION_WEIGHTS"
+
+
+class BasicConv2d(nn.Module):
+    """conv(bias=False) + frozen BatchNorm(eps=0.001) + relu."""
+
+    features: int
+    kernel: Sequence[int]
+    strides: Sequence[int] = (1, 1)
+    padding: Sequence = ((0, 0), (0, 0))
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            kernel_size=tuple(self.kernel),
+            strides=tuple(self.strides),
+            padding=tuple(self.padding),
+            use_bias=False,
+            name="conv",
+        )(x)
+        scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("bn_mean", nn.initializers.zeros, (self.features,))
+        var = self.param("bn_var", nn.initializers.ones, (self.features,))
+        x = (x - mean) * jax.lax.rsqrt(var + 1e-3) * scale + bias
+        return nn.relu(x)
+
+
+def _pad(p):
+    return ((p, p), (p, p)) if isinstance(p, int) else tuple((q, q) for q in p)
+
+
+def _avg_pool_same(x):
+    """torch avg_pool2d(kernel=3, stride=1, padding=1) with count_include_pad
+    =True semantics (zero-padded mean over 9 cells)."""
+    return nn.avg_pool(
+        x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
+        count_include_pad=True,
+    )
+
+
+class InceptionA(nn.Module):
+    pool_features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(64, (1, 1), name="branch1x1")(x)
+        b5 = BasicConv2d(48, (1, 1), name="branch5x5_1")(x)
+        b5 = BasicConv2d(64, (5, 5), padding=_pad(2), name="branch5x5_2")(b5)
+        b3 = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        b3 = BasicConv2d(96, (3, 3), padding=_pad(1), name="branch3x3dbl_2")(b3)
+        b3 = BasicConv2d(96, (3, 3), padding=_pad(1), name="branch3x3dbl_3")(b3)
+        bp = _avg_pool_same(x)
+        bp = BasicConv2d(self.pool_features, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+class InceptionB(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(384, (3, 3), strides=(2, 2), name="branch3x3")(x)
+        bd = BasicConv2d(64, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(96, (3, 3), padding=_pad(1), name="branch3x3dbl_2")(bd)
+        bd = BasicConv2d(96, (3, 3), strides=(2, 2), name="branch3x3dbl_3")(bd)
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+class InceptionC(nn.Module):
+    channels_7x7: int
+
+    @nn.compact
+    def __call__(self, x):
+        c7 = self.channels_7x7
+        b1 = BasicConv2d(192, (1, 1), name="branch1x1")(x)
+        b7 = BasicConv2d(c7, (1, 1), name="branch7x7_1")(x)
+        b7 = BasicConv2d(c7, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7_3")(b7)
+        bd = BasicConv2d(c7, (1, 1), name="branch7x7dbl_1")(x)
+        bd = BasicConv2d(c7, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7dbl_2")(bd)
+        bd = BasicConv2d(c7, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7dbl_3")(bd)
+        bd = BasicConv2d(c7, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7dbl_4")(bd)
+        bd = BasicConv2d(192, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7dbl_5")(bd)
+        bp = _avg_pool_same(x)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+class InceptionD(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b3 = BasicConv2d(192, (1, 1), name="branch3x3_1")(x)
+        b3 = BasicConv2d(320, (3, 3), strides=(2, 2), name="branch3x3_2")(b3)
+        b7 = BasicConv2d(192, (1, 1), name="branch7x7x3_1")(x)
+        b7 = BasicConv2d(192, (1, 7), padding=((0, 0), (3, 3)), name="branch7x7x3_2")(b7)
+        b7 = BasicConv2d(192, (7, 1), padding=((3, 3), (0, 0)), name="branch7x7x3_3")(b7)
+        b7 = BasicConv2d(192, (3, 3), strides=(2, 2), name="branch7x7x3_4")(b7)
+        bp = nn.max_pool(x, (3, 3), strides=(2, 2))
+        return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+class InceptionE(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        b1 = BasicConv2d(320, (1, 1), name="branch1x1")(x)
+        b3 = BasicConv2d(384, (1, 1), name="branch3x3_1")(x)
+        b3 = jnp.concatenate(
+            [
+                BasicConv2d(384, (1, 3), padding=((0, 0), (1, 1)),
+                            name="branch3x3_2a")(b3),
+                BasicConv2d(384, (3, 1), padding=((1, 1), (0, 0)),
+                            name="branch3x3_2b")(b3),
+            ],
+            axis=-1,
+        )
+        bd = BasicConv2d(448, (1, 1), name="branch3x3dbl_1")(x)
+        bd = BasicConv2d(384, (3, 3), padding=_pad(1), name="branch3x3dbl_2")(bd)
+        bd = jnp.concatenate(
+            [
+                BasicConv2d(384, (1, 3), padding=((0, 0), (1, 1)),
+                            name="branch3x3dbl_3a")(bd),
+                BasicConv2d(384, (3, 1), padding=((1, 1), (0, 0)),
+                            name="branch3x3dbl_3b")(bd),
+            ],
+            axis=-1,
+        )
+        bp = _avg_pool_same(x)
+        bp = BasicConv2d(192, (1, 1), name="branch_pool")(bp)
+        return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+class InceptionV3(nn.Module):
+    """torchvision inception_v3 graph, eval mode, NHWC.
+
+    `__call__(x)` with x (B, 299, 299, 3) in [-1, 1] returns
+    (pool_features_2048, logits_1000).
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        x = BasicConv2d(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x)
+        x = BasicConv2d(32, (3, 3), name="Conv2d_2a_3x3")(x)
+        x = BasicConv2d(64, (3, 3), padding=_pad(1), name="Conv2d_2b_3x3")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = BasicConv2d(80, (1, 1), name="Conv2d_3b_1x1")(x)
+        x = BasicConv2d(192, (3, 3), name="Conv2d_4a_3x3")(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = InceptionA(32, name="Mixed_5b")(x)
+        x = InceptionA(64, name="Mixed_5c")(x)
+        x = InceptionA(64, name="Mixed_5d")(x)
+        x = InceptionB(name="Mixed_6a")(x)
+        x = InceptionC(128, name="Mixed_6b")(x)
+        x = InceptionC(160, name="Mixed_6c")(x)
+        x = InceptionC(160, name="Mixed_6d")(x)
+        x = InceptionC(192, name="Mixed_6e")(x)
+        x = InceptionD(name="Mixed_7a")(x)
+        x = InceptionE(name="Mixed_7b")(x)
+        x = InceptionE(name="Mixed_7c")(x)
+        pooled = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
+        logits = nn.Dense(1000, name="fc")(pooled)
+        return pooled, logits
+
+
+def resize_bilinear(images: jnp.ndarray, size=(299, 299)) -> jnp.ndarray:
+    """Bilinear resize matching torch interpolate(align_corners=False)."""
+    b, h, w, c = images.shape
+    return jax.image.resize(
+        images, (b, size[0], size[1], c), method="bilinear", antialias=False
+    )
+
+
+def preprocess(images: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) in [0, 1] -> (B, 299, 299, 3) in [-1, 1], grayscale
+    broadcast to RGB (parity: metrics/fid.py:84-88)."""
+    if images.shape[-1] == 1:
+        images = jnp.repeat(images, 3, axis=-1)
+    images = resize_bilinear(images)
+    return images * 2.0 - 1.0
+
+
+def _torch_key_to_path(key: str):
+    """torchvision state-dict key -> (module path..., param name)."""
+    parts = key.split(".")
+    if parts[0] == "fc":
+        return ("fc",), {"weight": "kernel", "bias": "bias"}[parts[1]]
+    if parts[-2] == "conv" and parts[-1] == "weight":
+        return tuple(parts[:-1]), "kernel"
+    if parts[-2] == "bn":
+        name = {
+            "weight": "bn_scale",
+            "bias": "bn_bias",
+            "running_mean": "bn_mean",
+            "running_var": "bn_var",
+        }.get(parts[-1])
+        if name is None:
+            return None, None
+        return tuple(parts[:-2]), name
+    return None, None
+
+
+def load_torchvision_weights(path) -> dict:
+    """Convert a torchvision inception_v3 .pth state dict to our param tree."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    params: dict = {}
+    for key, tensor in state.items():
+        if key.startswith("AuxLogits"):
+            continue
+        path_parts, leaf = _torch_key_to_path(key)
+        if path_parts is None:
+            continue
+        arr = np.asarray(tensor.detach().numpy())
+        if leaf == "kernel" and arr.ndim == 4:  # OIHW -> HWIO
+            arr = arr.transpose(2, 3, 1, 0)
+        elif leaf == "kernel" and arr.ndim == 2:  # (out, in) -> (in, out)
+            arr = arr.T
+        node = params
+        for p in path_parts[:-1]:
+            node = node.setdefault(p, {})
+        # conv weights live under '<block>/conv'
+        if leaf == "kernel" and path_parts[-1] == "conv":
+            node = node.setdefault("conv", {})
+            node[leaf] = arr
+        elif path_parts[-1] == "fc":
+            node = node.setdefault("fc", {})
+            node[leaf] = arr
+        else:
+            node = node.setdefault(path_parts[-1], {})
+            node[leaf] = arr
+    return params
+
+
+class InceptionFeatures:
+    """Batched jit-compiled feature/logit extractor on the default backend.
+
+    `weights_path` (or env DMC_TPU_INCEPTION_WEIGHTS) loads the torchvision
+    weights; otherwise params are random (deterministic seed) and
+    `self.calibrated` is False.
+    """
+
+    def __init__(self, weights_path: Optional[str] = None):
+        self.model = InceptionV3()
+        weights_path = weights_path or os.environ.get(WEIGHTS_ENV_VAR)
+        if weights_path and Path(weights_path).exists():
+            params = load_torchvision_weights(weights_path)
+            self.calibrated = True
+        else:
+            dummy = jnp.zeros((1, 299, 299, 3))
+            params = self.model.init(jax.random.PRNGKey(0), dummy)["params"]
+            self.calibrated = False
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+
+        @jax.jit
+        def _run(params, images01):
+            return self.model.apply({"params": params}, preprocess(images01))
+
+        self._run = _run
+
+    def __call__(self, images01: jnp.ndarray):
+        """images01: (B, H, W, C) in [0, 1] -> (features_2048, logits_1000)."""
+        return self._run(self.params, images01)

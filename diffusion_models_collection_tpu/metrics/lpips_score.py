@@ -1,0 +1,233 @@
+"""LPIPS perceptual metric (parity target: reference metrics/lpips_score.py).
+
+TPU-native port of `lpips.LPIPS(net='alex')`: AlexNet conv features at the
+5 ReLU taps, channel-unit-normalized, squared-difference weighted by the
+learned 1x1 "lin" layers, spatially averaged, summed over taps. Inputs in
+[-1, 1] after the package's shift/scale normalization — matching the
+reference which feeds 2*x-1 (lpips_score.py:56-58).
+
+Weights: `weights_path` / env DMC_TPU_LPIPS_WEIGHTS pointing at the lpips
+package's combined state (or a converted .npz). Without weights the
+AlexNet is deterministically random and lin weights are uniform —
+uncalibrated but still a consistent diversity statistic. The reference
+computes LPIPS **diversity only** (random distinct pairs of generated
+images, lpips_score.py:68-96) in `calculate_all_metrics` — preserved.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+WEIGHTS_ENV_VAR = "DMC_TPU_LPIPS_WEIGHTS"
+
+# lpips package ScalingLayer constants
+_SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
+
+_ALEX_CHANNELS = (64, 192, 384, 256, 256)
+
+
+class AlexNetFeatures(nn.Module):
+    """torchvision AlexNet `features` trunk; returns the 5 ReLU taps."""
+
+    @nn.compact
+    def __call__(self, x):
+        taps = []
+        x = nn.Conv(64, (11, 11), strides=(4, 4), padding=((2, 2), (2, 2)),
+                    name="conv1")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(192, (5, 5), padding=((2, 2), (2, 2)), name="conv2")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(384, (3, 3), padding=((1, 1), (1, 1)), name="conv3")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="conv4")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="conv5")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        return taps
+
+
+def _normalize_tensor(feat, eps=1e-10):
+    norm = jnp.sqrt(jnp.sum(feat**2, axis=-1, keepdims=True))
+    return feat / (norm + eps)
+
+
+def load_lpips_weights(path) -> dict:
+    """Convert lpips-package weights to {alex: params, lins: [w0..w4]}.
+
+    Accepts either a .npz with keys conv{i}_kernel/bias + lin{i}, or a
+    torch state dict containing `net.slice*` conv weights and `lin*.model`
+    1x1 weights (the lpips pip package layout)."""
+    path = Path(path)
+    if path.suffix == ".npz":
+        data = np.load(path)
+        alex = {
+            f"conv{i+1}": {
+                "kernel": data[f"conv{i+1}_kernel"],
+                "bias": data[f"conv{i+1}_bias"],
+            }
+            for i in range(5)
+        }
+        lins = [data[f"lin{i}"] for i in range(5)]
+        return {"alex": alex, "lins": lins}
+
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    conv_map = {}  # tap index -> (kernel, bias)
+    lins = [None] * 5
+    for key, tensor in state.items():
+        arr = np.asarray(tensor.detach().numpy())
+        if key.startswith("lin"):
+            idx = int(key[3])
+            lins[idx] = arr.reshape(-1).astype(np.float32)  # (1,C,1,1) -> (C,)
+        elif ".slice" in key or key.startswith("net."):
+            if key.endswith("weight") and arr.ndim == 4:
+                conv_map.setdefault(len(conv_map) // 1, None)
+    # torchvision alexnet layout fallback: features.{0,3,6,8,10}
+    feature_ids = {"0": "conv1", "3": "conv2", "6": "conv3", "8": "conv4",
+                   "10": "conv5"}
+    alex = {}
+    for key, tensor in state.items():
+        parts = key.split(".")
+        if "features" in parts:
+            fid = parts[parts.index("features") + 1]
+            if fid in feature_ids:
+                name = feature_ids[fid]
+                arr = np.asarray(tensor.detach().numpy())
+                entry = alex.setdefault(name, {})
+                if key.endswith("weight"):
+                    entry["kernel"] = arr.transpose(2, 3, 1, 0)
+                else:
+                    entry["bias"] = arr
+    if len(alex) != 5 or any(l is None for l in lins):
+        raise ValueError(f"Could not parse LPIPS weights from {path}")
+    return {"alex": alex, "lins": lins}
+
+
+class LPIPSScore:
+    """LPIPS calculator (API parity: lpips_score.py:11-96)."""
+
+    def __init__(self, net: str = "alex", weights_path: Optional[str] = None):
+        if net != "alex":
+            raise ValueError("Only net='alex' is supported (reference default)")
+        self.model = AlexNetFeatures()
+        weights_path = weights_path or os.environ.get(WEIGHTS_ENV_VAR)
+        if weights_path and Path(weights_path).exists():
+            loaded = load_lpips_weights(weights_path)
+            params = loaded["alex"]
+            lins = [jnp.asarray(l) for l in loaded["lins"]]
+            self.calibrated = True
+        else:
+            dummy = jnp.zeros((1, 64, 64, 3))
+            params = self.model.init(jax.random.PRNGKey(0), dummy)["params"]
+            lins = [jnp.ones((c,)) / c for c in _ALEX_CHANNELS]
+            self.calibrated = False
+            print(
+                "WARNING: LPIPS weights not found — values are uncalibrated "
+                "(set DMC_TPU_LPIPS_WEIGHTS)."
+            )
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.lins = lins
+
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+        model = self.model
+
+        @jax.jit
+        def _distance(params, lins, x1, x2):
+            # x in [-1, 1]; lpips ScalingLayer
+            def prep(x):
+                if x.shape[-1] == 1:
+                    x = jnp.repeat(x, 3, axis=-1)
+                # AlexNet's stride-4 stem + pools need >=16px inputs (the
+                # torch reference errors below that); upsample tiny images.
+                if x.shape[1] < 16 or x.shape[2] < 16:
+                    b, h, w, c = x.shape
+                    x = jax.image.resize(
+                        x, (b, max(h, 32), max(w, 32), c), method="bilinear"
+                    )
+                return (x - shift) / scale
+
+            taps1 = model.apply({"params": params}, prep(x1))
+            taps2 = model.apply({"params": params}, prep(x2))
+            total = 0.0
+            for f1, f2, lin in zip(taps1, taps2, lins):
+                d = (_normalize_tensor(f1) - _normalize_tensor(f2)) ** 2
+                weighted = jnp.sum(d * lin[None, None, None, :], axis=-1)
+                total = total + jnp.mean(weighted, axis=(1, 2))
+            return total
+
+        self._distance = _distance
+
+    def compute_lpips(self, images1, images2, batch_size: int = 32):
+        """Mean LPIPS between paired sets, inputs (N, H, W, C) in [0, 1]
+        (parity: lpips_score.py:30-66 — scaled to [-1, 1] internally)."""
+        assert len(images1) == len(images2), "Number of images must match"
+        n = len(images1)
+        dists = []
+        for start in range(0, n, batch_size):
+            b1 = jnp.asarray(images1[start : start + batch_size]) * 2 - 1
+            b2 = jnp.asarray(images2[start : start + batch_size]) * 2 - 1
+            dists.append(np.asarray(self._distance(self.params, self.lins, b1, b2)))
+        return float(np.mean(np.concatenate(dists)))
+
+    def compute_lpips_diversity(self, images, num_pairs: int = 1000,
+                                batch_size: int = 32, seed: int = 0):
+        """Mean LPIPS over random distinct pairs (parity:
+        lpips_score.py:68-96)."""
+        n = len(images)
+        rng = np.random.default_rng(seed)
+        idx1 = rng.integers(0, n, size=num_pairs)
+        idx2 = rng.integers(0, n, size=num_pairs)
+        while (idx1 == idx2).any():
+            mask = idx1 == idx2
+            idx2[mask] = rng.integers(0, n, size=int(mask.sum()))
+        images = np.asarray(images)
+        return self.compute_lpips(images[idx1], images[idx2], batch_size)
+
+
+def calculate_all_metrics(real_images, fake_images, weights_path=None,
+                          lpips_weights_path=None):
+    """FID + IS + LPIPS-diversity (parity: lpips_score.py:98-139 — note the
+    reference computes LPIPS diversity of the fake set only, not
+    real-vs-fake)."""
+    from .fid import FIDScore
+    from .inception_score import InceptionScore
+
+    metrics = {}
+
+    print("\n=== Computing FID ===")
+    fid_calculator = FIDScore(weights_path=weights_path)
+    fid = fid_calculator.compute_fid(real_images, fake_images)
+    metrics["FID"] = float(fid)
+    print(f"FID: {fid:.4f}")
+
+    print("\n=== Computing IS ===")
+    is_calculator = InceptionScore(weights_path=weights_path)
+    is_mean, is_std = is_calculator.compute_inception_score(fake_images)
+    metrics["IS_mean"] = float(is_mean)
+    metrics["IS_std"] = float(is_std)
+    print(f"IS: {is_mean:.4f} ± {is_std:.4f}")
+
+    print("\n=== Computing LPIPS ===")
+    lpips_calculator = LPIPSScore(weights_path=lpips_weights_path)
+    lpips_div = lpips_calculator.compute_lpips_diversity(fake_images)
+    metrics["LPIPS_diversity"] = float(lpips_div)
+    print(f"LPIPS Diversity: {lpips_div:.4f}")
+
+    return metrics

@@ -1,0 +1,203 @@
+"""Evaluation entry point (parity target: reference evaluate.py).
+
+Same flag surface and behaviors: DDPM-1000 sampling for evaluation
+(evaluate.py:47-58), conditional eval reuses real labels +1
+(evaluate.py:184-199), real/generate PNG trees + 64-image grids, FID/IS/
+LPIPS-diversity, JSON report. TPU-native: generation batches run at one
+padded compiled shape; metric feature extraction runs batched on TPU.
+"""
+
+import argparse
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_models_collection_tpu.platform_setup import apply_platform_env
+
+apply_platform_env()
+
+from diffusion_models_collection_tpu.datasets import DataLoader
+from diffusion_models_collection_tpu.factory import (
+    eval_model_fn,
+    get_dataset,
+    get_diffusion,
+    load_model_for_inference,
+)
+from diffusion_models_collection_tpu.metrics import calculate_all_metrics
+from diffusion_models_collection_tpu.utils.checkpoint import load_checkpoint
+from diffusion_models_collection_tpu.utils.helpers import (
+    format_duration,
+    load_config,
+    resolve_image_size,
+    save_image,
+    save_image_grid,
+    set_seed,
+)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate diffusion models")
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="Path to checkpoint")
+    parser.add_argument("--config", type=str, default=None,
+                        help="Path to config file")
+    parser.add_argument("--num_samples", type=int, default=5000,
+                        help="Number of samples to generate")
+    parser.add_argument("--batch_size", type=int, default=32, help="Batch size")
+    parser.add_argument("--use_ema", action="store_true", help="Use EMA model")
+    parser.add_argument("--output", type=str, default="./metrics_results.json",
+                        help="Output file for metrics")
+    parser.add_argument("--save_images_dir", type=str, default="./eval",
+                        help="Directory to save PNG images (real/generate "
+                             "subfolders)")
+    parser.add_argument("--seed", type=int, default=42, help="Random seed")
+    parser.add_argument("--device", type=str, default="tpu",
+                        help="Accepted for parity; placement is automatic")
+    parser.add_argument("--cfg_scale", type=float, default=0.0,
+                        help="CFG guidance scale (0 = no CFG)")
+    args = parser.parse_args()
+
+    rng = set_seed(args.seed)
+
+    print(f"Loading checkpoint from {args.checkpoint}...")
+    checkpoint = load_checkpoint(args.checkpoint)
+    config = load_config(Path(args.config)) if args.config else checkpoint["config"]
+    config["image_size"] = resolve_image_size(config["image_size"])
+
+    print("Creating model...")
+    model, params = load_model_for_inference(checkpoint, config, args.use_ema)
+    model_fn = eval_model_fn(model, params)
+
+    # evaluation always uses DDPM full-step sampling (evaluate.py:47-58)
+    diffusion = get_diffusion(config, sampling_method="ddpm")
+
+    print("Loading real images...")
+    dataset = get_dataset(config, train=False)
+    loader = DataLoader(
+        dataset, batch_size=args.batch_size, shuffle=True, drop_last=False,
+        seed=args.seed, random_flip=False,
+    )
+    real_images, real_labels = [], []
+    for images, labels in loader:
+        real_images.append((images + 1) / 2)  # [-1,1] -> [0,1]
+        if labels is not None:
+            real_labels.append(labels)
+        if sum(len(x) for x in real_images) >= args.num_samples:
+            break
+    real_images = np.concatenate(real_images, axis=0)[: args.num_samples]
+    real_labels = (
+        np.concatenate(real_labels, axis=0)[: args.num_samples]
+        if real_labels
+        else None
+    )
+    print(f"Loaded {len(real_images)} real images")
+
+    conditional = config.get("conditional", False)
+    num_classes = config.get("num_classes")
+    if conditional:
+        if real_labels is None or num_classes is None:
+            raise ValueError(
+                "Conditional evaluation requires labels from the real dataset "
+                "and known num_classes."
+            )
+        labels_all = real_labels.astype(np.int32) + 1  # shift; 0 is null
+    else:
+        labels_all = None
+
+    print(f"Generating {args.num_samples} fake images...")
+    h, w = config["image_size"]
+    in_ch = config["model_params"]["in_channels"]
+    shape = (args.batch_size, h, w, in_ch)  # one compiled shape
+    num_batches = (args.num_samples + args.batch_size - 1) // args.batch_size
+
+    fake_images = []
+    for i in range(num_batches):
+        start = i * args.batch_size
+        end = min(start + args.batch_size, args.num_samples)
+        rng, batch_rng = jax.random.split(rng)
+        if labels_all is not None:
+            batch_labels = labels_all[start:end]
+            if len(batch_labels) < args.batch_size:
+                batch_labels = np.pad(
+                    batch_labels, (0, args.batch_size - len(batch_labels)),
+                    mode="edge",
+                )
+            batch_labels = jnp.asarray(batch_labels)
+        else:
+            batch_labels = None
+
+        print(f"Generating batch {i + 1}/{num_batches}...")
+        if args.cfg_scale > 0 and conditional:
+            samples = diffusion.sample_with_cfg(
+                model_fn, shape, batch_labels, batch_rng,
+                cfg_scale=args.cfg_scale,
+            )
+        else:
+            samples = diffusion.sample(model_fn, shape, batch_rng, y=batch_labels)
+        samples = np.asarray(samples)[: end - start]
+        fake_images.append((samples + 1) / 2)
+
+    fake_images = np.clip(np.concatenate(fake_images, axis=0), 0, 1)
+    real_images = np.clip(real_images, 0, 1)
+    print(f"Generated {len(fake_images)} fake images")
+
+    if args.save_images_dir:
+        save_root = Path(args.save_images_dir)
+        real_dir = save_root / "real"
+        gen_dir = save_root / "generate"
+        real_dir.mkdir(parents=True, exist_ok=True)
+        gen_dir.mkdir(parents=True, exist_ok=True)
+        num_digits = len(str(max(len(real_images), len(fake_images), 1)))
+        for idx, img in enumerate(real_images):
+            save_image(img, real_dir / f"real_{idx + 1:0{num_digits}d}.png")
+        for idx, img in enumerate(fake_images):
+            save_image(img, gen_dir / f"generate_{idx + 1:0{num_digits}d}.png")
+
+        def _save_grids(imgs, prefix, out_dir):
+            grid_size = 64
+            total = len(imgs)
+            if total == 0:
+                return
+            num_digits_grid = len(str((total + grid_size - 1) // grid_size))
+            for i in range(0, total, grid_size):
+                chunk = imgs[i : i + grid_size]
+                nrow = min(8, max(1, int(len(chunk) ** 0.5)))
+                grid_idx = i // grid_size + 1
+                save_image_grid(
+                    chunk,
+                    out_dir / f"{prefix}_grid_{grid_idx:0{num_digits_grid}d}.png",
+                    nrow=nrow,
+                )
+
+        _save_grids(real_images, "real", save_root)
+        _save_grids(fake_images, "generate", save_root)
+        print(f"Saved real images to {real_dir} and generated images to {gen_dir}")
+
+    print("\n" + "=" * 50)
+    print("Computing metrics...")
+    print("=" * 50)
+    metrics = calculate_all_metrics(real_images, fake_images)
+
+    print("\n" + "=" * 50)
+    print("Results:")
+    print("=" * 50)
+    for key, value in metrics.items():
+        print(f"{key}: {value}")
+
+    with Path(args.output).open("w", encoding="utf-8") as f:
+        json.dump({k: float(v) for k, v in metrics.items()}, f, indent=4)
+    print(f"\nResults saved to {args.output}")
+
+
+if __name__ == "__main__":
+    start_time = time.time()
+    main()
+    print(f"Total evaluation time: {format_duration(time.time() - start_time)}")

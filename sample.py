@@ -1,0 +1,227 @@
+"""Sampling entry point (parity target: reference sample.py).
+
+Same flag surface and label conventions (+1 shift, per-row classes, 0 as
+the CFG null). TPU-native behavior: every batch is generated at ONE padded
+compiled shape (`--batch_size`) so the sampler's `lax.scan` compiles once;
+the trailing partial batch is trimmed after generation (SURVEY.md §7 "hard
+parts": dynamic shapes → pad-and-mask).
+"""
+
+import argparse
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_models_collection_tpu.platform_setup import apply_platform_env
+
+apply_platform_env()
+
+from diffusion_models_collection_tpu.factory import (
+    eval_model_fn,
+    get_diffusion,
+    load_model_for_inference,
+)
+from diffusion_models_collection_tpu.utils.checkpoint import load_checkpoint
+from diffusion_models_collection_tpu.utils.helpers import (
+    create_gif,
+    format_duration,
+    load_config,
+    make_grid,
+    resolve_image_size,
+    save_image_grid,
+    set_seed,
+)
+
+
+def build_labels(args, config, nrow: int, num_rows: int):
+    """Per-row class labels with +1 shift (parity: sample.py:131-167)."""
+    conditional = config.get("conditional", False)
+    num_classes = config.get("num_classes")
+    if not conditional:
+        return None
+    if args.labels:
+        row_labels = [int(x.strip()) for x in args.labels.split(",")]
+        if num_classes is not None:
+            for lbl in row_labels:
+                if not (0 <= lbl < num_classes):
+                    raise ValueError(
+                        f"Label {lbl} is out of range [0, {num_classes})"
+                    )
+        if len(row_labels) < num_rows:
+            row_labels = (row_labels * ((num_rows // len(row_labels)) + 1))[
+                :num_rows
+            ]
+        else:
+            row_labels = row_labels[:num_rows]
+        labels = np.repeat(np.asarray(row_labels) + 1, nrow)[: args.num_samples]
+    elif num_classes is not None:
+        rng = np.random.default_rng(args.seed)
+        row_labels = rng.integers(0, num_classes, size=num_rows)
+        labels = np.repeat(row_labels + 1, nrow)[: args.num_samples]
+    else:
+        raise ValueError(
+            "Conditional generation requires either --labels or known "
+            "num_classes."
+        )
+    print(f"Using conditional generation with labels: {labels.tolist()}")
+    return labels.astype(np.int32)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Sample from diffusion models")
+    parser.add_argument("--checkpoint", type=str, required=True,
+                        help="Path to checkpoint")
+    parser.add_argument("--config", type=str, default=None,
+                        help="Path to config file (if not in checkpoint)")
+    parser.add_argument("--sampling_method", type=str, default="ddpm",
+                        choices=["ddpm", "ddim"], help="Sampling method")
+    parser.add_argument("--num_inference_steps", type=int, default=50,
+                        help="Number of inference steps for DDIM sampling")
+    parser.add_argument("--num_samples", type=int, default=64,
+                        help="Number of samples to generate")
+    parser.add_argument("--batch_size", type=int, default=16,
+                        help="Batch size for sampling")
+    parser.add_argument("--output_dir", type=str, default="./samples",
+                        help="Output directory")
+    parser.add_argument("--output_name", type=str, default="samples.png",
+                        help="Output filename")
+    parser.add_argument("--use_ema", action="store_true",
+                        help="Use EMA model if available")
+    parser.add_argument("--cfg_scale", type=float, default=0.0,
+                        help="Classifier-free guidance scale (0 = no CFG)")
+    parser.add_argument("--labels", type=str, default=None,
+                        help="Comma-separated labels for conditional generation")
+    parser.add_argument("--seed", type=int, default=42, help="Random seed")
+    parser.add_argument("--device", type=str, default="tpu",
+                        help="Accepted for parity; placement is automatic")
+    parser.add_argument("--save_intermediate", action="store_true",
+                        help="Save intermediate denoising steps")
+    parser.add_argument("--create_gif", action="store_true",
+                        help="Create GIF of the denoising process")
+    parser.add_argument("--gif_fps", type=int, default=20, help="FPS for the GIF")
+    parser.add_argument("--gif_final_seconds", type=float, default=2.0,
+                        help="Seconds to hold the final frame in the GIF")
+    args = parser.parse_args()
+
+    rng = set_seed(args.seed)
+
+    print(f"Loading checkpoint from {args.checkpoint}...")
+    checkpoint = load_checkpoint(args.checkpoint)
+    config = load_config(Path(args.config)) if args.config else checkpoint["config"]
+
+    if args.sampling_method.lower() == "ddim" and args.num_inference_steps:
+        config["num_inference_steps"] = args.num_inference_steps
+    config["image_size"] = resolve_image_size(config["image_size"])
+
+    print("Creating model...")
+    model, params = load_model_for_inference(checkpoint, config, args.use_ema)
+    model_fn = eval_model_fn(model, params)
+
+    print(f"Using sampling method: {args.sampling_method.upper()}")
+    diffusion = get_diffusion(config, sampling_method=args.sampling_method)
+
+    conditional = config.get("conditional", False)
+    nrow = max(1, int(math.sqrt(args.num_samples)))
+    num_rows = math.ceil(args.num_samples / nrow)
+    labels = build_labels(args, config, nrow, num_rows)
+
+    print(f"Generating {args.num_samples} samples...")
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    return_all = args.save_intermediate or args.create_gif
+    h, w = config["image_size"]
+    in_ch = config["model_params"]["in_channels"]
+    shape = (args.batch_size, h, w, in_ch)  # ONE compiled shape for all batches
+
+    num_batches = (args.num_samples + args.batch_size - 1) // args.batch_size
+    all_samples, all_intermediates = [], []
+    for i in range(num_batches):
+        start = i * args.batch_size
+        end = min(start + args.batch_size, args.num_samples)
+        rng, batch_rng = jax.random.split(rng)
+
+        if labels is not None:
+            batch_labels = labels[start:end]
+            # pad partial batch to the compiled shape; extras trimmed below
+            if len(batch_labels) < args.batch_size:
+                batch_labels = np.pad(
+                    batch_labels, (0, args.batch_size - len(batch_labels)),
+                    mode="edge",
+                )
+            batch_labels = jnp.asarray(batch_labels)
+        else:
+            batch_labels = None
+
+        if args.cfg_scale > 0 and conditional:
+            print(f"Sampling batch {i + 1}/{num_batches} with CFG scale "
+                  f"{args.cfg_scale}...")
+            samples = diffusion.sample_with_cfg(
+                model_fn, shape, batch_labels, batch_rng,
+                cfg_scale=args.cfg_scale, return_all_timesteps=return_all,
+            )
+        else:
+            print(f"Sampling batch {i + 1}/{num_batches}...")
+            samples = diffusion.sample(
+                model_fn, shape, batch_rng, y=batch_labels,
+                return_all_timesteps=return_all,
+            )
+
+        samples = np.asarray(samples)
+        keep = end - start
+        if return_all:
+            all_intermediates.append(samples[:, :keep])  # (T, keep, H, W, C)
+            all_samples.append(samples[-1, :keep])
+        else:
+            all_samples.append(samples[:keep])
+
+    all_samples = np.concatenate(all_samples, axis=0)
+    all_samples = np.clip((all_samples + 1) / 2, 0, 1)
+
+    output_path = output_dir / args.output_name
+    print(f"Saving samples to {output_path}...")
+    save_image_grid(all_samples, output_path, nrow=nrow)
+
+    if return_all:
+        print("Processing intermediate steps...")
+        inter = np.concatenate(all_intermediates, axis=1)  # (T, N, H, W, C)
+        inter = np.clip((inter + 1) / 2, 0, 1)
+        T = inter.shape[0]
+
+        if args.create_gif:
+            gif_path = output_dir / args.output_name.replace(".png", ".gif")
+            print(f"Creating GIF at {gif_path}...")
+            grid_frames = [make_grid(inter[t], nrow=nrow, padding=2)
+                           for t in range(T)]
+            if grid_frames and args.gif_final_seconds and args.gif_final_seconds > 0:
+                extra = max(1, int(args.gif_fps * float(args.gif_final_seconds)))
+                grid_frames.extend([grid_frames[-1]] * extra)
+            create_gif(grid_frames, str(gif_path), fps=args.gif_fps)
+
+        if args.save_intermediate:
+            intermediate_dir = output_dir / "intermediate"
+            intermediate_dir.mkdir(exist_ok=True)
+            print(f"Saving intermediate frames to {intermediate_dir}...")
+            step_interval = 1 if T <= 100 else T // 50
+            for t in range(0, T, step_interval):
+                save_image_grid(
+                    inter[t], intermediate_dir / f"step_{t:04d}.png", nrow=nrow
+                )
+            save_image_grid(
+                inter[-1], intermediate_dir / f"step_{T - 1:04d}.png", nrow=nrow
+            )
+
+    print("Done!")
+
+
+if __name__ == "__main__":
+    start_time = time.time()
+    main()
+    print(f"Total sampling time: {format_duration(time.time() - start_time)}")

@@ -1,0 +1,121 @@
+"""End-to-end CLI integration: train -> sample -> evaluate on synthetic
+data (SURVEY.md §4 integration-test plan), all on the CPU backend."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+}
+
+
+def run(args, cwd):
+    proc = subprocess.run(
+        [sys.executable] + args,
+        cwd=cwd,
+        env=ENV,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, f"STDOUT:\n{proc.stdout}\nSTDERR:\n{proc.stderr}"
+    return proc.stdout
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    """Train the smoke config once; reuse the checkpoint for sample/eval."""
+    wd = tmp_path_factory.mktemp("cli")
+    # config with tmp dirs
+    cfg_src = (REPO / "configs" / "synthetic_smoke.py").read_text()
+    cfg_src = cfg_src.replace(
+        "'./checkpoints/synthetic_smoke'", repr(str(wd / "ckpt"))
+    ).replace(
+        "'./generated_images/synthetic_smoke'", repr(str(wd / "gen"))
+    )
+    cfg_path = wd / "smoke.py"
+    cfg_path.write_text(cfg_src)
+    out = run([str(REPO / "train.py"), "--config", str(cfg_path)], cwd=str(wd))
+    assert "Training completed!" in out
+    return wd
+
+
+def test_train_produces_checkpoint(workdir):
+    assert (workdir / "ckpt" / "current_model.ckpt").exists()
+    assert (workdir / "ckpt" / "best_model.ckpt").exists()
+    assert (workdir / "ckpt" / "model_epoch_0002.ckpt").exists()
+
+
+def test_sample_cli_ddim(workdir):
+    out_dir = workdir / "samples"
+    run(
+        [
+            str(REPO / "sample.py"),
+            "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+            "--sampling_method", "ddim",
+            "--num_inference_steps", "5",
+            "--num_samples", "6",
+            "--batch_size", "4",
+            "--use_ema",
+            "--cfg_scale", "1.5",
+            "--output_dir", str(out_dir),
+            "--output_name", "out.png",
+        ],
+        cwd=str(workdir),
+    )
+    assert (out_dir / "out.png").exists()
+
+
+def test_sample_cli_gif_and_labels(workdir):
+    out_dir = workdir / "samples_gif"
+    run(
+        [
+            str(REPO / "sample.py"),
+            "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+            "--sampling_method", "ddim",
+            "--num_inference_steps", "4",
+            "--num_samples", "4",
+            "--batch_size", "4",
+            "--labels", "1,2",
+            "--create_gif",
+            "--save_intermediate",
+            "--output_dir", str(out_dir),
+            "--output_name", "grid.png",
+        ],
+        cwd=str(workdir),
+    )
+    assert (out_dir / "grid.png").exists()
+    assert (out_dir / "grid.gif").exists()
+    assert any((out_dir / "intermediate").glob("step_*.png"))
+
+
+def test_evaluate_cli(workdir):
+    out_json = workdir / "metrics.json"
+    out = run(
+        [
+            str(REPO / "evaluate.py"),
+            "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+            "--num_samples", "16",
+            "--batch_size", "8",
+            "--use_ema",
+            "--cfg_scale", "1.5",
+            "--output", str(out_json),
+            "--save_images_dir", str(workdir / "eval_imgs"),
+        ],
+        cwd=str(workdir),
+    )
+    metrics = json.loads(out_json.read_text())
+    assert set(metrics) == {"FID", "IS_mean", "IS_std", "LPIPS_diversity"}
+    assert all(v == v for v in metrics.values())  # no NaN
+    assert (workdir / "eval_imgs" / "real").exists()
+    assert (workdir / "eval_imgs" / "generate").exists()
+    assert "Results saved" in out

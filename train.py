@@ -1,0 +1,96 @@
+"""Training entry point (parity target: reference train.py).
+
+Usage: python train.py --config configs/cifar10_unet.py
+
+TPU-native launch model: ONE process per host drives all local TPU chips
+through a jax.sharding Mesh — there is no torchrun-style per-device process
+spawn and no NCCL process group (reference train.py:296-336). Multi-host
+runs call `jax.distributed.initialize()` when the standard JAX cluster env
+is present; the config's `gpu_ids`/`port` keys are accepted and ignored
+(documented divergence — device selection belongs to the runtime).
+"""
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+
+from diffusion_models_collection_tpu.platform_setup import apply_platform_env
+
+apply_platform_env()
+
+from diffusion_models_collection_tpu.factory import (
+    get_dataloader,
+    get_dataset,
+    get_diffusion,
+    get_model,
+)
+from diffusion_models_collection_tpu.parallel import data_parallel_mesh
+from diffusion_models_collection_tpu.utils import DiffusionTrainer
+from diffusion_models_collection_tpu.utils.helpers import (
+    format_duration,
+    load_config,
+    resolve_image_size,
+    set_seed,
+)
+
+
+def maybe_init_distributed():
+    """Multi-host init (the torchrun analog): triggered by JAX cluster env
+    vars (JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID)."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train diffusion models")
+    parser.add_argument(
+        "--config", type=str, required=True, help="Path to config file"
+    )
+    args = parser.parse_args()
+
+    maybe_init_distributed()
+
+    config = load_config(Path(args.config))
+    config["image_size"] = resolve_image_size(config["image_size"])
+
+    # per-process seed offset (parity: train.py:240 set_seed(seed + rank))
+    rng = set_seed(config.get("seed", 42) + jax.process_index())
+
+    mesh = data_parallel_mesh()
+    if jax.process_index() == 0:
+        print(f"Devices: {jax.device_count()} ({jax.default_backend()}), "
+              f"mesh axes {mesh.axis_names}")
+
+    print("Creating model...")
+    model = get_model(config)
+    diffusion = get_diffusion(config)  # training always DDPM (train.py:59-70)
+
+    print("Loading dataset...")
+    train_dataset = get_dataset(config, train=True)
+    train_loader = get_dataloader(
+        config, train_dataset, train=True, seed=config.get("seed", 42)
+    )
+
+    trainer = DiffusionTrainer(
+        model=model,
+        diffusion=diffusion,
+        train_loader=train_loader,
+        config=config,
+        rng=rng,
+        mesh=mesh,
+        resume_path=config.get("resume_path"),
+    )
+    trainer.train()
+    trainer.cleanup()
+
+
+if __name__ == "__main__":
+    start_time = time.time()
+    main()
+    print(f"Total training time: {format_duration(time.time() - start_time)}")
