@@ -1,0 +1,98 @@
+"""Headline benchmark: CIFAR-10 UNet DDIM-50 CFG sampling throughput.
+
+Mirrors the reference's published run (docs/cifar10_runs.md:105 — 80 images,
+DDIM-50, CFG=3 on a Titan XP: 71.1 s => 1.13 samples/s, the BASELINE.json
+north-star row). Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+
+Methodology: same model config as configs/cifar10_unet.py (randomly
+initialized — sampling cost does not depend on weight values), 80 images in
+one padded batch, full DDIM-50 trajectory with fused-batch CFG under one
+jitted lax.scan. Compile excluded (one warmup), best of 3 timed runs.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+from diffusion_models_collection_tpu.factory import (
+    eval_model_fn,
+    get_diffusion,
+    init_model_params,
+)
+from diffusion_models_collection_tpu.models import UNet
+
+BASELINE_SAMPLES_PER_SEC = 1.13  # Titan XP reference (docs/cifar10_runs.md:105)
+NUM_IMAGES = 80
+CFG_SCALE = 3.0
+INFERENCE_STEPS = 50
+
+
+def main():
+    config = {
+        "num_timesteps": 1000,
+        "beta_start": 1e-4,
+        "beta_end": 0.02,
+        "beta_schedule": "linear",
+        "num_inference_steps": INFERENCE_STEPS,
+        "ddim_eta": 0.0,
+    }
+    model = UNet(
+        image_size=(32, 32),
+        in_channels=3,
+        model_channels=128,
+        out_channels=3,
+        num_res_blocks=2,
+        attention_resolutions=(16, 8),
+        channel_mult=(1, 2, 2, 2),
+        num_classes=10,
+    )
+    params = init_model_params(
+        model, jax.random.PRNGKey(0), (32, 32), 3, conditional=True
+    )
+    model_fn = eval_model_fn(model, params)
+    diffusion = get_diffusion(config, sampling_method="ddim")
+
+    shape = (NUM_IMAGES, 32, 32, 3)
+    labels = jnp.asarray((jnp.arange(NUM_IMAGES) % 10) + 1, jnp.int32)
+
+    def run(seed):
+        out = diffusion.sample_with_cfg(
+            model_fn, shape, labels, jax.random.PRNGKey(seed),
+            cfg_scale=CFG_SCALE,
+        )
+        jax.block_until_ready(out)
+        return out
+
+    run(0)  # warmup/compile
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    sps = NUM_IMAGES / best
+    print(
+        json.dumps(
+            {
+                "metric": "cifar10_unet_ddim50_cfg_samples_per_sec_per_chip",
+                "value": round(sps, 3),
+                "unit": "samples/sec",
+                "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

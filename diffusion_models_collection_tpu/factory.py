@@ -131,6 +131,24 @@ def get_dataloader(config: dict, dataset, train: bool = True, seed: int = 0):
     )
 
 
+def init_model_params(model, rng, image_size, in_channels, conditional):
+    """Initialize model params as ONE jitted computation on the host CPU.
+
+    Running `model.init` eagerly dispatches hundreds of tiny ops; on a
+    remote-compiled TPU backend each becomes a separate compilation
+    (observed ~2.5 min for the CIFAR UNet). One jitted init on the CPU
+    backend takes seconds; params transfer to device on first use.
+    """
+    h, w = image_size
+    x = jnp.zeros((1, h, w, in_channels), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    y = jnp.zeros((1,), jnp.int32) if conditional else None
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(lambda k: model.init(k, x, t, y))(rng)
+    return variables["params"]
+
+
 def eval_model_fn(model, params):
     """Pytree-friendly eval-mode denoiser closure `(x, t, y) -> eps`."""
 

@@ -130,13 +130,12 @@ class DiffusionTrainer:
         self.rng = rng if rng is not None else jax.random.PRNGKey(cfg.get("seed", 42))
         self.rng, init_rng = jax.random.split(self.rng)
 
-        # --- init params ---------------------------------------------------
-        h, w = self.image_size
-        dummy_x = jnp.zeros((1, h, w, self.in_channels), jnp.float32)
-        dummy_t = jnp.zeros((1,), jnp.int32)
-        dummy_y = jnp.zeros((1,), jnp.int32) if self.conditional else None
-        variables = model.init(init_rng, dummy_x, dummy_t, dummy_y)
-        self.params = variables["params"]
+        # --- init params (one jitted CPU computation; see factory) ---------
+        from ..factory import init_model_params
+
+        self.params = init_model_params(
+            model, init_rng, self.image_size, self.in_channels, self.conditional
+        )
         if self.is_main_process:
             print(f"Model parameters: {count_parameters(self.params):,}")
 
