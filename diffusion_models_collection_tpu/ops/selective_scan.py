@@ -35,7 +35,21 @@ def associative_affine_scan(a: jnp.ndarray, b: jnp.ndarray, axis: int = 1):
     return h
 
 
-def selective_scan(
+def _auto_chunk(batch: int, length: int, d_inner: int, n_state: int,
+                budget_bytes: int = 256 * 1024 * 1024) -> Optional[int]:
+    """Chunk length keeping the (B, chunk, D, N) intermediate under budget."""
+    full = batch * length * d_inner * n_state * 4
+    if full <= budget_bytes:
+        return None
+    chunk = length
+    while chunk > 8 and batch * chunk * d_inner * n_state * 4 > budget_bytes:
+        chunk //= 2
+    while length % chunk:
+        chunk -= 1
+    return max(chunk, 1)
+
+
+def selective_scan_xla(
     x: jnp.ndarray,
     dt: jnp.ndarray,
     A: jnp.ndarray,
@@ -97,6 +111,65 @@ def selective_scan(
         )
         y = y.transpose(1, 0, 2, 3).reshape(batch, length, d_inner)
 
+    if D is not None:
+        y = y + x * D[None, None, :]
+    return y
+
+
+@jax.custom_vjp
+def _selective_scan_core(x, dt, A, B, C):
+    """Dispatch: Pallas TPU kernel when enabled and shapes fit, else the
+    XLA associative scan with automatic memory-bounded chunking."""
+    from . import dispatch
+
+    if dispatch.pallas_enabled():
+        from . import selective_scan_pallas as ssp
+
+        if ssp.supported(x, A):
+            return ssp.selective_scan_pallas(x, dt, A, B, C, None)
+    chunk = _auto_chunk(x.shape[0], x.shape[1], x.shape[2], A.shape[1])
+    return selective_scan_xla(x, dt, A, B, C, None, chunk_size=chunk)
+
+
+def _core_fwd(x, dt, A, B, C):
+    return _selective_scan_core(x, dt, A, B, C), (x, dt, A, B, C)
+
+
+def _core_bwd(residuals, g):
+    """Recompute-based backward through the chunked XLA path: the scan is
+    cheap to recompute and this bounds training memory to the chunk size
+    regardless of which forward kernel ran."""
+    x, dt, A, B, C = residuals
+    chunk = _auto_chunk(x.shape[0], x.shape[1], x.shape[2], A.shape[1])
+    _, vjp_fn = jax.vjp(
+        lambda *args: selective_scan_xla(*args, None, chunk_size=chunk),
+        x, dt, A, B, C,
+    )
+    return vjp_fn(g)
+
+
+_selective_scan_core.defvjp(_core_fwd, _core_bwd)
+
+
+def selective_scan(
+    x: jnp.ndarray,
+    dt: jnp.ndarray,
+    A: jnp.ndarray,
+    B: jnp.ndarray,
+    C: jnp.ndarray,
+    D: Optional[jnp.ndarray] = None,
+    *,
+    chunk_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """Public selective scan: Pallas kernel on TPU / chunked XLA fallback,
+    differentiable via recompute (see module docstring for semantics).
+
+    `chunk_size` forces the XLA chunked path with that chunk (used by
+    tests); the default dispatches automatically.
+    """
+    if chunk_size is not None:
+        return selective_scan_xla(x, dt, A, B, C, D, chunk_size=chunk_size)
+    y = _selective_scan_core(x, dt, A, B, C)
     if D is not None:
         y = y + x * D[None, None, :]
     return y
