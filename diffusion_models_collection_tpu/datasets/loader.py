@@ -16,7 +16,8 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-from .transforms import flip_batch
+from . import native
+from .transforms import ImageTransform, flip_batch
 
 
 class DataLoader:
@@ -64,6 +65,21 @@ class DataLoader:
         )
         self.conditional = bool(getattr(dataset, "conditional", False))
 
+        # Native fast path: for datasets materialized as uint8 NHWC arrays
+        # with the standard transform, whole batches are assembled by the
+        # fused C++ gather+resize+normalize+flip kernels (native/
+        # dmc_native.cpp) instead of the per-item Python path.
+        images = getattr(dataset, "images", None)
+        self._fast_images = None
+        if (
+            isinstance(images, np.ndarray)
+            and images.dtype == np.uint8
+            and images.ndim == 4
+            and isinstance(transform, ImageTransform)
+        ):
+            self._fast_images = images
+            self._fast_size = transform.image_size
+
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
@@ -88,6 +104,29 @@ class DataLoader:
         return -(-n // self.batch_size)
 
     def _assemble(self, indices: np.ndarray, flip_rng) -> Tuple:
+        if self._fast_images is not None:
+            mask = (
+                (flip_rng.random(len(indices)) < 0.5).astype(np.uint8)
+                if self.random_flip
+                else None
+            )
+            h, w = self._fast_size
+            src = self._fast_images
+            if src.shape[1] != h or src.shape[2] != w:
+                src = native.resize_bilinear_batch(
+                    np.ascontiguousarray(src[indices]), h, w
+                )
+                idx = np.arange(len(indices), dtype=np.int64)
+            else:
+                idx = np.asarray(indices, dtype=np.int64)
+            imgs = native.gather_normalize(src, idx, mask)
+            if self.conditional:
+                labels = np.asarray(self.dataset.labels)[indices].astype(
+                    np.int64
+                )
+                return imgs, labels
+            return imgs, None
+
         first = self.dataset[int(indices[0])]
         has_label = isinstance(first, tuple)
         imgs = np.empty((len(indices),) + np.asarray(first[0] if has_label else first).shape,

@@ -25,14 +25,17 @@ _LANE = 128
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
-    q = q_ref[...].astype(jnp.float32) * scale  # (block_q, d)
-    num_k = k_ref.shape[0] // block_k
+    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
+    num_k = k_ref.shape[1] // block_k
 
     def body(i, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -41,12 +44,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
         acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
         return acc, m_new, l_new
 
-    d = v_ref.shape[1]
+    d = v_ref.shape[2]
     acc0 = jnp.zeros((q.shape[0], d), jnp.float32)
     m0 = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
     acc, _, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
-    o_ref[...] = (acc / l).astype(o_ref.dtype)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))

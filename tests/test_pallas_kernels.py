@@ -1,0 +1,81 @@
+"""Pallas kernel parity vs XLA references, in interpret mode on CPU
+(SURVEY.md §7.8: every kernel lands with a numerical-parity test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from diffusion_models_collection_tpu.ops import selective_scan_pallas as ssp
+from diffusion_models_collection_tpu.ops.selective_scan import (
+    selective_scan,
+    selective_scan_sequential,
+)
+
+
+def _scan_inputs(b, L, d, n, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+    x = jax.random.normal(ks[0], (b, L, d))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (b, L, d)))
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n)))
+    B = jax.random.normal(ks[3], (b, L, n))
+    C = jax.random.normal(ks[4], (b, L, n))
+    D = jnp.ones((d,))
+    return x, dt, A, B, C, D
+
+
+def test_selective_scan_kernel_parity_interpret():
+    x, dt, A, B, C, D = _scan_inputs(2, 32, 128, 8)
+    assert ssp.supported(x, A)
+    with pltpu.force_tpu_interpret_mode():
+        y_pal = ssp.selective_scan_pallas(x, dt, A, B, C, D)
+    y_ref = selective_scan_sequential(x, dt, A, B, C, D)
+    np.testing.assert_allclose(y_pal, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_selective_scan_kernel_shape_gate():
+    x, dt, A, B, C, D = _scan_inputs(1, 16, 100, 8)  # 100 not lane-aligned
+    assert not ssp.supported(x, A)
+
+
+def test_selective_scan_grad_matches_sequential():
+    """custom_vjp backward (recompute path) vs autodiff of the sequential
+    reference."""
+    x, dt, A, B, C, D = _scan_inputs(1, 16, 4, 3)
+
+    def loss_disp(args):
+        return jnp.sum(selective_scan(*args) ** 2)
+
+    def loss_seq(args):
+        return jnp.sum(selective_scan_sequential(*args) ** 2)
+
+    args = (x, dt, A, B, C, D)
+    g_disp = jax.grad(loss_disp)(args)
+    g_seq = jax.grad(loss_seq)(args)
+    for a, b in zip(g_disp, g_seq):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+
+def test_flash_attention_kernel_parity_interpret():
+    from diffusion_models_collection_tpu.ops import flash_attention as fa
+
+    rng = jax.random.PRNGKey(0)
+    q, k, v = jax.random.normal(rng, (3, 2, 2, 256, 128))
+    with pltpu.force_tpu_interpret_mode():
+        out = fa.flash_attention(q, k, v)
+    assert out is not None
+    scale = 1.0 / np.sqrt(128)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    expected = jnp.einsum(
+        "bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v
+    )
+    np.testing.assert_allclose(out, expected, rtol=2e-2, atol=2e-3)
+
+
+def test_flash_attention_shape_gate():
+    from diffusion_models_collection_tpu.ops import flash_attention as fa
+
+    rng = jax.random.PRNGKey(0)
+    q, k, v = jax.random.normal(rng, (3, 1, 2, 64, 128))  # too short
+    assert fa.flash_attention(q, k, v) is None
