@@ -39,6 +39,7 @@ from . import checkpoint as ckpt_lib
 from .ema import ema_update
 from .helpers import count_parameters, resolve_image_size, save_image_grid
 from .lr_schedules import build_lr_schedule
+from .profiler import StepTimer, profile_trace
 from .tracker import NullTracker, Tracker, build_tracker
 
 
@@ -183,6 +184,9 @@ class DiffusionTrainer:
         else:
             self.tracker = NullTracker()
 
+        self.step_timer = StepTimer()
+        self.profile_dir = cfg.get("profile_dir")
+
     # ---------------------------------------------------------------- step
     def _build_train_step(self):
         schedule = self.diffusion.schedule
@@ -267,20 +271,21 @@ class DiffusionTrainer:
 
         losses = []
         for images, labels in self.train_loader:
-            batch = pmesh.local_batch_to_global(
-                self.mesh,
-                (
-                    np.asarray(images, dtype=np.float32),
-                    np.asarray(labels if labels is not None else
-                               np.zeros(len(images)), dtype=np.int32),
-                ),
-            )
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.state, loss = self._train_step(
-                self.state, batch[0], batch[1], step_rng
-            )
-            losses.append(loss)
-            self.global_step += 1
+            with self.step_timer.step():
+                batch = pmesh.local_batch_to_global(
+                    self.mesh,
+                    (
+                        np.asarray(images, dtype=np.float32),
+                        np.asarray(labels if labels is not None else
+                                   np.zeros(len(images)), dtype=np.int32),
+                    ),
+                )
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, loss = self._train_step(
+                    self.state, batch[0], batch[1], step_rng
+                )
+                losses.append(loss)
+                self.global_step += 1
 
         if not losses:
             return float("nan")
@@ -395,7 +400,12 @@ class DiffusionTrainer:
 
         for epoch in range(self.start_epoch, self.epochs + 1):
             start_time = time.time()
-            avg_loss = self.train_epoch(epoch)
+            # jax.profiler trace of the first post-resume epoch when
+            # config['profile_dir'] is set (SURVEY.md §5.1 rebuild)
+            with profile_trace(
+                self.profile_dir if epoch == self.start_epoch else None
+            ):
+                avg_loss = self.train_epoch(epoch)
             epoch_time = time.time() - start_time
 
             if self.is_main_process:
@@ -404,11 +414,17 @@ class DiffusionTrainer:
                     f"Epoch {epoch}/{self.epochs} - Loss: {avg_loss:.4f} - "
                     f"LR: {lr:.6f} - Time: {epoch_time:.2f}s"
                 )
+                timing = {
+                    f"train/step_{k}": v
+                    for k, v in self.step_timer.summary().items()
+                }
+                self.step_timer.reset()
                 self.tracker.log(
                     {
                         "train/loss": avg_loss,
                         "train/lr": lr,
                         "train/epoch_time": epoch_time,
+                        **timing,
                     },
                     step=epoch,
                 )

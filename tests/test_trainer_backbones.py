@@ -1,0 +1,87 @@
+"""Trainer e2e with the DiT and DiM backbones (tiny shapes, CPU): one
+epoch runs, loss finite, grads flow through adaLN/attention/selective-scan
+paths including the selective-scan custom_vjp."""
+
+import math
+
+import pytest
+
+from diffusion_models_collection_tpu.datasets import (
+    DataLoader,
+    DiffusionDataset,
+    ImageTransform,
+)
+from diffusion_models_collection_tpu.diffusion import DDPM
+from diffusion_models_collection_tpu.models import DiM, DiT
+from diffusion_models_collection_tpu.utils import DiffusionTrainer
+from diffusion_models_collection_tpu.utils.tracker import NullTracker
+
+SIZE = (8, 8)
+
+
+def make_trainer(tmp_path, model, conditional=True):
+    cfg = {
+        "model_type": "dit",
+        "model_params": {"in_channels": 3},
+        "image_size": SIZE,
+        "conditional": conditional,
+        "num_classes": 10 if conditional else None,
+        "num_timesteps": 10,
+        "beta_start": 1e-4,
+        "beta_end": 0.02,
+        "beta_schedule": "cosine",
+        "loss_type": "huber",
+        "epochs": 1,
+        "batch_size": 16,
+        "optimizer": "adam",
+        "learning_rate": 1e-3,
+        "weight_decay": 1e-4,
+        "gradient_accumulation_steps": 1,
+        "use_ema": True,
+        "ema_decay": 0.9,
+        "cfg_dropout_prob": 0.2,
+        "use_scheduler": False,
+        "save_dir": str(tmp_path / "ckpt"),
+        "sample_dir": str(tmp_path / "samples"),
+        "sample_interval": 100,
+        "sample_start_epoch": 100,
+        "seed": 0,
+        "use_swanlab": False,
+    }
+    ds = DiffusionDataset(
+        "synthetic", conditional=conditional,
+        transform=ImageTransform(SIZE, train=True), image_size=SIZE,
+        n_train=32,
+    )
+    loader = DataLoader(ds, batch_size=16, seed=0, prefetch=0)
+    diffusion = DDPM(10, beta_schedule="cosine")
+    return DiffusionTrainer(model, diffusion, loader, config=cfg,
+                            tracker=NullTracker())
+
+
+def test_dit_trains(tmp_path):
+    model = DiT(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+                depth=2, num_heads=4, num_classes=10)
+    trainer = make_trainer(tmp_path, model)
+    losses = [trainer.train_epoch(e) for e in range(1, 4)]
+    assert all(math.isfinite(l) for l in losses)
+    assert min(losses[1:]) < losses[0]
+
+
+def test_dim_trains(tmp_path):
+    model = DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+                depth=2, state_size=4, num_classes=10)
+    trainer = make_trainer(tmp_path, model)
+    losses = [trainer.train_epoch(e) for e in range(1, 4)]
+    assert all(math.isfinite(l) for l in losses)
+    assert min(losses[1:]) < losses[0]
+
+
+def test_dim_attention_fallback_trains(tmp_path):
+    """The reference's attention-fallback variant (dim.py:111-117) exists
+    behind a flag for parity experiments."""
+    model = DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+                depth=1, num_classes=10, use_attention_fallback=True)
+    trainer = make_trainer(tmp_path, model)
+    loss = trainer.train_epoch(1)
+    assert math.isfinite(loss)
