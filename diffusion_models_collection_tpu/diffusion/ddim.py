@@ -73,6 +73,7 @@ def _sample_impl(
     y: Optional[jnp.ndarray],
     timesteps: jnp.ndarray,
     cfg_scale: jnp.ndarray,
+    init_noise: Optional[jnp.ndarray] = None,
     *,
     eta: float,
     use_cfg: bool,
@@ -83,7 +84,11 @@ def _sample_impl(
     """DDIM trajectory as a single scan (parity: ddim.py:210-346)."""
     batch = shape[0]
     rng, init_rng = jax.random.split(rng)
-    img = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    img = (
+        init_noise
+        if init_noise is not None
+        else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    )
 
     t_next_seq = jnp.concatenate(
         [timesteps[1:], jnp.full((1,), -1, dtype=timesteps.dtype)]
@@ -174,7 +179,8 @@ class DDIM:
         return ddim_step(self.schedule, x, t, t_next, eps, x0_pred, self.eta, noise)
 
     # -- whole-trajectory samplers --------------------------------------------
-    def sample(self, model_fn, shape, rng, y=None, return_all_timesteps=False):
+    def sample(self, model_fn, shape, rng, y=None, return_all_timesteps=False,
+               init_noise=None):
         return _sample_impl(
             self.schedule,
             base.as_pytree_fn(model_fn),
@@ -183,6 +189,7 @@ class DDIM:
             y,
             self.inference_timesteps,
             jnp.float32(0.0),
+            init_noise,
             eta=self.eta,
             use_cfg=False,
             p_threshold=None,
@@ -199,6 +206,7 @@ class DDIM:
         cfg_scale: float = 3.0,
         p_threshold: Optional[float] = 0.995,
         return_all_timesteps: bool = False,
+        init_noise=None,
     ):
         if y is None:
             raise ValueError("CFG sampling requires class labels y.")
@@ -212,6 +220,7 @@ class DDIM:
             jnp.asarray(y),
             self.inference_timesteps,
             jnp.float32(cfg_scale),
+            init_noise,
             eta=self.eta,
             use_cfg=True,
             p_threshold=p_threshold,

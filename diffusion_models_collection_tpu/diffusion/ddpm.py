@@ -51,15 +51,25 @@ def _sample_impl(
     shape: Sequence[int],
     rng: jax.Array,
     y: Optional[jnp.ndarray],
+    init_noise: Optional[jnp.ndarray] = None,
     *,
     return_all_timesteps: bool,
     clip_denoised: bool = True,
 ):
-    """Unconditional/conditional ancestral sampling (parity: ddpm.py:222-252)."""
+    """Unconditional/conditional ancestral sampling (parity: ddpm.py:222-252).
+
+    `init_noise` optionally injects the starting x_T — the cross-framework
+    golden-test hook (SURVEY.md §7: PyTorch and JAX RNG streams differ
+    irreducibly, so parity tests feed identical noise from a file).
+    """
     num_timesteps = schedule.betas.shape[0]
     batch = shape[0]
     rng, init_rng = jax.random.split(rng)
-    img = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    img = (
+        init_noise
+        if init_noise is not None
+        else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    )
 
     def step(carry, i):
         img = carry
@@ -88,6 +98,7 @@ def _sample_cfg_impl(
     rng: jax.Array,
     y: jnp.ndarray,
     cfg_scale: jnp.ndarray,
+    init_noise: Optional[jnp.ndarray] = None,
     *,
     p_threshold: Optional[float],
     return_all_timesteps: bool,
@@ -96,7 +107,11 @@ def _sample_cfg_impl(
     num_timesteps = schedule.betas.shape[0]
     batch = shape[0]
     rng, init_rng = jax.random.split(rng)
-    img = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    img = (
+        init_noise
+        if init_noise is not None
+        else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    )
 
     def step(carry, i):
         img = carry
@@ -156,7 +171,8 @@ class DDPM:
         return posterior_step(self.schedule, x, t, x0_pred, noise)
 
     # -- whole-trajectory samplers ------------------------------------------
-    def sample(self, model_fn, shape, rng, y=None, return_all_timesteps=False):
+    def sample(self, model_fn, shape, rng, y=None, return_all_timesteps=False,
+               init_noise=None):
         """Generate samples; one jit-compiled scan over all T steps."""
         return _sample_impl(
             self.schedule,
@@ -164,6 +180,7 @@ class DDPM:
             tuple(shape),
             rng,
             y,
+            init_noise,
             return_all_timesteps=return_all_timesteps,
         )
 
@@ -176,6 +193,7 @@ class DDPM:
         cfg_scale: float = 3.0,
         p_threshold: Optional[float] = 0.995,
         return_all_timesteps: bool = False,
+        init_noise=None,
     ):
         """CFG sampling (parity: ddpm.py:254-332). `cfg_scale` is dynamic —
         changing it does not retrigger compilation."""
@@ -190,6 +208,7 @@ class DDPM:
             rng,
             jnp.asarray(y),
             jnp.float32(cfg_scale),
+            init_noise,
             p_threshold=p_threshold,
             return_all_timesteps=return_all_timesteps,
         )
