@@ -351,6 +351,7 @@ class DiffusionTrainer:
                 best_loss=self.best_loss,
                 config=self.config,
                 ema_params=self.state.ema_params,
+                extra={"global_step": self.global_step},
             )
 
         write(self.save_dir / "current_model.ckpt")
@@ -376,6 +377,7 @@ class DiffusionTrainer:
         self.state = pmesh.replicate(self.mesh, state)
         self.start_epoch = payload.get("epoch", 0) + 1
         self.best_loss = payload.get("best_loss", float("inf"))
+        self.global_step = payload.get("global_step", 0)
         print(f"Resuming training from epoch {self.start_epoch}")
         if self.start_epoch > self.epochs:
             extend = self.config.get("epochs", 100)
