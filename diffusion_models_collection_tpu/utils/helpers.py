@@ -51,6 +51,18 @@ def count_parameters(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
 
 
+def get_device(device_id: int = None):
+    """Return a jax device (parity: reference helpers.py:42-46).
+
+    Placement is normally implicit via sharding/jit; this exists for API
+    parity and for explicit `jax.device_put` calls.
+    """
+    devices = jax.devices()
+    if device_id is not None:
+        return devices[device_id]
+    return devices[0]
+
+
 def load_config(config_path: Union[str, Path]) -> dict:
     """Load a config dict from a `.py` module (parity: helpers.py:57-70)
     or, as an extension, a `.json` file."""

@@ -24,3 +24,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compilation cache: identical train-step/sampler HLO across
+# tests (and across runs) compiles once.
+jax.config.update("jax_compilation_cache_dir", "/tmp/dmc_tpu_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -15,6 +15,8 @@ ENV = {
     **os.environ,
     "JAX_PLATFORMS": "cpu",
     "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    "JAX_COMPILATION_CACHE_DIR": "/tmp/dmc_tpu_test_cache",
+    "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.5",
 }
 
 
