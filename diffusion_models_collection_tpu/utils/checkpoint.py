@@ -37,6 +37,7 @@ def save_checkpoint(
     config: dict,
     ema_params=None,
     extra: Optional[Dict[str, Any]] = None,
+    format: str = "pickle",
 ) -> None:
     payload = {
         "epoch": int(epoch),
@@ -49,6 +50,9 @@ def save_checkpoint(
         payload["ema_model_state_dict"] = _to_host(ema_params)
     if extra:
         payload.update(extra)
+    if format == "orbax":
+        _save_orbax(Path(path), payload)
+        return
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(path.suffix + ".tmp")
@@ -58,5 +62,49 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
-    with Path(path).open("rb") as f:
+    """Load either format: a pickle file or an orbax directory."""
+    path = Path(path)
+    if path.is_dir():
+        return _load_orbax(path)
+    with path.open("rb") as f:
         return pickle.load(f)
+
+
+# --- orbax backend (config 'checkpoint_format': 'orbax') --------------------
+# Directory layout: <path>/arrays (orbax PyTree of model/ema params) and
+# <path>/meta.pkl (epoch/best_loss/config/optimizer state). Array state
+# goes through orbax (the idiomatic sharded-TPU checkpoint path); the
+# optimizer pytree keeps pickle because optax states mix namedtuples in
+# ways orbax's strict tree restore handles poorly without type metadata.
+
+def _save_orbax(path: Path, payload: Dict[str, Any]) -> None:
+    import orbax.checkpoint as ocp
+
+    path = path.with_suffix("")  # directory, drop .ckpt
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {"model_state_dict": payload["model_state_dict"]}
+    if "ema_model_state_dict" in payload:
+        arrays["ema_model_state_dict"] = payload["ema_model_state_dict"]
+    ckptr = ocp.StandardCheckpointer()
+    arrays_dir = path / "arrays"
+    if arrays_dir.exists():
+        import shutil
+
+        shutil.rmtree(arrays_dir)
+    ckptr.save(arrays_dir.resolve(), arrays)
+    ckptr.wait_until_finished()
+    meta = {k: v for k, v in payload.items()
+            if k not in ("model_state_dict", "ema_model_state_dict")}
+    with (path / "meta.pkl").open("wb") as f:
+        pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def _load_orbax(path: Path) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    arrays = ckptr.restore((path / "arrays").resolve())
+    with (path / "meta.pkl").open("rb") as f:
+        payload = pickle.load(f)
+    payload.update(arrays)
+    return payload

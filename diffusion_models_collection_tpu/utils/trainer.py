@@ -352,6 +352,7 @@ class DiffusionTrainer:
                 config=self.config,
                 ema_params=self.state.ema_params,
                 extra={"global_step": self.global_step},
+                format=self.config.get("checkpoint_format", "pickle"),
             )
 
         write(self.save_dir / "current_model.ckpt")

@@ -1,0 +1,124 @@
+"""Helpers, config IO, tracker, profiler units."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from diffusion_models_collection_tpu.utils import (
+    count_parameters,
+    create_gif,
+    format_duration,
+    load_config,
+    make_grid,
+    normalize_to_neg_one_to_one,
+    resolve_image_size,
+    save_config,
+    save_image_grid,
+    unnormalize_to_zero_to_one,
+)
+from diffusion_models_collection_tpu.utils.profiler import StepTimer
+from diffusion_models_collection_tpu.utils.tracker import JsonlTracker
+
+
+def test_resolve_image_size():
+    assert resolve_image_size(32) == (32, 32)
+    assert resolve_image_size((16, 24)) == (16, 24)
+    assert resolve_image_size([8, 8]) == (8, 8)
+    with pytest.raises(ValueError):
+        resolve_image_size((1, 2, 3))
+    with pytest.raises(ValueError):
+        resolve_image_size((1.5, 2))
+
+
+def test_normalize_roundtrip():
+    x = np.linspace(0, 1, 11)
+    np.testing.assert_allclose(
+        unnormalize_to_zero_to_one(normalize_to_neg_one_to_one(x)), x
+    )
+
+
+def test_count_parameters():
+    tree = {"a": np.zeros((3, 4)), "b": {"c": np.zeros(5)}}
+    assert count_parameters(tree) == 17
+
+
+def test_load_config_py(tmp_path):
+    p = tmp_path / "cfg.py"
+    p.write_text("config = {'a': 1, 'nested': {'b': [1, 2]}}\n")
+    cfg = load_config(p)
+    assert cfg == {"a": 1, "nested": {"b": [1, 2]}}
+
+
+def test_load_config_json_and_save(tmp_path):
+    p = tmp_path / "cfg.json"
+    save_config({"x": 2, "size": (3, 4)}, p)
+    cfg = load_config(p)
+    assert cfg["x"] == 2
+
+
+def test_make_grid_layout():
+    imgs = np.ones((4, 2, 2, 3), dtype=np.float32)
+    grid = make_grid(imgs, nrow=2, padding=1)
+    # 2 rows x 2 cols of 2x2 with 1px padding: 2*2+3 = 7
+    assert grid.shape == (7, 7, 3)
+
+
+def test_save_image_grid_and_gif(tmp_path):
+    imgs = np.random.default_rng(0).random((4, 8, 8, 1)).astype(np.float32)
+    out = tmp_path / "grid.png"
+    save_image_grid(imgs, out, nrow=2)
+    assert out.exists()
+    gif = tmp_path / "anim.gif"
+    frames = [np.random.default_rng(i).random((8, 8, 3)) for i in range(3)]
+    create_gif(frames, gif, fps=5)
+    assert gif.exists()
+
+
+def test_format_duration():
+    assert format_duration(3725.5) == "1h 2m 5.5s"
+
+
+def test_jsonl_tracker(tmp_path):
+    tr = JsonlTracker(str(tmp_path), "exp")
+    tr.log({"loss": 0.5}, step=1)
+    tr.log_image("samples", "/tmp/x.png", step=2)
+    lines = (tmp_path / "exp.metrics.jsonl").read_text().strip().split("\n")
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["loss"] == 0.5 and rec["step"] == 1
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(3):
+        with t.step():
+            pass
+    s = t.summary()
+    assert s["steps"] == 3
+    assert s["total_s"] >= 0
+    t.reset()
+    assert t.summary() == {}
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    params = {"dense": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    save_checkpoint(
+        tmp_path / "model.ckpt", epoch=3, params=params,
+        opt_state={"count": np.int32(5)}, best_loss=0.25, config={"a": 1},
+        ema_params=params, format="orbax",
+    )
+    payload = load_checkpoint(tmp_path / "model")
+    assert payload["epoch"] == 3
+    assert payload["config"] == {"a": 1}
+    np.testing.assert_allclose(
+        payload["model_state_dict"]["dense"]["kernel"],
+        params["dense"]["kernel"],
+    )
+    assert "ema_model_state_dict" in payload
