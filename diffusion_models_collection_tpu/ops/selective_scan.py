@@ -135,17 +135,120 @@ def _core_fwd(x, dt, A, B, C):
     return _selective_scan_core(x, dt, A, B, C), (x, dt, A, B, C)
 
 
+def _bwd_chunk_size(batch, d_inner, n_state,
+                    budget_bytes: int = 192 * 1024 * 1024) -> int:
+    """Chunk K bounding the (K, B, D, N) recomputed-state stack."""
+    per_step = batch * d_inner * n_state * 4
+    return max(4, min(64, budget_bytes // per_step))
+
+
 def _core_bwd(residuals, g):
-    """Recompute-based backward through the chunked XLA path: the scan is
-    cheap to recompute and this bounds training memory to the chunk size
-    regardless of which forward kernel ran."""
+    """Explicit analytic backward (recompute with boundary checkpoints).
+
+    For the recurrence h_t = a_t h_{t-1} + b_t, y_t = C_t . h_t with
+    a = exp(dt*A), b = dt*B*x, the adjoint gamma_t = dL/dh_t satisfies the
+    REVERSE affine recurrence gamma_t = C_t ybar_t + a_{t+1} gamma_{t+1};
+    all parameter gradients are elementwise functions of (gamma, h_{t-1},
+    a, inputs). We checkpoint h at chunk boundaries in one forward sweep,
+    then walk chunks in reverse, recomputing h inside each chunk — peak
+    memory is one (K, B, D, N) stack instead of (B, L, D, N).
+
+    Written with plain lax.scan + explicit formulas: differentiating
+    XLA's associative_scan combinator network (the jax.vjp route) blows up
+    TPU compilation at production sizes.
+    """
     x, dt, A, B, C = residuals
-    chunk = _auto_chunk(x.shape[0], x.shape[1], x.shape[2], A.shape[1])
-    _, vjp_fn = jax.vjp(
-        lambda *args: selective_scan_xla(*args, None, chunk_size=chunk),
-        x, dt, A, B, C,
+    batch, length, d_inner = x.shape
+    n_state = A.shape[1]
+    K = _bwd_chunk_size(batch, d_inner, n_state)
+    while length % K:
+        K -= 1
+    n_chunks = length // K
+
+    def split_chunks(arr):  # (B, L, ...) -> (n_chunks, K, B, ...)
+        return (
+            arr.reshape(batch, n_chunks, K, *arr.shape[2:])
+            .swapaxes(0, 1)
+            .swapaxes(1, 2)
+        )
+
+    dt_c = split_chunks(dt)      # (nc, K, B, D)
+    x_c = split_chunks(x)
+    B_c = split_chunks(B)        # (nc, K, B, N)
+    C_c = split_chunks(C)
+    g_c = split_chunks(g)        # (nc, K, B, D)
+
+    def step_fwd(h, inputs):
+        dt_t, x_t, b_t = inputs  # (B,D), (B,D), (B,N)
+        a_t = jnp.exp(dt_t[:, :, None] * A[None])          # (B,D,N)
+        h_new = a_t * h + (dt_t * x_t)[:, :, None] * b_t[:, None, :]
+        return h_new, None
+
+    # ---- pass 1: boundary states h at the START of each chunk ----------
+    def chunk_fwd(h, inputs):
+        h_end, _ = jax.lax.scan(step_fwd, h, inputs)
+        return h_end, h  # emit the state entering this chunk
+
+    h0 = jnp.zeros((batch, d_inner, n_state), x.dtype)
+    _, h_starts = jax.lax.scan(chunk_fwd, h0, (dt_c, x_c, B_c))
+
+    # ---- pass 2: reverse over chunks ------------------------------------
+    def chunk_bwd(carry, inputs):
+        phi, dA_acc = carry  # phi = a_{t+1} gamma_{t+1} entering from later
+        dt_k, x_k, b_k, c_k, g_k, h_start = inputs
+
+        # recompute h_{t-1} for every step of the chunk (ascending)
+        def step_hprev(h, ins):
+            h_new, _ = step_fwd(h, ins)
+            return h_new, h  # emit h BEFORE this step
+
+        _, h_prev_k = jax.lax.scan(step_hprev, h_start, (dt_k, x_k, b_k))
+
+        # reverse sweep within the chunk
+        def step_rev(phi, ins):
+            dt_t, x_t, b_t, c_t, g_t, h_prev = ins
+            a_t = jnp.exp(dt_t[:, :, None] * A[None])
+            gamma = g_t[:, :, None] * c_t[:, None, :] + phi     # (B,D,N)
+            h_t = a_t * h_prev + (dt_t * x_t)[:, :, None] * b_t[:, None, :]
+            da = gamma * h_prev
+            dC_t = jnp.einsum("bd,bdn->bn", g_t, h_t)
+            gB = jnp.einsum("bdn,bn->bd", gamma, b_t)            # sum_n γB
+            ddt_t = jnp.einsum("bdn,dn->bd", da * a_t, A) + gB * x_t
+            dx_t = gB * dt_t
+            dB_t = jnp.einsum("bdn,bd->bn", gamma, dt_t * x_t)
+            dA_t = jnp.einsum("bdn,bd->dn", da * a_t, dt_t)
+            return a_t * gamma, (dx_t, ddt_t, dB_t, dC_t, dA_t)
+
+        phi, outs = jax.lax.scan(
+            step_rev, phi,
+            (dt_k, x_k, b_k, c_k, g_k, h_prev_k),
+            reverse=True,
+        )
+        dx_k, ddt_k, dB_k, dC_k, dA_k = outs
+        return (phi, dA_acc + dA_k.sum(0)), (dx_k, ddt_k, dB_k, dC_k)
+
+    phi0 = jnp.zeros((batch, d_inner, n_state), x.dtype)
+    dA0 = jnp.zeros_like(A)
+    (_, dA), (dx_c, ddt_c, dB_c, dC_c) = jax.lax.scan(
+        chunk_bwd, (phi0, dA0),
+        (dt_c, x_c, B_c, C_c, g_c, h_starts),
+        reverse=True,
     )
-    return vjp_fn(g)
+
+    def merge_chunks(arr):  # (nc, K, B, ...) -> (B, L, ...)
+        return (
+            arr.swapaxes(1, 2)
+            .swapaxes(0, 1)
+            .reshape(batch, length, *arr.shape[3:])
+        )
+
+    return (
+        merge_chunks(dx_c),
+        merge_chunks(ddt_c),
+        dA,
+        merge_chunks(dB_c),
+        merge_chunks(dC_c),
+    )
 
 
 _selective_scan_core.defvjp(_core_fwd, _core_bwd)
