@@ -22,9 +22,26 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import multihead_attention
+from ..ops import group_norm_silu, multihead_attention
 from . import initializers as init
 from .layers import LabelEmbedder, UNetTimeEmbed
+
+
+class FusedGroupNormSiLU(nn.Module):
+    """GroupNorm(8)+SiLU as one dispatchable op (Pallas kernel on TPU).
+
+    Owns the same scale/bias params as nn.GroupNorm; numerics identical
+    (eps 1e-5) — see ops/fused_norm.py.
+    """
+
+    num_groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm_silu(x, scale, bias, self.num_groups)
 
 
 def _conv3(features: int, in_ch: int, strides: int = 1) -> nn.Conv:
@@ -58,8 +75,7 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, t_emb, y_emb=None, train: bool = False):
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=8, epsilon=1e-5)(x)
-        h = nn.silu(h)
+        h = FusedGroupNormSiLU()(x)
         h = _conv3(self.out_channels, in_ch)(h)
 
         t_dim = t_emb.shape[-1]
@@ -76,8 +92,7 @@ class ResidualBlock(nn.Module):
                 kernel_init=init.torch_default_kernel,
             )(nn.silu(y_emb))[:, None, None, :]
 
-        h = nn.GroupNorm(num_groups=8, epsilon=1e-5)(h)
-        h = nn.silu(h)
+        h = FusedGroupNormSiLU()(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = _conv3(self.out_channels, self.out_channels)(h)
 
@@ -197,6 +212,5 @@ class UNet(nn.Module):
                     resolution[1] *= 2
 
         # Output head (parity: unet.py:237-241)
-        h = nn.GroupNorm(num_groups=8, epsilon=1e-5)(h)
-        h = nn.silu(h)
+        h = FusedGroupNormSiLU()(h)
         return _conv3(self.out_channels, h.shape[-1])(h)

@@ -7,6 +7,7 @@ kernel has a parity test against its fallback (SURVEY.md §7.8).
 """
 
 from .attention import dot_product_attention, multihead_attention
+from .fused_norm import group_norm_silu
 from .selective_scan import selective_scan
 from .dispatch import use_pallas, pallas_enabled
 
@@ -14,6 +15,7 @@ __all__ = [
     "dot_product_attention",
     "multihead_attention",
     "selective_scan",
+    "group_norm_silu",
     "use_pallas",
     "pallas_enabled",
 ]

@@ -79,3 +79,47 @@ def test_flash_attention_shape_gate():
     rng = jax.random.PRNGKey(0)
     q, k, v = jax.random.normal(rng, (3, 1, 2, 64, 128))  # too short
     assert fa.flash_attention(q, k, v) is None
+
+
+def test_fused_group_norm_silu_parity():
+    """Pallas GN+SiLU vs XLA reference vs flax GroupNorm (interpret mode)."""
+    from flax import linen as nn
+
+    from diffusion_models_collection_tpu.ops.fused_norm import (
+        _gn_silu_pallas,
+        group_norm_silu_xla,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
+    scale = jax.random.normal(jax.random.PRNGKey(1), (128,)) * 0.1 + 1
+    bias = jax.random.normal(jax.random.PRNGKey(2), (128,)) * 0.1
+    gn = nn.GroupNorm(num_groups=8, epsilon=1e-5)
+    ref = nn.silu(gn.apply({"params": {"scale": scale, "bias": bias}}, x))
+    ours = group_norm_silu_xla(x, scale, bias, 8)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        pal = _gn_silu_pallas(x.reshape(2, 64, 128), scale, bias, 8)
+    np.testing.assert_allclose(
+        pal.reshape(2, 8, 8, 128), ours, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fused_group_norm_silu_grad():
+    """custom_vjp backward matches autodiff of the XLA reference."""
+    from diffusion_models_collection_tpu.ops.fused_norm import (
+        group_norm_silu,
+        group_norm_silu_xla,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 16))
+    scale = jnp.ones((16,)) * 1.1
+    bias = jnp.zeros((16,)) + 0.1
+
+    g1 = jax.grad(lambda *a: jnp.sum(group_norm_silu(*a, 8) ** 2), (0, 1, 2))(
+        x, scale, bias
+    )
+    g2 = jax.grad(
+        lambda *a: jnp.sum(group_norm_silu_xla(*a, 8) ** 2), (0, 1, 2)
+    )(x, scale, bias)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
