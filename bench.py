@@ -65,23 +65,32 @@ def main():
     shape = (NUM_IMAGES, 32, 32, 3)
     labels = jnp.asarray((jnp.arange(NUM_IMAGES) % 10) + 1, jnp.int32)
 
+    import numpy as np
+
     def run(seed):
         out = diffusion.sample_with_cfg(
             model_fn, shape, labels, jax.random.PRNGKey(seed),
             cfg_scale=CFG_SCALE,
         )
-        jax.block_until_ready(out)
-        return out
+        # Force a host transfer: under the remote TPU runtime,
+        # block_until_ready alone has been observed to return early;
+        # materializing a slice guarantees the trajectory completed.
+        return np.asarray(out[:1])
 
     run(0)  # warmup/compile
     times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         run(i + 1)
         times.append(time.perf_counter() - t0)
-
-    best = min(times)
-    sps = NUM_IMAGES / best
+    times.sort()
+    median = times[len(times) // 2]
+    # sanity floor: one model forward can't beat 1 ms at this size — a
+    # sub-10ms trajectory reading means the runtime lied; use the slowest
+    # measurement in that case.
+    if median < 0.05:
+        median = times[-1]
+    sps = NUM_IMAGES / median
     print(
         json.dumps(
             {

@@ -95,9 +95,25 @@ def _pallas_supported(x: jnp.ndarray, num_groups: int) -> bool:
     return h * w * c * 4 * 4 <= 12 * 1024 * 1024
 
 
+# Measured end-to-end VERDICT (v5e, CIFAR UNet DDIM-50 CFG bench): the
+# Pallas kernel wins its microbenchmark (e.g. 1.38 -> 0.95 ms at
+# 160x32x32x128) but LOSES end-to-end (62.8 -> 43.2 samples/s): a
+# pallas_call is an optimization barrier, and XLA was already fusing the
+# GN+SiLU chain into the adjacent convolution fusions. The kernel is kept
+# behind an explicit opt-in (DMC_TPU_FUSED_GN_PALLAS=1) with parity tests;
+# the default path lets XLA fuse.
+import os
+
+_FORCE_PALLAS_ENV = "DMC_TPU_FUSED_GN_PALLAS"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _group_norm_silu_core(x, scale, bias, num_groups):
-    if dispatch.pallas_enabled() and _pallas_supported(x, num_groups):
+    if (
+        os.environ.get(_FORCE_PALLAS_ENV, "0") == "1"
+        and dispatch.pallas_enabled()
+        and _pallas_supported(x, num_groups)
+    ):
         b, h, w, c = x.shape
         out = _gn_silu_pallas(
             x.reshape(b, h * w, c), scale, bias, num_groups
