@@ -73,6 +73,72 @@ def _scan_kernel(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref):
     jax.lax.fori_loop(0, length, step, ())
 
 
+def _scan_kernel_blocked(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref,
+                         *, t_block: int):
+    """Time-blocked variant: per outer iteration, the input-dependent
+    decay/drive for T_BLOCK steps are computed as ONE batched elementwise
+    exp and ONE batched K=1 dot_general (amortizing per-step op overhead
+    ~T_BLOCK x); only the h update itself stays serial, unrolled
+    statically so all indexing is compile-time."""
+    length = dt_ref.shape[1]
+    h_ref[...] = jnp.zeros_like(h_ref)
+    A = a_ref[...]  # (N, D)
+    n_blocks = length // t_block
+
+    def outer(k, _):
+        t0 = k * t_block
+        dt_c = dt_ref[0, pl.ds(t0, t_block), :]  # (T, D)
+        u_c = u_ref[0, pl.ds(t0, t_block), :]  # (T, D)
+        b_c = b_ref[0, pl.ds(t0, t_block), :]  # (T, N)
+        c_c = c_ref[0, pl.ds(t0, t_block), :]  # (T, N)
+        decay_c = jnp.exp(dt_c[:, None, :] * A[None])  # (T, N, D)
+        outer_c = jax.lax.dot_general(  # batched outer product (T, N, D)
+            b_c[:, None, :], u_c[:, None, :],
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        h = h_ref[...]
+        hs = []
+        for t in range(t_block):  # static unroll — serial recurrence only
+            h = decay_c[t] * h + outer_c[t]
+            hs.append(h)
+        h_ref[...] = h
+        h_all = jnp.stack(hs, axis=0)  # (T, N, D)
+        y_c = jax.lax.dot_general(  # batched (1,N)x(N,D) contractions
+            c_c[:, None, :], h_all,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (T, 1, D)
+        y_ref[0, pl.ds(t0, t_block), :] = y_c[:, 0, :].astype(y_ref.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, n_blocks, outer, ())
+
+
+_T_BLOCK = 16  # swept on v5e: 8 -> 13.7 ms, 16 -> 12.8 ms, 32 -> 12.9 ms
+               # (vs 23.7 ms unblocked) at (160, 256, 768, 16)
+
+
+@jax.jit
+def _scan_pallas_call_blocked(dt, u, B, C, A):
+    batch, length, d_inner = dt.shape
+    n_state = A.shape[0]
+    grid = (batch,)
+    ldd = pl.BlockSpec((1, length, d_inner), lambda i: (i, 0, 0))
+    lnn = pl.BlockSpec((1, length, n_state), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_scan_kernel_blocked, t_block=_T_BLOCK),
+        out_shape=jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
+        grid=grid,
+        in_specs=[ldd, ldd, lnn, lnn,
+                  pl.BlockSpec((n_state, d_inner), lambda i: (0, 0))],
+        out_specs=ldd,
+        scratch_shapes=[pltpu.VMEM((n_state, d_inner), jnp.float32)],
+    )(dt, u, B, C, A)
+
+
 @jax.jit
 def _scan_pallas_call(dt, u, B, C, A):
     batch, length, d_inner = dt.shape
@@ -106,7 +172,10 @@ def selective_scan_pallas(x, dt, A, B, C, D=None):
     """
     u = dt * x
     At = A.T  # (n, d_inner)
-    y = _scan_pallas_call(dt, u, B, C, At)
+    if x.shape[1] % _T_BLOCK == 0:
+        y = _scan_pallas_call_blocked(dt, u, B, C, At)
+    else:
+        y = _scan_pallas_call(dt, u, B, C, At)
     if D is not None:
         y = y + x * D[None, None, :]
     return y
