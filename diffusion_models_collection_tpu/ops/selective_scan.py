@@ -155,9 +155,18 @@ def _core_bwd(residuals, g):
 
     Written with plain lax.scan + explicit formulas: differentiating
     XLA's associative_scan combinator network (the jax.vjp route) blows up
-    TPU compilation at production sizes.
+    TPU compilation at production sizes. On TPU the same math runs as a
+    Pallas kernel (ops/selective_scan_pallas.py:_scan_bwd_kernel) with the
+    boundary checkpoints resident in VMEM.
     """
     x, dt, A, B, C = residuals
+    from . import dispatch
+
+    if dispatch.pallas_enabled():
+        from . import selective_scan_pallas as ssp
+
+        if ssp.supported(x, A) and x.shape[1] % ssp._T_BLOCK == 0:
+            return ssp.selective_scan_bwd_pallas(x, dt, A, B, C, g)
     batch, length, d_inner = x.shape
     n_state = A.shape[1]
     K = _bwd_chunk_size(batch, d_inner, n_state)

@@ -157,6 +157,169 @@ def _scan_pallas_call(dt, u, B, C, A):
     )(dt, u, B, C, A)
 
 
+def _scan_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
+                     dx_ref, ddt_ref, db_ref, dc_ref, da_ref,
+                     h_ref, bound_ref, *, t_block: int):
+    """Backward pass for the selective scan, one batch element per program.
+
+    Math (see ops/selective_scan.py:_core_bwd): the adjoint
+    gamma_t = dL/dh_t obeys the REVERSE affine recurrence
+    gamma_t = C_t ybar_t + a_{t+1} gamma_{t+1}. Phase 1 sweeps forward
+    storing h at t_block boundaries in VMEM; phase 2 sweeps blocks in
+    reverse, recomputing h inside the block (static unroll) and emitting
+    all gradients. Every contraction is a (1,*)x(*,D) dot_general — no
+    transposes, no lane-strided access.
+
+    Refs: dt/x/g (1, L, D); b/c (1, L, N); a (N, D) [=A^T];
+    outs dx/ddt (1, L, D); db/dc (1, L, N); da (1, N, D) partial;
+    scratch h (N, D), bound (L/t_block, N, D).
+    """
+    length = dt_ref.shape[1]
+    n_blocks = length // t_block
+    A = a_ref[...]  # (N, D)
+
+    # ---- phase 1: forward, store block-boundary states -----------------
+    h_ref[...] = jnp.zeros_like(h_ref)
+
+    def fwd_block(k, _):
+        bound_ref[k] = h_ref[...]
+        t0 = k * t_block
+        dt_c = dt_ref[0, pl.ds(t0, t_block), :]
+        x_c = x_ref[0, pl.ds(t0, t_block), :]
+        b_c = b_ref[0, pl.ds(t0, t_block), :]
+        decay_c = jnp.exp(dt_c[:, None, :] * A[None])
+        u_c = dt_c * x_c
+        outer_c = jax.lax.dot_general(
+            b_c[:, None, :], u_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        h = h_ref[...]
+        for t in range(t_block):
+            h = decay_c[t] * h + outer_c[t]
+        h_ref[...] = h
+        return ()
+
+    jax.lax.fori_loop(0, n_blocks, fwd_block, ())
+
+    # ---- phase 2: reverse over blocks, gamma carried as phi ------------
+    h_ref[...] = jnp.zeros_like(h_ref)  # reuse as phi = a_{t+1} gamma_{t+1}
+
+    def bwd_block(i, _):
+        k = n_blocks - 1 - i
+        t0 = k * t_block
+        dt_c = dt_ref[0, pl.ds(t0, t_block), :]
+        x_c = x_ref[0, pl.ds(t0, t_block), :]
+        b_c = b_ref[0, pl.ds(t0, t_block), :]
+        c_c = c_ref[0, pl.ds(t0, t_block), :]
+        g_c = g_ref[0, pl.ds(t0, t_block), :]
+        decay_c = jnp.exp(dt_c[:, None, :] * A[None])
+        u_c = dt_c * x_c
+        outer_c = jax.lax.dot_general(
+            b_c[:, None, :], u_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        w_c = jax.lax.dot_general(  # (T, N, D) = C_t (x) ybar_t
+            c_c[:, None, :], g_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        # recompute h (and h_prev) within the block, ascending
+        h = bound_ref[k]
+        h_prevs = []
+        hs = []
+        for t in range(t_block):
+            h_prevs.append(h)
+            h = decay_c[t] * h + outer_c[t]
+            hs.append(h)
+
+        # reverse unrolled sweep
+        phi = h_ref[...]
+        dx_rows, ddt_rows, db_rows, dc_rows = [], [], [], []
+        da_acc = jnp.zeros_like(A)
+        for t in range(t_block - 1, -1, -1):
+            gamma = w_c[t] + phi  # (N, D)
+            da = gamma * h_prevs[t]
+            gB = jax.lax.dot_general(  # (1, D): sum_n gamma * B_n
+                b_c[t : t + 1, :], gamma, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            dt_t = dt_ref[0, pl.ds(t0 + t, 1), :]
+            x_t = x_ref[0, pl.ds(t0 + t, 1), :]
+            ddt_rows.append(
+                jnp.sum(da * decay_c[t] * A, axis=0, keepdims=True)
+                + gB * x_t
+            )
+            dx_rows.append(gB * dt_t)
+            u_t = dt_t * x_t
+            db_rows.append(
+                jax.lax.dot_general(  # (1, N)
+                    u_t, gamma, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+            dc_rows.append(
+                jax.lax.dot_general(  # (1, N)
+                    g_c[t : t + 1, :], hs[t], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+            da_acc = da_acc + da * decay_c[t] * dt_t
+            phi = decay_c[t] * gamma
+        h_ref[...] = phi
+
+        # rows were built t descending; reverse to ascending and write
+        dx_ref[0, pl.ds(t0, t_block), :] = jnp.concatenate(dx_rows[::-1], 0)
+        ddt_ref[0, pl.ds(t0, t_block), :] = jnp.concatenate(ddt_rows[::-1], 0)
+        db_ref[0, pl.ds(t0, t_block), :] = jnp.concatenate(db_rows[::-1], 0)
+        dc_ref[0, pl.ds(t0, t_block), :] = jnp.concatenate(dc_rows[::-1], 0)
+        da_ref[0] = jnp.where(i == 0, da_acc, da_ref[0] + da_acc)
+        return ()
+
+    jax.lax.fori_loop(0, n_blocks, bwd_block, ())
+
+
+@jax.jit
+def _scan_bwd_pallas_call(dt, x, B, C, A, g):
+    batch, length, d_inner = dt.shape
+    n_state = A.shape[0]
+    ldd = pl.BlockSpec((1, length, d_inner), lambda i: (i, 0, 0))
+    lnn = pl.BlockSpec((1, length, n_state), lambda i: (i, 0, 0))
+    lnd = pl.BlockSpec((1, n_state, d_inner), lambda i: (i, 0, 0))
+    dx, ddt, dB, dC, dA_part = pl.pallas_call(
+        functools.partial(_scan_bwd_kernel, t_block=_T_BLOCK),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
+            jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
+            jax.ShapeDtypeStruct((batch, length, n_state), dt.dtype),
+            jax.ShapeDtypeStruct((batch, length, n_state), dt.dtype),
+            jax.ShapeDtypeStruct((batch, n_state, d_inner), dt.dtype),
+        ),
+        grid=(batch,),
+        in_specs=[ldd, ldd, lnn, lnn,
+                  pl.BlockSpec((n_state, d_inner), lambda i: (0, 0)), ldd],
+        out_specs=(ldd, ldd, lnn, lnn, lnd),
+        scratch_shapes=[
+            pltpu.VMEM((n_state, d_inner), jnp.float32),
+            pltpu.VMEM(
+                (max(1, dt.shape[1] // _T_BLOCK), n_state, d_inner),
+                jnp.float32,
+            ),
+        ],
+    )(dt, x, B, C, A, g)
+    return dx, ddt, dA_part.sum(axis=0).T, dB, dC
+
+
+def selective_scan_bwd_pallas(x, dt, A, B, C, g):
+    """Gradients (dx, ddt, dA, dB, dC) of the core scan wrt upstream g."""
+    return _scan_bwd_pallas_call(dt, x, B, C, A.T, g)
+
+
 def supported(x, A) -> bool:
     """Kernel shape constraints: lane-aligned D, small N."""
     batch, length, d_inner = x.shape

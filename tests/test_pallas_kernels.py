@@ -123,3 +123,24 @@ def test_fused_group_norm_silu_grad():
     )(x, scale, bias)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_selective_scan_bwd_kernel_parity_interpret():
+    """Pallas backward kernel vs autodiff of the sequential reference."""
+    b, L, d, n = 2, 32, 128, 8
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    x = jax.random.normal(ks[0], (b, L, d))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (b, L, d)))
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n)))
+    B = jax.random.normal(ks[3], (b, L, n))
+    C = jax.random.normal(ks[4], (b, L, n))
+    g = jax.random.normal(ks[5], (b, L, d))
+
+    def loss(args):
+        return jnp.sum(selective_scan_sequential(*args, None) * g)
+
+    gref = jax.grad(loss)((x, dt, A, B, C))
+    with pltpu.force_tpu_interpret_mode():
+        outs = ssp.selective_scan_bwd_pallas(x, dt, A, B, C, g)
+    for a, r in zip(outs, gref):
+        np.testing.assert_allclose(a, r, rtol=1e-4, atol=1e-4)
