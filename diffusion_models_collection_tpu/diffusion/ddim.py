@@ -57,7 +57,6 @@ def ddim_step(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "shape",
         "eta",
         "return_all_timesteps",
         "use_cfg",
@@ -65,15 +64,14 @@ def ddim_step(
         "clip_denoised",
     ),
 )
-def _sample_impl(
+def _scan_segment(
     schedule: NoiseSchedule,
     model_fn,
-    shape: Sequence[int],
+    img: jnp.ndarray,
+    scan_ins,  # (idx, timesteps, t_next) arrays for this segment
     rng: jax.Array,
     y: Optional[jnp.ndarray],
-    timesteps: jnp.ndarray,
     cfg_scale: jnp.ndarray,
-    init_noise: Optional[jnp.ndarray] = None,
     *,
     eta: float,
     use_cfg: bool,
@@ -81,18 +79,10 @@ def _sample_impl(
     clip_denoised: bool,
     return_all_timesteps: bool,
 ):
-    """DDIM trajectory as a single scan (parity: ddim.py:210-346)."""
-    batch = shape[0]
-    rng, init_rng = jax.random.split(rng)
-    img = (
-        init_noise
-        if init_noise is not None
-        else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
-    )
-
-    t_next_seq = jnp.concatenate(
-        [timesteps[1:], jnp.full((1,), -1, dtype=timesteps.dtype)]
-    )
+    """A segment of the DDIM trajectory (parity: ddim.py:210-346);
+    segments exist only for host progress reporting — RNG folds the
+    global position index, so boundaries don't affect trajectories."""
+    batch = img.shape[0]
 
     def step(carry, scan_in):
         img = carry
@@ -116,9 +106,7 @@ def _sample_impl(
         img = ddim_step(schedule, img, t, t_next, eps, x0, eta, noise)
         return img, (img if return_all_timesteps else None)
 
-    idx = jnp.arange(timesteps.shape[0])
-    img, all_imgs = jax.lax.scan(step, img, (idx, timesteps, t_next_seq))
-    return all_imgs if return_all_timesteps else img
+    return jax.lax.scan(step, img, scan_ins)
 
 
 class DDIM:
@@ -179,22 +167,54 @@ class DDIM:
         return ddim_step(self.schedule, x, t, t_next, eps, x0_pred, self.eta, noise)
 
     # -- whole-trajectory samplers --------------------------------------------
+    def _run(self, model_fn, shape, rng, y, cfg_scale, init_noise, *, eta,
+             use_cfg, p_threshold, clip_denoised, return_all_timesteps,
+             progress, desc):
+        from .ddpm import _run_segments  # shared progress segmentation
+
+        rng, init_rng = jax.random.split(rng)
+        img = (
+            init_noise
+            if init_noise is not None
+            else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+        )
+        timesteps = self.inference_timesteps
+        t_next_seq = jnp.concatenate(
+            [timesteps[1:], jnp.full((1,), -1, dtype=timesteps.dtype)]
+        )
+        idx = jnp.arange(timesteps.shape[0])
+        fn = base.as_pytree_fn(model_fn)
+
+        # Stack scan inputs so the shared segment runner can slice them
+        # along axis 0 together.
+        packed = jnp.stack(
+            [idx.astype(jnp.int32), timesteps.astype(jnp.int32),
+             t_next_seq.astype(jnp.int32)],
+            axis=1,
+        )
+
+        def segment(img, packed_seg):
+            scan_ins = (
+                packed_seg[:, 0], packed_seg[:, 1], packed_seg[:, 2]
+            )
+            return _scan_segment(
+                self.schedule, fn, img, scan_ins, rng, y, cfg_scale,
+                eta=eta, use_cfg=use_cfg, p_threshold=p_threshold,
+                clip_denoised=clip_denoised,
+                return_all_timesteps=return_all_timesteps,
+            )
+
+        return _run_segments(
+            segment, img, packed, return_all_timesteps, progress, desc
+        )
+
     def sample(self, model_fn, shape, rng, y=None, return_all_timesteps=False,
-               init_noise=None):
-        return _sample_impl(
-            self.schedule,
-            base.as_pytree_fn(model_fn),
-            tuple(shape),
-            rng,
-            y,
-            self.inference_timesteps,
-            jnp.float32(0.0),
-            init_noise,
-            eta=self.eta,
-            use_cfg=False,
-            p_threshold=None,
-            clip_denoised=True,
-            return_all_timesteps=return_all_timesteps,
+               init_noise=None, progress=False):
+        return self._run(
+            model_fn, shape, rng, y, jnp.float32(0.0), init_noise,
+            eta=self.eta, use_cfg=False, p_threshold=None, clip_denoised=True,
+            return_all_timesteps=return_all_timesteps, progress=progress,
+            desc="DDIM Sampling",
         )
 
     def sample_with_cfg(
@@ -207,23 +227,16 @@ class DDIM:
         p_threshold: Optional[float] = 0.995,
         return_all_timesteps: bool = False,
         init_noise=None,
+        progress: bool = False,
     ):
         if y is None:
             raise ValueError("CFG sampling requires class labels y.")
         if p_threshold is not None and not (0.0 < float(p_threshold) < 1.0):
             raise ValueError("p_threshold must be in (0, 1) or None")
-        return _sample_impl(
-            self.schedule,
-            base.as_pytree_fn(model_fn),
-            tuple(shape),
-            rng,
-            jnp.asarray(y),
-            self.inference_timesteps,
-            jnp.float32(cfg_scale),
-            init_noise,
-            eta=self.eta,
-            use_cfg=True,
-            p_threshold=p_threshold,
-            clip_denoised=False,
-            return_all_timesteps=return_all_timesteps,
+        return self._run(
+            model_fn, shape, rng, jnp.asarray(y), jnp.float32(cfg_scale),
+            init_noise, eta=self.eta, use_cfg=True, p_threshold=p_threshold,
+            clip_denoised=False, return_all_timesteps=return_all_timesteps,
+            progress=progress,
+            desc=f"DDIM sampling with CFG scale {cfg_scale}",
         )

@@ -43,33 +43,24 @@ def posterior_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shape", "return_all_timesteps", "clip_denoised"),
+    static_argnames=("return_all_timesteps", "clip_denoised"),
 )
-def _sample_impl(
+def _scan_segment(
     schedule: NoiseSchedule,
     model_fn,
-    shape: Sequence[int],
+    img: jnp.ndarray,
+    ts: jnp.ndarray,
     rng: jax.Array,
     y: Optional[jnp.ndarray],
-    init_noise: Optional[jnp.ndarray] = None,
     *,
     return_all_timesteps: bool,
     clip_denoised: bool = True,
 ):
-    """Unconditional/conditional ancestral sampling (parity: ddpm.py:222-252).
-
-    `init_noise` optionally injects the starting x_T — the cross-framework
-    golden-test hook (SURVEY.md §7: PyTorch and JAX RNG streams differ
-    irreducibly, so parity tests feed identical noise from a file).
-    """
-    num_timesteps = schedule.betas.shape[0]
-    batch = shape[0]
-    rng, init_rng = jax.random.split(rng)
-    img = (
-        init_noise
-        if init_noise is not None
-        else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
-    )
+    """Scan a segment of descending timesteps (parity: ddpm.py:222-252).
+    Segmentation exists only to surface host-side progress (the tqdm
+    analog); per-step RNG folds the timestep value, so trajectories are
+    identical regardless of segment boundaries."""
+    batch = img.shape[0]
 
     def step(carry, i):
         img = carry
@@ -82,36 +73,27 @@ def _sample_impl(
         img = posterior_step(schedule, img, t, x0, noise)
         return img, (img if return_all_timesteps else None)
 
-    ts = jnp.arange(num_timesteps - 1, -1, -1)
-    img, all_imgs = jax.lax.scan(step, img, ts)
-    return all_imgs if return_all_timesteps else img
+    return jax.lax.scan(step, img, ts)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shape", "return_all_timesteps", "p_threshold"),
+    static_argnames=("return_all_timesteps", "p_threshold"),
 )
-def _sample_cfg_impl(
+def _scan_segment_cfg(
     schedule: NoiseSchedule,
     model_fn,
-    shape: Sequence[int],
+    img: jnp.ndarray,
+    ts: jnp.ndarray,
     rng: jax.Array,
     y: jnp.ndarray,
     cfg_scale: jnp.ndarray,
-    init_noise: Optional[jnp.ndarray] = None,
     *,
     p_threshold: Optional[float],
     return_all_timesteps: bool,
 ):
-    """CFG + dynamic-thresholding sampling (parity: ddpm.py:254-332)."""
-    num_timesteps = schedule.betas.shape[0]
-    batch = shape[0]
-    rng, init_rng = jax.random.split(rng)
-    img = (
-        init_noise
-        if init_noise is not None
-        else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
-    )
+    """CFG + dynamic-thresholding segment (parity: ddpm.py:254-332)."""
+    batch = img.shape[0]
 
     def step(carry, i):
         img = carry
@@ -123,9 +105,35 @@ def _sample_cfg_impl(
         img = posterior_step(schedule, img, t, x0, noise)
         return img, (img if return_all_timesteps else None)
 
-    ts = jnp.arange(num_timesteps - 1, -1, -1)
-    img, all_imgs = jax.lax.scan(step, img, ts)
-    return all_imgs if return_all_timesteps else img
+    return jax.lax.scan(step, img, ts)
+
+
+def _segment_starts(total: int, progress: bool):
+    """Equal segments for progress reporting (≈10, must divide total)."""
+    if not progress or total < 2:
+        return [total]
+    for k in range(min(10, total), 0, -1):
+        if total % k == 0:
+            return [total // k] * k
+    return [total]
+
+
+def _run_segments(segment_fn, img, ts, return_all_timesteps, progress,
+                  desc: str):
+    sizes = _segment_starts(int(ts.shape[0]), progress)
+    outs = []
+    done = 0
+    for size in sizes:
+        img, all_imgs = segment_fn(img, ts[done : done + size])
+        if return_all_timesteps:
+            outs.append(all_imgs)
+        done += size
+        if progress and len(sizes) > 1:
+            jax.block_until_ready(img)
+            print(f"{desc}: step {done}/{int(ts.shape[0])}", flush=True)
+    if return_all_timesteps:
+        return jnp.concatenate(outs, axis=0)
+    return img
 
 
 class DDPM:
@@ -170,18 +178,38 @@ class DDPM:
         noise = jax.random.normal(rng, x.shape, x.dtype)
         return posterior_step(self.schedule, x, t, x0_pred, noise)
 
+    def _initial_image(self, shape, rng, init_noise):
+        """Split rng exactly as the jitted impl used to — trajectories are
+        bit-identical to the pre-refactor single-scan version."""
+        rng, init_rng = jax.random.split(rng)
+        img = (
+            init_noise
+            if init_noise is not None
+            else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+        )
+        return img, rng
+
     # -- whole-trajectory samplers ------------------------------------------
     def sample(self, model_fn, shape, rng, y=None, return_all_timesteps=False,
-               init_noise=None):
-        """Generate samples; one jit-compiled scan over all T steps."""
-        return _sample_impl(
-            self.schedule,
-            base.as_pytree_fn(model_fn),
-            tuple(shape),
-            rng,
-            y,
-            init_noise,
-            return_all_timesteps=return_all_timesteps,
+               init_noise=None, progress=False):
+        """Generate samples; jit-compiled scan(s) over all T steps.
+
+        `progress=True` runs in ~10 equal segments with a host progress
+        line between them (the tqdm analog at reference ddpm.py:243);
+        trajectories are identical either way.
+        """
+        img, rng = self._initial_image(shape, rng, init_noise)
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        fn = base.as_pytree_fn(model_fn)
+
+        def segment(img, ts_seg):
+            return _scan_segment(
+                self.schedule, fn, img, ts_seg, rng, y,
+                return_all_timesteps=return_all_timesteps,
+            )
+
+        return _run_segments(
+            segment, img, ts, return_all_timesteps, progress, "Sampling"
         )
 
     def sample_with_cfg(
@@ -194,6 +222,7 @@ class DDPM:
         p_threshold: Optional[float] = 0.995,
         return_all_timesteps: bool = False,
         init_noise=None,
+        progress: bool = False,
     ):
         """CFG sampling (parity: ddpm.py:254-332). `cfg_scale` is dynamic —
         changing it does not retrigger compilation."""
@@ -201,14 +230,20 @@ class DDPM:
             raise ValueError("CFG sampling requires class labels y.")
         if p_threshold is not None and not (0.0 < float(p_threshold) < 1.0):
             raise ValueError("p_threshold must be in (0, 1) or None")
-        return _sample_cfg_impl(
-            self.schedule,
-            base.as_pytree_fn(model_fn),
-            tuple(shape),
-            rng,
-            jnp.asarray(y),
-            jnp.float32(cfg_scale),
-            init_noise,
-            p_threshold=p_threshold,
-            return_all_timesteps=return_all_timesteps,
+        img, rng = self._initial_image(shape, rng, init_noise)
+        ts = jnp.arange(self.num_timesteps - 1, -1, -1)
+        fn = base.as_pytree_fn(model_fn)
+        y = jnp.asarray(y)
+        scale = jnp.float32(cfg_scale)
+
+        def segment(img, ts_seg):
+            return _scan_segment_cfg(
+                self.schedule, fn, img, ts_seg, rng, y, scale,
+                p_threshold=p_threshold,
+                return_all_timesteps=return_all_timesteps,
+            )
+
+        return _run_segments(
+            segment, img, ts, return_all_timesteps, progress,
+            f"DDPM Sampling with CFG scale {cfg_scale}",
         )

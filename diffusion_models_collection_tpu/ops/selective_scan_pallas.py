@@ -7,14 +7,23 @@ and measured 1.4 samples/s end-to-end. This kernel keeps the recurrence
 state (N, D) resident in VMEM and streams x/dt once, sequentially over L,
 with the (B, L, D, N) tensor never existing anywhere.
 
-Layout: state h is (block_b, N, D) with D on lanes (128-multiple) and N on
-sublanes — every per-step op is a well-tiled VPU elementwise op. B and C
-are passed TRANSPOSED, (B, N, L), so the per-step column read is a (N, 1)
-slice that broadcasts across D lanes without an in-kernel transpose.
+Layout: state h is (N, D) per batch element, D on lanes (128-multiple)
+and N on sublanes — every recurrence op is a well-tiled VPU elementwise
+op; B/C stay in natural (L, N) layout and all cross-shape products are
+small `dot_general`s (K=1 outer products, K=N contractions), so there are
+no in-kernel transposes or lane-strided loads (Mosaic rejects both).
 
-The op is exposed through `jax.custom_vjp`: forward runs this kernel,
-backward recomputes via the memory-bounded chunked XLA path (selective
-scan is cheap to recompute; this also keeps training memory bounded).
+Three kernels:
+  * `_scan_kernel` — plain sequential forward (reference variant);
+  * `_scan_kernel_blocked` — forward with the input-dependent decay/drive
+    for T_BLOCK steps batched into one exp + one batched matmul (the
+    default: 23.7 -> 12.8 ms per layer call at DiM CFG shapes);
+  * `_scan_bwd_kernel` — the explicit adjoint (reverse affine recurrence)
+    with block-boundary state checkpoints resident in VMEM.
+
+The op is exposed through `jax.custom_vjp` in ops/selective_scan.py:
+forward and backward both dispatch to these kernels on TPU, with XLA
+implementations as CPU fallbacks and numerical references.
 """
 
 from __future__ import annotations

@@ -138,10 +138,12 @@ def main():
         if args.cfg_scale > 0 and conditional:
             samples = diffusion.sample_with_cfg(
                 model_fn, shape, batch_labels, batch_rng,
-                cfg_scale=args.cfg_scale,
+                cfg_scale=args.cfg_scale, progress=True,
             )
         else:
-            samples = diffusion.sample(model_fn, shape, batch_rng, y=batch_labels)
+            samples = diffusion.sample(
+                model_fn, shape, batch_rng, y=batch_labels, progress=True
+            )
         samples = np.asarray(samples)[: end - start]
         fake_images.append((samples + 1) / 2)
 

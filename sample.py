@@ -166,12 +166,13 @@ def main():
             samples = diffusion.sample_with_cfg(
                 model_fn, shape, batch_labels, batch_rng,
                 cfg_scale=args.cfg_scale, return_all_timesteps=return_all,
+                progress=True,
             )
         else:
             print(f"Sampling batch {i + 1}/{num_batches}...")
             samples = diffusion.sample(
                 model_fn, shape, batch_rng, y=batch_labels,
-                return_all_timesteps=return_all,
+                return_all_timesteps=return_all, progress=True,
             )
 
         samples = np.asarray(samples)

@@ -169,3 +169,33 @@ def test_ddim_cfg_runs():
     out = ddim.sample_with_cfg(dummy_model, SHAPE, y, jax.random.PRNGKey(0), 2.0)
     assert out.shape == SHAPE
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_progress_mode_identical_trajectories(capsys):
+    """progress=True (segmented scans + host prints) must not change
+    results — per-step RNG folds global indices, not segment positions."""
+    ddpm = DDPM(num_timesteps=20)
+    rng = jax.random.PRNGKey(5)
+    a = ddpm.sample(dummy_model, SHAPE, rng)
+    b = ddpm.sample(dummy_model, SHAPE, rng, progress=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert "step" in capsys.readouterr().out
+
+    ddim = DDIM(num_timesteps=100, num_inference_steps=10, eta=1.0)
+    c = ddim.sample(dummy_model, SHAPE, rng)
+    d = ddim.sample(dummy_model, SHAPE, rng, progress=True)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+    y = jnp.array([1, 2])
+    e = ddim.sample_with_cfg(dummy_model, SHAPE, y, rng, 2.0)
+    f = ddim.sample_with_cfg(dummy_model, SHAPE, y, rng, 2.0, progress=True)
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(f))
+
+
+def test_progress_return_all_timesteps():
+    ddpm = DDPM(num_timesteps=10)
+    rng = jax.random.PRNGKey(1)
+    a = ddpm.sample(dummy_model, SHAPE, rng, return_all_timesteps=True)
+    b = ddpm.sample(dummy_model, SHAPE, rng, return_all_timesteps=True,
+                    progress=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
