@@ -19,7 +19,7 @@ import gzip
 import pickle
 import struct
 from pathlib import Path
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 

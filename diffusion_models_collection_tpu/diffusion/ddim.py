@@ -11,7 +11,7 @@ reference's data-dependent branch at ddim.py:176-179 becomes a branch-free
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ runs as one fused [cond; uncond] batch per step instead of two model calls.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ each other.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,9 +22,6 @@ from .utils.helpers import resolve_image_size
 
 MODEL_CLASSES = {"unet": UNet, "dit": DiT, "dim": DiM}
 
-# config keys accepted for reference parity but without a TPU meaning
-_IGNORED_MODEL_PARAMS = ()
-
 
 def get_model(config: dict):
     """Build the denoiser from config (parity: train.py:27-56), injecting
@@ -36,8 +33,7 @@ def get_model(config: dict):
     if model_type == "unet":
         model_params["image_size"] = image_size
     elif model_type in ("dit", "dim"):
-        if "img_size" in model_params or True:
-            model_params["img_size"] = image_size
+        model_params["img_size"] = image_size
 
     if config.get("conditional", False):
         model_params["num_classes"] = config.get("num_classes")

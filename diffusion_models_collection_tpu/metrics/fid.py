@@ -55,6 +55,30 @@ class FIDScore:
         return mu, sigma
 
     @staticmethod
+    def trace_sqrtm_newton_schulz(sigma_prod: np.ndarray, iters: int = 30):
+        """tr(sqrtm(S)) via Newton–Schulz iteration, on the default JAX
+        backend — the TPU-resident alternative to scipy's host sqrtm
+        (SURVEY.md §2.2). Works on the symmetric-PSD products FID needs;
+        float64-free, validated against scipy in tests."""
+        import jax
+        import jax.numpy as jnp
+
+        s = jnp.asarray(sigma_prod, jnp.float32)
+        dim = s.shape[0]
+        norm = jnp.sqrt(jnp.sum(s * s))
+        y = s / norm
+        z = jnp.eye(dim, dtype=jnp.float32)
+        eye3 = 3.0 * jnp.eye(dim, dtype=jnp.float32)
+
+        def body(_, carry):
+            y, z = carry
+            t = 0.5 * (eye3 - z @ y)
+            return y @ t, t @ z
+
+        y, _ = jax.lax.fori_loop(0, iters, body, (y, z))
+        return float(jnp.trace(y) * jnp.sqrt(norm))
+
+    @staticmethod
     def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
         """Closed-form Fréchet distance between Gaussians (parity:
         fid.py:156-193)."""

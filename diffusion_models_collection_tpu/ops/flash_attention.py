@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (memory spaces)
 
 # Minimum sequence length before the kernel beats plain XLA attention; short
 # image-token sequences (e.g. 64 tokens) are faster fused by XLA itself.

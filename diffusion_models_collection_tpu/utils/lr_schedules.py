@@ -11,7 +11,7 @@ stateful scheduler serialization at trainer.py:347-348).
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 

@@ -114,3 +114,18 @@ def test_inception_v3_shapes():
     feats, logits = model.apply({"params": params}, x)
     assert feats.shape == (1, 2048)
     assert logits.shape == (1, 1000)
+
+
+def test_newton_schulz_trace_sqrtm_matches_scipy():
+    """On-device trace(sqrtm) vs scipy for an SPD product matrix."""
+    from scipy import linalg
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(16, 16))
+    s1 = a @ a.T + 0.5 * np.eye(16)
+    b = rng.normal(size=(16, 16))
+    s2 = b @ b.T + 0.5 * np.eye(16)
+    prod = s1 @ s2
+    ref = np.trace(linalg.sqrtm(prod).real)
+    got = FIDScore.trace_sqrtm_newton_schulz(prod, iters=50)
+    assert got == pytest.approx(ref, rel=1e-3)
