@@ -411,6 +411,19 @@ class DiffusionTrainer:
                 avg_loss = self.train_epoch(epoch)
             epoch_time = time.time() - start_time
 
+            # failure detection (beyond the reference, SURVEY.md §5.3): a
+            # non-finite epoch loss means diverged training — stop before
+            # the checkpoint rotation overwrites the last good state.
+            if not math.isfinite(avg_loss):
+                print(
+                    f"ERROR: non-finite loss ({avg_loss}) at epoch {epoch}; "
+                    "stopping before overwriting checkpoints. Resume from "
+                    f"{self.save_dir / 'current_model.ckpt'} with a lower "
+                    "learning rate."
+                )
+                self.tracker.log({"train/diverged_epoch": epoch}, step=epoch)
+                break
+
             if self.is_main_process:
                 lr = self.current_lr()
                 print(

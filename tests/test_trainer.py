@@ -232,3 +232,14 @@ def test_sample_images(tmp_path):
     samples = trainer.sample_images(epoch=1, num_samples=4)
     assert samples.shape == (4, 8, 8, 3)
     assert (tmp_path / "samples" / "epoch_0001.png").exists()
+
+
+def test_nan_loss_stops_training(tmp_path, capsys):
+    """Failure detection: a diverged (non-finite) epoch loss stops the loop
+    before checkpoints are overwritten."""
+    trainer, _ = make_trainer(tmp_path)
+    trainer.epochs = 5
+    trainer.train_epoch = lambda epoch: float("nan")
+    trainer.train()
+    out = capsys.readouterr().out
+    assert "non-finite loss" in out
