@@ -37,6 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 
+# Forward-scan contraction precision. DEFAULT (one bf16 MXU pass) measures
+# 8.6 ms vs 12.8 ms HIGHEST per DiM layer call at CFG batch with ~4e-3
+# relative output error — bf16-class noise, standard for SSM inference and
+# far below diffusion sampling noise. DMC_TPU_SCAN_EXACT=1 forces fp32-
+# exact forwards; the BACKWARD kernel always runs HIGHEST (grad quality).
+import os
+
+_FWD_PRECISION = (
+    jax.lax.Precision.HIGHEST
+    if os.environ.get("DMC_TPU_SCAN_EXACT", "0") == "1"
+    else jax.lax.Precision.DEFAULT
+)
+
 
 def _scan_kernel(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref):
     """One grid step: one batch element, full L loop.
@@ -68,14 +81,14 @@ def _scan_kernel(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref):
         outer = jax.lax.dot_general(  # (N, D) outer product, K=1
             b_t, u_t, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_FWD_PRECISION,
         )
         h = decay * h_ref[...] + outer
         h_ref[...] = h
         y_ref[0, pl.ds(t, 1), :] = jax.lax.dot_general(  # (1, D), K=N
             c_t, h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_FWD_PRECISION,
         ).astype(y_ref.dtype)
         return ()
 
@@ -105,7 +118,7 @@ def _scan_kernel_blocked(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref,
             b_c[:, None, :], u_c[:, None, :],
             (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_FWD_PRECISION,
         )
         h = h_ref[...]
         hs = []
@@ -118,7 +131,7 @@ def _scan_kernel_blocked(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref,
             c_c[:, None, :], h_all,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_FWD_PRECISION,
         )  # (T, 1, D)
         y_ref[0, pl.ds(t0, t_block), :] = y_c[:, 0, :].astype(y_ref.dtype)
         return ()
