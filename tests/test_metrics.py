@@ -129,3 +129,58 @@ def test_newton_schulz_trace_sqrtm_matches_scipy():
     ref = np.trace(linalg.sqrtm(prod).real)
     got = FIDScore.trace_sqrtm_newton_schulz(prod, iters=50)
     assert got == pytest.approx(ref, rel=1e-3)
+
+
+def test_torchvision_weight_converter_roundtrip(tmp_path):
+    """load_torchvision_weights: build a torch-layout state dict from our
+    flax tree's inverse mapping, convert, and require an identical tree —
+    validates the key mapping and the OIHW->HWIO / transpose handling."""
+    import torch
+
+    from diffusion_models_collection_tpu.metrics.inception import (
+        InceptionV3,
+        load_torchvision_weights,
+    )
+
+    model = InceptionV3()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 75, 75, 3)))[
+        "params"
+    ]
+
+    state = {}
+
+    def walk(tree, path):
+        for key, val in tree.items():
+            p = path + [key]
+            if isinstance(val, dict):
+                walk(val, p)
+                continue
+            arr = np.asarray(val)
+            if key == "kernel" and p[-2] == "conv":
+                state[".".join(p[:-1]) + ".weight"] = torch.tensor(
+                    arr.transpose(3, 2, 0, 1)
+                )
+            elif p[-2] == "fc":
+                name = {"kernel": "weight", "bias": "bias"}[key]
+                state[f"fc.{name}"] = torch.tensor(
+                    arr.T if key == "kernel" else arr
+                )
+            elif key.startswith("bn_"):
+                name = {
+                    "bn_scale": "weight",
+                    "bn_bias": "bias",
+                    "bn_mean": "running_mean",
+                    "bn_var": "running_var",
+                }[key]
+                state[".".join(p[:-1]) + f".bn.{name}"] = torch.tensor(arr)
+
+    walk(params, [])
+    path = tmp_path / "inception.pth"
+    torch.save(state, path)
+
+    converted = load_torchvision_weights(path)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(converted))
+    assert len(flat_a) == len(flat_b)
+    for key_path, leaf in flat_a:
+        np.testing.assert_allclose(flat_b[key_path], leaf, rtol=1e-6)
