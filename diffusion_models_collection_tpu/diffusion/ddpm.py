@@ -108,14 +108,28 @@ def _scan_segment_cfg(
     return jax.lax.scan(step, img, ts)
 
 
+# Very long single-program scans (e.g. DDPM-1000 over a 12-layer Pallas
+# backbone = 12k kernel invocations in one XLA program) have crashed the
+# TPU runtime; cap steps per compiled segment. Segmentation never changes
+# trajectories (per-step RNG folds global indices).
+_MAX_STEPS_PER_SEGMENT = 250
+
+
 def _segment_starts(total: int, progress: bool):
-    """Equal segments for progress reporting (≈10, must divide total)."""
-    if not progress or total < 2:
+    """Segment sizes: ~10 equal segments for progress mode, else whole
+    trajectory capped at _MAX_STEPS_PER_SEGMENT per compiled program
+    (at most two distinct compiled shapes)."""
+    if total < 2:
         return [total]
-    for k in range(min(10, total), 0, -1):
-        if total % k == 0:
-            return [total // k] * k
-    return [total]
+    if progress:
+        for k in range(min(10, total), 0, -1):
+            if total % k == 0:
+                return [total // k] * k
+        return [total]
+    if total <= _MAX_STEPS_PER_SEGMENT:
+        return [total]
+    n_full, rem = divmod(total, _MAX_STEPS_PER_SEGMENT)
+    return [_MAX_STEPS_PER_SEGMENT] * n_full + ([rem] if rem else [])
 
 
 def _run_segments(segment_fn, img, ts, return_all_timesteps, progress,
