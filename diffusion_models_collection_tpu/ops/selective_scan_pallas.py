@@ -257,49 +257,45 @@ def _scan_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
             h = decay_c[t] * h + outer_c[t]
             hs.append(h)
 
-        # reverse unrolled sweep
+        # reverse sweep: only the gamma recurrence is serial; all gradient
+        # contractions batch over the block (one dot per quantity instead
+        # of one per step — same pattern as the blocked forward).
         phi = h_ref[...]
-        dx_rows, ddt_rows, db_rows, dc_rows = [], [], [], []
-        da_acc = jnp.zeros_like(A)
+        gammas = []
         for t in range(t_block - 1, -1, -1):
             gamma = w_c[t] + phi  # (N, D)
-            da = gamma * h_prevs[t]
-            gB = jax.lax.dot_general(  # (1, D): sum_n gamma * B_n
-                b_c[t : t + 1, :], gamma, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            dt_t = dt_ref[0, pl.ds(t0 + t, 1), :]
-            x_t = x_ref[0, pl.ds(t0 + t, 1), :]
-            ddt_rows.append(
-                jnp.sum(da * decay_c[t] * A, axis=0, keepdims=True)
-                + gB * x_t
-            )
-            dx_rows.append(gB * dt_t)
-            u_t = dt_t * x_t
-            db_rows.append(
-                jax.lax.dot_general(  # (1, N)
-                    u_t, gamma, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-            )
-            dc_rows.append(
-                jax.lax.dot_general(  # (1, N)
-                    g_c[t : t + 1, :], hs[t], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-            )
-            da_acc = da_acc + da * decay_c[t] * dt_t
+            gammas.append(gamma)
             phi = decay_c[t] * gamma
         h_ref[...] = phi
+        gamma_all = jnp.stack(gammas[::-1], axis=0)  # (T, N, D) ascending
+        h_all = jnp.stack(hs, axis=0)  # (T, N, D)
+        h_prev_all = jnp.stack(h_prevs, axis=0)  # (T, N, D)
 
-        # rows were built t descending; reverse to ascending and write
-        dx_ref[0, pl.ds(t0, t_block), :] = jnp.concatenate(dx_rows[::-1], 0)
-        ddt_ref[0, pl.ds(t0, t_block), :] = jnp.concatenate(ddt_rows[::-1], 0)
-        db_ref[0, pl.ds(t0, t_block), :] = jnp.concatenate(db_rows[::-1], 0)
-        dc_ref[0, pl.ds(t0, t_block), :] = jnp.concatenate(dc_rows[::-1], 0)
+        da_all = gamma_all * h_prev_all  # (T, N, D)
+        gB = jax.lax.dot_general(  # (T, 1, D): sum_n gamma * B_n
+            b_c[:, None, :], gamma_all, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]
+        dadec = da_all * decay_c  # (T, N, D)
+        ddt_c = jnp.sum(dadec * A[None], axis=1) + gB * x_c  # (T, D)
+        dx_c = gB * dt_c  # (T, D)
+        db_c = jax.lax.dot_general(  # (T, 1, N): sum_d gamma * u
+            u_c[:, None, :], gamma_all, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]
+        dc_c = jax.lax.dot_general(  # (T, 1, N): sum_d ybar * h
+            g_c[:, None, :], h_all, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]
+        da_acc = jnp.sum(dadec * dt_c[:, None, :], axis=0)  # (N, D)
+
+        dx_ref[0, pl.ds(t0, t_block), :] = dx_c
+        ddt_ref[0, pl.ds(t0, t_block), :] = ddt_c
+        db_ref[0, pl.ds(t0, t_block), :] = db_c
+        dc_ref[0, pl.ds(t0, t_block), :] = dc_c
         da_ref[0] = jnp.where(i == 0, da_acc, da_ref[0] + da_acc)
         return ()
 
