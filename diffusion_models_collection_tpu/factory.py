@@ -139,9 +139,18 @@ def init_model_params(model, rng, image_size, in_channels, conditional):
     x = jnp.zeros((1, h, w, in_channels), jnp.float32)
     t = jnp.zeros((1,), jnp.int32)
     y = jnp.zeros((1,), jnp.int32) if conditional else None
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        # Host CPU platform not registered (JAX_PLATFORMS pinned to an
+        # accelerator) — one jitted init on the default backend is still
+        # a single compile, just not host-staged.
+        cpu = None
+    if cpu is None:
         variables = jax.jit(lambda k: model.init(k, x, t, y))(rng)
+    else:
+        with jax.default_device(cpu):
+            variables = jax.jit(lambda k: model.init(k, x, t, y))(rng)
     return variables["params"]
 
 

@@ -132,7 +132,18 @@ def _selective_scan_core(x, dt, A, B, C):
 
 
 def _core_fwd(x, dt, A, B, C):
-    return _selective_scan_core(x, dt, A, B, C), (x, dt, A, B, C)
+    """VJP forward: on the Pallas path, emit block-boundary states as an
+    extra residual so the backward kernel skips its phase-1 forward
+    recompute (ops/selective_scan_pallas.py:_scan_bwd_kernel_from_ckpt)."""
+    from . import dispatch
+
+    if dispatch.pallas_enabled():
+        from . import selective_scan_pallas as ssp
+
+        if ssp.supported(x, A) and x.shape[1] % ssp._T_BLOCK == 0:
+            y, bound = ssp.selective_scan_fwd_ckpt_pallas(x, dt, A, B, C)
+            return y, (x, dt, A, B, C, bound)
+    return _selective_scan_core(x, dt, A, B, C), (x, dt, A, B, C, None)
 
 
 def _bwd_chunk_size(batch, d_inner, n_state,
@@ -159,13 +170,17 @@ def _core_bwd(residuals, g):
     Pallas kernel (ops/selective_scan_pallas.py:_scan_bwd_kernel) with the
     boundary checkpoints resident in VMEM.
     """
-    x, dt, A, B, C = residuals
+    x, dt, A, B, C, bound = residuals
     from . import dispatch
 
     if dispatch.pallas_enabled():
         from . import selective_scan_pallas as ssp
 
         if ssp.supported(x, A) and x.shape[1] % ssp._T_BLOCK == 0:
+            if bound is not None:
+                return ssp.selective_scan_bwd_from_ckpt_pallas(
+                    x, dt, A, B, C, g, bound
+                )
             return ssp.selective_scan_bwd_pallas(x, dt, A, B, C, g)
     batch, length, d_inner = x.shape
     n_state = A.shape[1]

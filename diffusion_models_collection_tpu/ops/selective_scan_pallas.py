@@ -302,6 +302,205 @@ def _scan_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
     jax.lax.fori_loop(0, n_blocks, bwd_block, ())
 
 
+def _scan_kernel_blocked_ckpt(dt_ref, u_ref, b_ref, c_ref, a_ref,
+                              y_ref, bound_ref, h_ref, *, t_block: int):
+    """Blocked forward that ALSO emits block-boundary states.
+
+    Identical recurrence to `_scan_kernel_blocked`, plus one (N, D) write
+    per block: the state ENTERING block k. Saved as a custom_vjp residual
+    so the backward pass skips its phase-1 forward recompute entirely
+    (phase 1 was ~1/3 of the backward kernel's time).
+    """
+    length = dt_ref.shape[1]
+    h_ref[...] = jnp.zeros_like(h_ref)
+    A = a_ref[...]  # (N, D)
+    n_blocks = length // t_block
+
+    def outer(k, _):
+        bound_ref[0, k] = h_ref[...]
+        t0 = k * t_block
+        dt_c = dt_ref[0, pl.ds(t0, t_block), :]
+        u_c = u_ref[0, pl.ds(t0, t_block), :]
+        b_c = b_ref[0, pl.ds(t0, t_block), :]
+        c_c = c_ref[0, pl.ds(t0, t_block), :]
+        decay_c = jnp.exp(dt_c[:, None, :] * A[None])
+        outer_c = jax.lax.dot_general(
+            b_c[:, None, :], u_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=_FWD_PRECISION,
+        )
+        h = h_ref[...]
+        hs = []
+        for t in range(t_block):
+            h = decay_c[t] * h + outer_c[t]
+            hs.append(h)
+        h_ref[...] = h
+        h_all = jnp.stack(hs, axis=0)
+        y_c = jax.lax.dot_general(
+            c_c[:, None, :], h_all, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=_FWD_PRECISION,
+        )
+        y_ref[0, pl.ds(t0, t_block), :] = y_c[:, 0, :].astype(y_ref.dtype)
+        return ()
+
+    jax.lax.fori_loop(0, n_blocks, outer, ())
+
+
+@jax.jit
+def _scan_fwd_ckpt_pallas_call(dt, u, B, C, A):
+    """(y, bound): forward outputs plus boundary states (B, nb, N, D)."""
+    batch, length, d_inner = dt.shape
+    n_state = A.shape[0]
+    n_blocks = length // _T_BLOCK
+    ldd = pl.BlockSpec((1, length, d_inner), lambda i: (i, 0, 0))
+    lnn = pl.BlockSpec((1, length, n_state), lambda i: (i, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_scan_kernel_blocked_ckpt, t_block=_T_BLOCK),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
+            jax.ShapeDtypeStruct((batch, n_blocks, n_state, d_inner),
+                                 jnp.float32),
+        ),
+        grid=(batch,),
+        in_specs=[ldd, ldd, lnn, lnn,
+                  pl.BlockSpec((n_state, d_inner), lambda i: (0, 0))],
+        out_specs=(
+            ldd,
+            pl.BlockSpec((1, n_blocks, n_state, d_inner),
+                         lambda i: (i, 0, 0, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((n_state, d_inner), jnp.float32)],
+    )(dt, u, B, C, A)
+
+
+def selective_scan_fwd_ckpt_pallas(x, dt, A, B, C):
+    """Core forward + boundary checkpoints (for the custom_vjp fwd pass).
+
+    Returns (y_core, bound). The caller adds the D-skip; bound feeds
+    `selective_scan_bwd_from_ckpt_pallas`. Requires length % _T_BLOCK == 0
+    (callers gate on that before dispatching here).
+    """
+    return _scan_fwd_ckpt_pallas_call(dt, dt * x, B, C, A.T)
+
+
+def _scan_bwd_kernel_from_ckpt(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
+                               bound_ref, dx_ref, ddt_ref, db_ref, dc_ref,
+                               da_ref, h_ref, *, t_block: int):
+    """Backward WITHOUT phase 1: boundary states arrive as an input
+    (emitted by the forward pass), so only the reverse block sweep runs.
+    Same math as `_scan_bwd_kernel` phase 2; see that docstring."""
+    length = dt_ref.shape[1]
+    n_blocks = length // t_block
+    A = a_ref[...]  # (N, D)
+
+    h_ref[...] = jnp.zeros_like(h_ref)  # phi = a_{t+1} gamma_{t+1}
+
+    def bwd_block(i, _):
+        k = n_blocks - 1 - i
+        t0 = k * t_block
+        dt_c = dt_ref[0, pl.ds(t0, t_block), :]
+        x_c = x_ref[0, pl.ds(t0, t_block), :]
+        b_c = b_ref[0, pl.ds(t0, t_block), :]
+        c_c = c_ref[0, pl.ds(t0, t_block), :]
+        g_c = g_ref[0, pl.ds(t0, t_block), :]
+        decay_c = jnp.exp(dt_c[:, None, :] * A[None])
+        u_c = dt_c * x_c
+        outer_c = jax.lax.dot_general(
+            b_c[:, None, :], u_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        w_c = jax.lax.dot_general(  # (T, N, D) = C_t (x) ybar_t
+            c_c[:, None, :], g_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        # recompute h (and h_prev) within the block, ascending
+        h = bound_ref[0, k]
+        h_prevs = []
+        hs = []
+        for t in range(t_block):
+            h_prevs.append(h)
+            h = decay_c[t] * h + outer_c[t]
+            hs.append(h)
+
+        phi = h_ref[...]
+        gammas = []
+        for t in range(t_block - 1, -1, -1):
+            gamma = w_c[t] + phi  # (N, D)
+            gammas.append(gamma)
+            phi = decay_c[t] * gamma
+        h_ref[...] = phi
+        gamma_all = jnp.stack(gammas[::-1], axis=0)  # (T, N, D) ascending
+        h_all = jnp.stack(hs, axis=0)
+        h_prev_all = jnp.stack(h_prevs, axis=0)
+
+        da_all = gamma_all * h_prev_all
+        gB = jax.lax.dot_general(  # (T, 1, D): sum_n gamma * B_n
+            b_c[:, None, :], gamma_all, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]
+        dadec = da_all * decay_c
+        ddt_c = jnp.sum(dadec * A[None], axis=1) + gB * x_c
+        dx_c = gB * dt_c
+        db_c = jax.lax.dot_general(  # (T, 1, N): sum_d gamma * u
+            u_c[:, None, :], gamma_all, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]
+        dc_c = jax.lax.dot_general(  # (T, 1, N): sum_d ybar * h
+            g_c[:, None, :], h_all, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]
+        da_acc = jnp.sum(dadec * dt_c[:, None, :], axis=0)
+
+        dx_ref[0, pl.ds(t0, t_block), :] = dx_c
+        ddt_ref[0, pl.ds(t0, t_block), :] = ddt_c
+        db_ref[0, pl.ds(t0, t_block), :] = db_c
+        dc_ref[0, pl.ds(t0, t_block), :] = dc_c
+        da_ref[0] = jnp.where(i == 0, da_acc, da_ref[0] + da_acc)
+        return ()
+
+    jax.lax.fori_loop(0, n_blocks, bwd_block, ())
+
+
+@jax.jit
+def _scan_bwd_from_ckpt_pallas_call(dt, x, B, C, A, g, bound):
+    batch, length, d_inner = dt.shape
+    n_state = A.shape[0]
+    n_blocks = length // _T_BLOCK
+    ldd = pl.BlockSpec((1, length, d_inner), lambda i: (i, 0, 0))
+    lnn = pl.BlockSpec((1, length, n_state), lambda i: (i, 0, 0))
+    lnd = pl.BlockSpec((1, n_state, d_inner), lambda i: (i, 0, 0))
+    dx, ddt, dB, dC, dA_part = pl.pallas_call(
+        functools.partial(_scan_bwd_kernel_from_ckpt, t_block=_T_BLOCK),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
+            jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
+            jax.ShapeDtypeStruct((batch, length, n_state), dt.dtype),
+            jax.ShapeDtypeStruct((batch, length, n_state), dt.dtype),
+            jax.ShapeDtypeStruct((batch, n_state, d_inner), dt.dtype),
+        ),
+        grid=(batch,),
+        in_specs=[ldd, ldd, lnn, lnn,
+                  pl.BlockSpec((n_state, d_inner), lambda i: (0, 0)), ldd,
+                  pl.BlockSpec((1, n_blocks, n_state, d_inner),
+                               lambda i: (i, 0, 0, 0))],
+        out_specs=(ldd, ldd, lnn, lnn, lnd),
+        scratch_shapes=[pltpu.VMEM((n_state, d_inner), jnp.float32)],
+    )(dt, x, B, C, A, g, bound)
+    return dx, ddt, dA_part.sum(axis=0).T, dB, dC
+
+
+def selective_scan_bwd_from_ckpt_pallas(x, dt, A, B, C, g, bound):
+    """Gradients using forward-saved boundary checkpoints (no phase 1)."""
+    return _scan_bwd_from_ckpt_pallas_call(dt, x, B, C, A.T, g, bound)
+
+
 @jax.jit
 def _scan_bwd_pallas_call(dt, x, B, C, A, g):
     batch, length, d_inner = dt.shape

@@ -16,10 +16,18 @@ def apply_platform_env() -> None:
     value = os.environ.get("JAX_PLATFORMS")
     if not value:
         return
+    # Keep the host CPU platform registered even when the env pins an
+    # accelerator platform (e.g. JAX_PLATFORMS=axon on tunneled TPUs):
+    # the first entry stays the default backend, and host-staged work
+    # (factory.init_model_params) still has a cpu backend to run on.
+    platforms = [p.strip() for p in value.split(",") if p.strip()]
+    if "cpu" not in platforms:
+        platforms.append("cpu")
+    desired = ",".join(platforms)
     import jax
 
     try:
-        if jax.config.jax_platforms != value:
-            jax.config.update("jax_platforms", value)
+        if jax.config.jax_platforms != desired:
+            jax.config.update("jax_platforms", desired)
     except Exception:
         pass

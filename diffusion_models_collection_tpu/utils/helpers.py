@@ -65,11 +65,18 @@ def get_device(device_id: int = None):
 
 def load_config(config_path: Union[str, Path]) -> dict:
     """Load a config dict from a `.py` module (parity: helpers.py:57-70)
-    or, as an extension, a `.json` file."""
+    or, as extensions, a `.json` or `.yaml`/`.yml` file (the reference's
+    README advertises YAML configs but never implements them — here both
+    formats actually work)."""
     path = Path(config_path)
     if path.suffix == ".json":
         with path.open("r", encoding="utf-8") as f:
             return json.load(f)
+    if path.suffix in (".yaml", ".yml"):
+        import yaml
+
+        with path.open("r", encoding="utf-8") as f:
+            return yaml.safe_load(f)
     spec = importlib.util.spec_from_file_location("config", path)
     config_module = importlib.util.module_from_spec(spec)
     sys.modules["config"] = config_module

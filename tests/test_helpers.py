@@ -58,6 +58,15 @@ def test_load_config_json_and_save(tmp_path):
     assert cfg["x"] == 2
 
 
+def test_load_config_yaml(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text("model_type: unet\ntraining:\n  lr: 0.0002\n  epochs: 3\n")
+    cfg = load_config(p)
+    assert cfg["model_type"] == "unet"
+    assert cfg["training"]["lr"] == 2e-4
+    assert cfg["training"]["epochs"] == 3
+
+
 def test_make_grid_layout():
     imgs = np.ones((4, 2, 2, 3), dtype=np.float32)
     grid = make_grid(imgs, nrow=2, padding=1)

@@ -144,3 +144,32 @@ def test_selective_scan_bwd_kernel_parity_interpret():
         outs = ssp.selective_scan_bwd_pallas(x, dt, A, B, C, g)
     for a, r in zip(outs, gref):
         np.testing.assert_allclose(a, r, rtol=1e-4, atol=1e-4)
+
+
+def test_selective_scan_bwd_from_ckpt_parity_interpret():
+    """Forward-saved boundary checkpoints + phase-1-free backward kernel
+    match autodiff of the sequential reference (and the ckpt forward's y
+    matches the plain kernel)."""
+    b, L, d, n = 2, 32, 128, 8
+    ks = jax.random.split(jax.random.PRNGKey(1), 6)
+    x = jax.random.normal(ks[0], (b, L, d))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (b, L, d)))
+    A = -jnp.exp(jax.random.normal(ks[2], (d, n)))
+    B = jax.random.normal(ks[3], (b, L, n))
+    C = jax.random.normal(ks[4], (b, L, n))
+    g = jax.random.normal(ks[5], (b, L, d))
+
+    def loss(args):
+        return jnp.sum(selective_scan_sequential(*args, None) * g)
+
+    gref = jax.grad(loss)((x, dt, A, B, C))
+    with pltpu.force_tpu_interpret_mode():
+        y_plain = ssp.selective_scan_pallas(x, dt, A, B, C, None)
+        y_ckpt, bound = ssp.selective_scan_fwd_ckpt_pallas(x, dt, A, B, C)
+        outs = ssp.selective_scan_bwd_from_ckpt_pallas(
+            x, dt, A, B, C, g, bound
+        )
+    np.testing.assert_allclose(y_ckpt, y_plain, rtol=1e-5, atol=1e-5)
+    assert bound.shape == (b, L // ssp._T_BLOCK, n, d)
+    for a, r in zip(outs, gref):
+        np.testing.assert_allclose(a, r, rtol=1e-4, atol=1e-4)
