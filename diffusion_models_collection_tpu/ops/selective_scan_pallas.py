@@ -1,25 +1,39 @@
-"""Pallas TPU kernel for the Mamba selective scan.
+"""Pallas TPU kernels for the Mamba selective scan.
 
 Why: the XLA associative-scan path materializes the discretized
 (B, L, D, N) decay/drive tensors in HBM and streams them log2(L) times —
 for DiM CIFAR shapes (B=160, L=256, D=768, N=16) that is ~2 GB per buffer
-and measured 1.4 samples/s end-to-end. This kernel keeps the recurrence
-state (N, D) resident in VMEM and streams x/dt once, sequentially over L,
+and measured 1.4 samples/s end-to-end. These kernels keep the recurrence
+state (N, D) resident in VMEM and stream x/dt once, sequentially over L,
 with the (B, L, D, N) tensor never existing anywhere.
 
 Layout: state h is (N, D) per batch element, D on lanes (128-multiple)
 and N on sublanes — every recurrence op is a well-tiled VPU elementwise
-op; B/C stay in natural (L, N) layout and all cross-shape products are
-small `dot_general`s (K=1 outer products, K=N contractions), so there are
-no in-kernel transposes or lane-strided loads (Mosaic rejects both).
+op; B/C stay in natural (L, N) layout.
+
+Cross-shape products are all VPU broadcasts/reductions, NOT MXU dots:
+at N=16 the (N,1)x(1,D) outer products and K=16 / K=D contractions are
+rank-deficient matmuls that waste the 128x128 systolic array, and fp32
+MXU passes cost 3-6x a bf16 pass. Measured on v5e at DiM train shapes
+(B=128, L=256, D=768, N=16):
+
+  * forward: rank-1 dot (one bf16 pass) + K=16 output dot = 2.51 ms with
+    4.9e-3 relative error; broadcast multiply + sublane-sum = 2.15 ms with
+    3.5e-5 error — the exact VPU form is BOTH faster and fp32-exact, so
+    there is no precision/speed knob anymore (the former
+    DMC_TPU_SCAN_EXACT toggle is gone: exact is the only mode).
+  * backward: five HIGHEST-precision dots = 13.4 ms/call; the all-VPU
+    form (broadcast outer/w, sublane-sum over N, lane-sum over D) =
+    4.3 ms/call with an identical error profile vs float64.
 
 Three kernels:
-  * `_scan_kernel` — plain sequential forward (reference variant);
-  * `_scan_kernel_blocked` — forward with the input-dependent decay/drive
-    for T_BLOCK steps batched into one exp + one batched matmul (the
-    default: 23.7 -> 12.8 ms per layer call at DiM CFG shapes);
-  * `_scan_bwd_kernel` — the explicit adjoint (reverse affine recurrence)
-    with block-boundary state checkpoints resident in VMEM.
+  * `_scan_kernel` — plain sequential forward (any L);
+  * `_scan_kernel_blocked(_ckpt)` — forward with the input-dependent
+    decay/drive for T_BLOCK steps batched into one exp + one broadcast
+    multiply (the default; `_ckpt` also emits block-boundary states as
+    custom_vjp residuals);
+  * `_scan_bwd_kernel(_from_ckpt)` — the explicit adjoint (reverse affine
+    recurrence) over VMEM-resident boundary checkpoints.
 
 The op is exposed through `jax.custom_vjp` in ops/selective_scan.py:
 forward and backward both dispatch to these kernels on TPU, with XLA
@@ -37,19 +51,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 
-# Forward-scan contraction precision. DEFAULT (one bf16 MXU pass) measures
-# 8.6 ms vs 12.8 ms HIGHEST per DiM layer call at CFG batch with ~4e-3
-# relative output error — bf16-class noise, standard for SSM inference and
-# far below diffusion sampling noise. DMC_TPU_SCAN_EXACT=1 forces fp32-
-# exact forwards; the BACKWARD kernel always runs HIGHEST (grad quality).
-import os
-
-_FWD_PRECISION = (
-    jax.lax.Precision.HIGHEST
-    if os.environ.get("DMC_TPU_SCAN_EXACT", "0") == "1"
-    else jax.lax.Precision.DEFAULT
-)
-
 
 def _scan_kernel(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref):
     """One grid step: one batch element, full L loop.
@@ -65,8 +66,8 @@ def _scan_kernel(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref):
 
     Per-step reads are single-sublane row slices (lane-contiguous — Mosaic
     rejects lane-strided column loads); the (N,1)x(1,D) outer product and
-    the (1,N)x(N,D) output contraction are K=1 / K=N dot_generals, so no
-    in-kernel transposes are needed.
+    the N-contraction run as VPU broadcast multiply + sublane reduction
+    (fp32-exact, no MXU pass).
     """
     length = dt_ref.shape[1]
     h_ref[...] = jnp.zeros_like(h_ref)
@@ -78,17 +79,11 @@ def _scan_kernel(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref):
         b_t = b_ref[0, pl.ds(t, 1), :]  # (1, N)
         c_t = c_ref[0, pl.ds(t, 1), :]  # (1, N)
         decay = jnp.exp(dt_t * A)  # (N, D): (1,D) bcast over N sublanes
-        outer = jax.lax.dot_general(  # (N, D) outer product, K=1
-            b_t, u_t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_FWD_PRECISION,
-        )
+        outer = b_t[0, :, None] * u_t  # (N, D) outer product on the VPU
         h = decay * h_ref[...] + outer
         h_ref[...] = h
-        y_ref[0, pl.ds(t, 1), :] = jax.lax.dot_general(  # (1, D), K=N
-            c_t, h, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_FWD_PRECISION,
+        y_ref[0, pl.ds(t, 1), :] = jnp.sum(
+            h * c_t[0, :, None], axis=0, keepdims=True
         ).astype(y_ref.dtype)
         return ()
 
@@ -99,7 +94,7 @@ def _scan_kernel_blocked(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref,
                          *, t_block: int):
     """Time-blocked variant: per outer iteration, the input-dependent
     decay/drive for T_BLOCK steps are computed as ONE batched elementwise
-    exp and ONE batched K=1 dot_general (amortizing per-step op overhead
+    exp and ONE broadcast multiply (amortizing per-step op overhead
     ~T_BLOCK x); only the h update itself stays serial, unrolled
     statically so all indexing is compile-time."""
     length = dt_ref.shape[1]
@@ -114,12 +109,7 @@ def _scan_kernel_blocked(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref,
         b_c = b_ref[0, pl.ds(t0, t_block), :]  # (T, N)
         c_c = c_ref[0, pl.ds(t0, t_block), :]  # (T, N)
         decay_c = jnp.exp(dt_c[:, None, :] * A[None])  # (T, N, D)
-        outer_c = jax.lax.dot_general(  # batched outer product (T, N, D)
-            b_c[:, None, :], u_c[:, None, :],
-            (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=_FWD_PRECISION,
-        )
+        outer_c = b_c[:, :, None] * u_c[:, None, :]  # (T, N, D), exact VPU
         h = h_ref[...]
         hs = []
         for t in range(t_block):  # static unroll — serial recurrence only
@@ -127,20 +117,16 @@ def _scan_kernel_blocked(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref,
             hs.append(h)
         h_ref[...] = h
         h_all = jnp.stack(hs, axis=0)  # (T, N, D)
-        y_c = jax.lax.dot_general(  # batched (1,N)x(N,D) contractions
-            c_c[:, None, :], h_all,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=_FWD_PRECISION,
-        )  # (T, 1, D)
-        y_ref[0, pl.ds(t0, t_block), :] = y_c[:, 0, :].astype(y_ref.dtype)
+        y_c = jnp.sum(h_all * c_c[:, :, None], axis=1)  # (T, D) sublane sum
+        y_ref[0, pl.ds(t0, t_block), :] = y_c.astype(y_ref.dtype)
         return ()
 
     jax.lax.fori_loop(0, n_blocks, outer, ())
 
 
 _T_BLOCK = 16  # swept on v5e: 8 -> 13.7 ms, 16 -> 12.8 ms, 32 -> 12.9 ms
-               # (vs 23.7 ms unblocked) at (160, 256, 768, 16)
+               # (vs 23.7 ms unblocked) at (160, 256, 768, 16), dot-based
+               # kernels; the VPU form keeps the same optimum at 16.
 
 
 @jax.jit
@@ -179,18 +165,65 @@ def _scan_pallas_call(dt, u, B, C, A):
     )(dt, u, B, C, A)
 
 
+def _bwd_block_body(dt_c, x_c, b_c, c_c, g_c, A, h_start, phi,
+                    *, t_block: int):
+    """Shared reverse-sweep math for one time block (all-VPU form).
+
+    Math (see ops/selective_scan.py:_core_bwd): the adjoint
+    gamma_t = dL/dh_t obeys the REVERSE affine recurrence
+    gamma_t = C_t ybar_t + a_{t+1} gamma_{t+1}. h is recomputed inside the
+    block from the entering state `h_start` (static unroll); `phi` carries
+    a_{t+1} gamma_{t+1} across blocks. Every cross-shape product is a VPU
+    broadcast multiply or an axis reduction (sublane over N, lane over D):
+    fp32-exact, no MXU pass — measured 3.1x faster than the dot-based form
+    at DiM train shapes with an identical error profile vs float64.
+
+    Returns (phi_out, dx_c, ddt_c, db_c, dc_c, da_acc).
+    """
+    decay_c = jnp.exp(dt_c[:, None, :] * A[None])  # (T, N, D)
+    u_c = dt_c * x_c
+    outer_c = b_c[:, :, None] * u_c[:, None, :]  # (T, N, D)
+    w_c = c_c[:, :, None] * g_c[:, None, :]  # (T, N, D) = C_t (x) ybar_t
+
+    # recompute h (and h_prev) within the block, ascending
+    h = h_start
+    h_prevs = []
+    hs = []
+    for t in range(t_block):
+        h_prevs.append(h)
+        h = decay_c[t] * h + outer_c[t]
+        hs.append(h)
+
+    # reverse sweep: only the gamma recurrence is serial; every gradient
+    # contraction batches over the block.
+    gammas = []
+    for t in range(t_block - 1, -1, -1):
+        gamma = w_c[t] + phi  # (N, D)
+        gammas.append(gamma)
+        phi = decay_c[t] * gamma
+    gamma_all = jnp.stack(gammas[::-1], axis=0)  # (T, N, D) ascending
+    h_all = jnp.stack(hs, axis=0)  # (T, N, D)
+    h_prev_all = jnp.stack(h_prevs, axis=0)  # (T, N, D)
+
+    da_all = gamma_all * h_prev_all  # (T, N, D)
+    gB = jnp.sum(gamma_all * b_c[:, :, None], axis=1)  # (T, D) sublane sum
+    dadec = da_all * decay_c  # (T, N, D)
+    ddt_c = jnp.sum(dadec * A[None], axis=1) + gB * x_c  # (T, D)
+    dx_c = gB * dt_c  # (T, D)
+    db_c = jnp.sum(gamma_all * u_c[:, None, :], axis=2)  # (T, N) lane sum
+    dc_c = jnp.sum(h_all * g_c[:, None, :], axis=2)  # (T, N) lane sum
+    da_acc = jnp.sum(dadec * dt_c[:, None, :], axis=0)  # (N, D)
+    return phi, dx_c, ddt_c, db_c, dc_c, da_acc
+
+
 def _scan_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
                      dx_ref, ddt_ref, db_ref, dc_ref, da_ref,
                      h_ref, bound_ref, *, t_block: int):
     """Backward pass for the selective scan, one batch element per program.
 
-    Math (see ops/selective_scan.py:_core_bwd): the adjoint
-    gamma_t = dL/dh_t obeys the REVERSE affine recurrence
-    gamma_t = C_t ybar_t + a_{t+1} gamma_{t+1}. Phase 1 sweeps forward
-    storing h at t_block boundaries in VMEM; phase 2 sweeps blocks in
-    reverse, recomputing h inside the block (static unroll) and emitting
-    all gradients. Every contraction is a (1,*)x(*,D) dot_general — no
-    transposes, no lane-strided access.
+    Phase 1 sweeps forward storing h at t_block boundaries in VMEM;
+    phase 2 sweeps blocks in reverse via `_bwd_block_body`. Used only when
+    the forward ran without checkpoint residuals (see `_core_bwd`).
 
     Refs: dt/x/g (1, L, D); b/c (1, L, N); a (N, D) [=A^T];
     outs dx/ddt (1, L, D); db/dc (1, L, N); da (1, N, D) partial;
@@ -211,11 +244,7 @@ def _scan_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
         b_c = b_ref[0, pl.ds(t0, t_block), :]
         decay_c = jnp.exp(dt_c[:, None, :] * A[None])
         u_c = dt_c * x_c
-        outer_c = jax.lax.dot_general(
-            b_c[:, None, :], u_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        outer_c = b_c[:, :, None] * u_c[:, None, :]
         h = h_ref[...]
         for t in range(t_block):
             h = decay_c[t] * h + outer_c[t]
@@ -230,68 +259,15 @@ def _scan_bwd_kernel(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
     def bwd_block(i, _):
         k = n_blocks - 1 - i
         t0 = k * t_block
-        dt_c = dt_ref[0, pl.ds(t0, t_block), :]
-        x_c = x_ref[0, pl.ds(t0, t_block), :]
-        b_c = b_ref[0, pl.ds(t0, t_block), :]
-        c_c = c_ref[0, pl.ds(t0, t_block), :]
-        g_c = g_ref[0, pl.ds(t0, t_block), :]
-        decay_c = jnp.exp(dt_c[:, None, :] * A[None])
-        u_c = dt_c * x_c
-        outer_c = jax.lax.dot_general(
-            b_c[:, None, :], u_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        phi, dx_c, ddt_c, db_c, dc_c, da_acc = _bwd_block_body(
+            dt_ref[0, pl.ds(t0, t_block), :],
+            x_ref[0, pl.ds(t0, t_block), :],
+            b_ref[0, pl.ds(t0, t_block), :],
+            c_ref[0, pl.ds(t0, t_block), :],
+            g_ref[0, pl.ds(t0, t_block), :],
+            A, bound_ref[k], h_ref[...], t_block=t_block,
         )
-        w_c = jax.lax.dot_general(  # (T, N, D) = C_t (x) ybar_t
-            c_c[:, None, :], g_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-        # recompute h (and h_prev) within the block, ascending
-        h = bound_ref[k]
-        h_prevs = []
-        hs = []
-        for t in range(t_block):
-            h_prevs.append(h)
-            h = decay_c[t] * h + outer_c[t]
-            hs.append(h)
-
-        # reverse sweep: only the gamma recurrence is serial; all gradient
-        # contractions batch over the block (one dot per quantity instead
-        # of one per step — same pattern as the blocked forward).
-        phi = h_ref[...]
-        gammas = []
-        for t in range(t_block - 1, -1, -1):
-            gamma = w_c[t] + phi  # (N, D)
-            gammas.append(gamma)
-            phi = decay_c[t] * gamma
         h_ref[...] = phi
-        gamma_all = jnp.stack(gammas[::-1], axis=0)  # (T, N, D) ascending
-        h_all = jnp.stack(hs, axis=0)  # (T, N, D)
-        h_prev_all = jnp.stack(h_prevs, axis=0)  # (T, N, D)
-
-        da_all = gamma_all * h_prev_all  # (T, N, D)
-        gB = jax.lax.dot_general(  # (T, 1, D): sum_n gamma * B_n
-            b_c[:, None, :], gamma_all, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]
-        dadec = da_all * decay_c  # (T, N, D)
-        ddt_c = jnp.sum(dadec * A[None], axis=1) + gB * x_c  # (T, D)
-        dx_c = gB * dt_c  # (T, D)
-        db_c = jax.lax.dot_general(  # (T, 1, N): sum_d gamma * u
-            u_c[:, None, :], gamma_all, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]
-        dc_c = jax.lax.dot_general(  # (T, 1, N): sum_d ybar * h
-            g_c[:, None, :], h_all, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]
-        da_acc = jnp.sum(dadec * dt_c[:, None, :], axis=0)  # (N, D)
-
         dx_ref[0, pl.ds(t0, t_block), :] = dx_c
         ddt_ref[0, pl.ds(t0, t_block), :] = ddt_c
         db_ref[0, pl.ds(t0, t_block), :] = db_c
@@ -324,11 +300,7 @@ def _scan_kernel_blocked_ckpt(dt_ref, u_ref, b_ref, c_ref, a_ref,
         b_c = b_ref[0, pl.ds(t0, t_block), :]
         c_c = c_ref[0, pl.ds(t0, t_block), :]
         decay_c = jnp.exp(dt_c[:, None, :] * A[None])
-        outer_c = jax.lax.dot_general(
-            b_c[:, None, :], u_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=_FWD_PRECISION,
-        )
+        outer_c = b_c[:, :, None] * u_c[:, None, :]
         h = h_ref[...]
         hs = []
         for t in range(t_block):
@@ -336,12 +308,8 @@ def _scan_kernel_blocked_ckpt(dt_ref, u_ref, b_ref, c_ref, a_ref,
             hs.append(h)
         h_ref[...] = h
         h_all = jnp.stack(hs, axis=0)
-        y_c = jax.lax.dot_general(
-            c_c[:, None, :], h_all, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=_FWD_PRECISION,
-        )
-        y_ref[0, pl.ds(t0, t_block), :] = y_c[:, 0, :].astype(y_ref.dtype)
+        y_c = jnp.sum(h_all * c_c[:, :, None], axis=1)
+        y_ref[0, pl.ds(t0, t_block), :] = y_c.astype(y_ref.dtype)
         return ()
 
     jax.lax.fori_loop(0, n_blocks, outer, ())
@@ -389,7 +357,7 @@ def _scan_bwd_kernel_from_ckpt(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
                                da_ref, h_ref, *, t_block: int):
     """Backward WITHOUT phase 1: boundary states arrive as an input
     (emitted by the forward pass), so only the reverse block sweep runs.
-    Same math as `_scan_bwd_kernel` phase 2; see that docstring."""
+    See `_bwd_block_body` for the math."""
     length = dt_ref.shape[1]
     n_blocks = length // t_block
     A = a_ref[...]  # (N, D)
@@ -399,65 +367,15 @@ def _scan_bwd_kernel_from_ckpt(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
     def bwd_block(i, _):
         k = n_blocks - 1 - i
         t0 = k * t_block
-        dt_c = dt_ref[0, pl.ds(t0, t_block), :]
-        x_c = x_ref[0, pl.ds(t0, t_block), :]
-        b_c = b_ref[0, pl.ds(t0, t_block), :]
-        c_c = c_ref[0, pl.ds(t0, t_block), :]
-        g_c = g_ref[0, pl.ds(t0, t_block), :]
-        decay_c = jnp.exp(dt_c[:, None, :] * A[None])
-        u_c = dt_c * x_c
-        outer_c = jax.lax.dot_general(
-            b_c[:, None, :], u_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        phi, dx_c, ddt_c, db_c, dc_c, da_acc = _bwd_block_body(
+            dt_ref[0, pl.ds(t0, t_block), :],
+            x_ref[0, pl.ds(t0, t_block), :],
+            b_ref[0, pl.ds(t0, t_block), :],
+            c_ref[0, pl.ds(t0, t_block), :],
+            g_ref[0, pl.ds(t0, t_block), :],
+            A, bound_ref[0, k], h_ref[...], t_block=t_block,
         )
-        w_c = jax.lax.dot_general(  # (T, N, D) = C_t (x) ybar_t
-            c_c[:, None, :], g_c[:, None, :], (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-        # recompute h (and h_prev) within the block, ascending
-        h = bound_ref[0, k]
-        h_prevs = []
-        hs = []
-        for t in range(t_block):
-            h_prevs.append(h)
-            h = decay_c[t] * h + outer_c[t]
-            hs.append(h)
-
-        phi = h_ref[...]
-        gammas = []
-        for t in range(t_block - 1, -1, -1):
-            gamma = w_c[t] + phi  # (N, D)
-            gammas.append(gamma)
-            phi = decay_c[t] * gamma
         h_ref[...] = phi
-        gamma_all = jnp.stack(gammas[::-1], axis=0)  # (T, N, D) ascending
-        h_all = jnp.stack(hs, axis=0)
-        h_prev_all = jnp.stack(h_prevs, axis=0)
-
-        da_all = gamma_all * h_prev_all
-        gB = jax.lax.dot_general(  # (T, 1, D): sum_n gamma * B_n
-            b_c[:, None, :], gamma_all, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]
-        dadec = da_all * decay_c
-        ddt_c = jnp.sum(dadec * A[None], axis=1) + gB * x_c
-        dx_c = gB * dt_c
-        db_c = jax.lax.dot_general(  # (T, 1, N): sum_d gamma * u
-            u_c[:, None, :], gamma_all, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]
-        dc_c = jax.lax.dot_general(  # (T, 1, N): sum_d ybar * h
-            g_c[:, None, :], h_all, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]
-        da_acc = jnp.sum(dadec * dt_c[:, None, :], axis=0)
-
         dx_ref[0, pl.ds(t0, t_block), :] = dx_c
         ddt_ref[0, pl.ds(t0, t_block), :] = ddt_c
         db_ref[0, pl.ds(t0, t_block), :] = db_c
