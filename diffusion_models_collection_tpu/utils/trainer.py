@@ -115,6 +115,13 @@ class DiffusionTrainer:
         self.cfg_scale = cfg.get("cfg_scale", 1.8)
         self.use_ema = cfg.get("use_ema", False)
         self.ema_decay = cfg.get("ema_decay", 0.9999)
+        # Dropout-mask PRNG. 'rbg' (XLA RngBitGenerator) is the default:
+        # threefry mask generation measured +50 ms/step on the DiM CIFAR
+        # train step on v5e vs +6 ms for rbg (dropout is iid Bernoulli —
+        # any counter-based stream satisfies the reference semantics, and
+        # runs stay seed-deterministic per backend). 'threefry' opts back
+        # into JAX's default stream.
+        self.dropout_rng_impl = cfg.get("dropout_rng_impl", "rbg")
         self.conditional = cfg.get("conditional", False)
         self.num_classes = cfg.get("num_classes", None)
         self.image_size = resolve_image_size(cfg.get("image_size", 32))
@@ -200,9 +207,24 @@ class DiffusionTrainer:
         use_ema = self.use_ema
         ema_decay = float(self.ema_decay)
         is_multisteps = isinstance(optimizer, optax.MultiSteps)
+        dropout_rng_impl = self.dropout_rng_impl
+
+        def _dropout_key(raw):
+            """Re-key the dropout stream on the configured PRNG impl."""
+            if dropout_rng_impl in (None, "threefry", "default"):
+                return raw
+            data = raw
+            if jnp.issubdtype(data.dtype, jax.dtypes.prng_key):
+                data = jax.random.key_data(data)
+            data = data.astype(jnp.uint32).reshape(-1)
+            reps = -(-4 // data.shape[0])  # rbg keys are 4x uint32
+            return jax.random.wrap_key_data(
+                jnp.tile(data, reps)[:4], impl=dropout_rng_impl
+            )
 
         def train_step(state: TrainState, images, labels, rng):
             t_rng, noise_rng, drop_rng, dropout_rng = jax.random.split(rng, 4)
+            dropout_rng = _dropout_key(dropout_rng)
             batch = images.shape[0]
             t = jax.random.randint(t_rng, (batch,), 0, num_timesteps)
             noise = jax.random.normal(noise_rng, images.shape, images.dtype)

@@ -157,6 +157,14 @@ def test_train_loss_decreases(tmp_path):
     assert min(losses) < l1, (l1, losses)
 
 
+def test_dropout_rng_impl_threefry_optout(tmp_path):
+    """`dropout_rng_impl: threefry` opts back into the JAX-default stream;
+    both impls must train to finite losses (default path is 'rbg' and is
+    exercised by every other trainer test)."""
+    trainer, _ = make_trainer(tmp_path, dropout_rng_impl="threefry")
+    assert math.isfinite(trainer.train_epoch(1))
+
+
 def test_trainer_conditional_runs(tmp_path):
     trainer, cfg = make_trainer(
         tmp_path, conditional=True, num_classes=10,
