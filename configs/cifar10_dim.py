@@ -31,6 +31,9 @@ config = {
     'beta_end': 0.02,
     'beta_schedule': 'linear',
     'loss_type': 'l2',
+    # 'bf16' = bfloat16 compute with fp32 master weights (+25-35%
+    # train throughput on TPU); 'none' = full fp32 (reference parity)
+    'mixed_precision': 'none',
     'cfg_scale': 1.8,
 
     'num_inference_steps': 50,

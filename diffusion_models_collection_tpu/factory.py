@@ -45,6 +45,16 @@ def get_model(config: dict):
         if key in model_params and isinstance(model_params[key], list):
             model_params[key] = tuple(model_params[key])
 
+    # Mixed precision: 'bf16' runs the model's matmuls/convs/activations in
+    # bfloat16 while params, optimizer state and the loss stay fp32 (master
+    # weights). TPU-native policy — params cast per-layer, no loss scaling
+    # needed (bf16 shares fp32's exponent range).
+    mp = str(config.get("mixed_precision", "none") or "none").lower()
+    if mp in ("bf16", "bfloat16"):
+        model_params["dtype"] = jnp.bfloat16
+    elif mp not in ("none", "fp32", "float32", "off", "false"):
+        raise ValueError(f"Unknown mixed_precision: {mp!r}")
+
     try:
         cls = MODEL_CLASSES[model_type]
     except KeyError:

@@ -18,7 +18,7 @@ log-uniform[1e-3, 0.1]) — better conditioned; divergence documented here.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,8 @@ from .layers import (
     modulate,
     unpatchify,
 )
+
+Dtype = Any
 
 
 def _a_log_init(key, shape, dtype=jnp.float32):
@@ -65,6 +67,7 @@ class Mamba(nn.Module):
     d_conv: int = 4
     expand: int = 2
     scan_chunk_size: Optional[int] = None
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, u):
@@ -75,6 +78,7 @@ class Mamba(nn.Module):
         xz = nn.Dense(
             2 * d_inner,
             use_bias=False,
+            dtype=self.dtype,
             kernel_init=init.torch_default_kernel,
         )(u)
         x, z = jnp.split(xz, 2, axis=-1)
@@ -85,6 +89,7 @@ class Mamba(nn.Module):
             kernel_size=(self.d_conv,),
             padding=((self.d_conv - 1, 0),),
             feature_group_count=d_inner,
+            dtype=self.dtype,
             kernel_init=init.torch_default_kernel,
             bias_init=init.torch_default_bias(self.d_conv),
         )(x)
@@ -94,6 +99,7 @@ class Mamba(nn.Module):
         x_dbl = nn.Dense(
             dt_rank + 2 * self.d_state,
             use_bias=False,
+            dtype=self.dtype,
             kernel_init=init.torch_default_kernel,
         )(x)
         dt, B, C = jnp.split(x_dbl, [dt_rank, dt_rank + self.d_state], axis=-1)
@@ -106,6 +112,7 @@ class Mamba(nn.Module):
 
         dt = nn.Dense(
             d_inner,
+            dtype=self.dtype,
             kernel_init=_dt_kernel_init,
             bias_init=_dt_bias_init(),
         )(dt)
@@ -115,10 +122,23 @@ class Mamba(nn.Module):
         A = -jnp.exp(A_log)
         D = self.param("D", nn.initializers.ones, (d_inner,))
 
-        y = selective_scan(x, dt, A, B, C, D, chunk_size=self.scan_chunk_size)
+        # The selective-scan kernels are fp32 (the recurrence compounds
+        # rounding over L — bf16 state drifts); cast in/out at the boundary.
+        y = selective_scan(
+            x.astype(jnp.float32),
+            dt.astype(jnp.float32),
+            A,
+            B.astype(jnp.float32),
+            C.astype(jnp.float32),
+            D,
+            chunk_size=self.scan_chunk_size,
+        )
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
         y = y * nn.silu(z)
         return nn.Dense(
-            self.d_model, use_bias=False, kernel_init=init.torch_default_kernel
+            self.d_model, use_bias=False, dtype=self.dtype,
+            kernel_init=init.torch_default_kernel
         )(y)
 
 
@@ -133,11 +153,13 @@ class MambaBlock(nn.Module):
     state_size: int = 16
     dropout: float = 0.1
     use_attention_fallback: bool = False
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
-        shift, scale, gate = AdaLNModulation(self.hidden_size, 3)(c)
-        h = nn.LayerNorm(epsilon=1e-6)(x)
+        shift, scale, gate = AdaLNModulation(self.hidden_size, 3,
+                                             dtype=self.dtype)(c)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         h = modulate(h, shift, scale)
         if self.use_attention_fallback:
             rng = (
@@ -150,7 +172,7 @@ class MambaBlock(nn.Module):
                 dropout_rng=rng,
             )
         else:
-            h = Mamba(self.hidden_size, self.state_size)(h)
+            h = Mamba(self.hidden_size, self.state_size, dtype=self.dtype)(h)
         return x + gate[:, None, :] * h
 
 
@@ -160,14 +182,16 @@ class FeedForward(nn.Module):
     hidden_size: int
     mlp_ratio: float = 4.0
     dropout: float = 0.1
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
-        shift, scale, gate = AdaLNModulation(self.hidden_size, 3)(c)
-        h = nn.LayerNorm(epsilon=1e-6)(x)
+        shift, scale, gate = AdaLNModulation(self.hidden_size, 3,
+                                             dtype=self.dtype)(c)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         h = modulate(h, shift, scale)
         h = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
-                self.dropout)(h, train)
+                self.dropout, self.dtype)(h, train)
         return x + gate[:, None, :] * h
 
 
@@ -179,16 +203,16 @@ class DiMBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.1
     use_attention_fallback: bool = False
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
         x = MambaBlock(
             self.hidden_size, self.state_size, self.dropout,
-            self.use_attention_fallback,
+            self.use_attention_fallback, self.dtype,
         )(x, c, train)
-        x = FeedForward(self.hidden_size, self.mlp_ratio, self.dropout)(
-            x, c, train
-        )
+        x = FeedForward(self.hidden_size, self.mlp_ratio, self.dropout,
+                        self.dtype)(x, c, train)
         return x
 
 
@@ -198,14 +222,16 @@ class DiMFinalLayer(nn.Module):
     hidden_size: int
     patch_size: int
     out_channels: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, c):
-        shift, scale = AdaLNModulation(self.hidden_size, 2)(c)
-        x = nn.LayerNorm(epsilon=1e-6)(x)
+        shift, scale = AdaLNModulation(self.hidden_size, 2, dtype=self.dtype)(c)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         x = modulate(x, shift, scale)
         return nn.Dense(
             self.patch_size * self.patch_size * self.out_channels,
+            dtype=self.dtype,
             kernel_init=init.zeros,
             bias_init=init.zeros,
         )(x)
@@ -224,6 +250,7 @@ class DiM(nn.Module):
     num_classes: Optional[int] = None
     dropout: float = 0.1
     use_attention_fallback: bool = False
+    dtype: Optional[Dtype] = None
 
     def _hw(self) -> Tuple[int, int]:
         if isinstance(self.img_size, int):
@@ -237,15 +264,16 @@ class DiM(nn.Module):
         w_tokens = img_w // self.patch_size
         num_patches = h_tokens * w_tokens
 
-        x = PatchEmbed(self.patch_size, self.hidden_size)(x)
+        x = PatchEmbed(self.patch_size, self.hidden_size, self.dtype)(x)
         pos_embed = self.param(
             "pos_embed", init.normal_002, (1, num_patches, self.hidden_size)
         )
-        x = x + pos_embed
+        x = x + pos_embed.astype(x.dtype)
 
-        c = TimestepEmbedder(self.hidden_size)(t)
+        c = TimestepEmbedder(self.hidden_size, dtype=self.dtype)(t)
         if self.num_classes is not None and y is not None:
-            c = c + LabelEmbedder(self.num_classes, self.hidden_size)(y)
+            c = c + LabelEmbedder(self.num_classes, self.hidden_size,
+                                  self.dtype)(y)
 
         for _ in range(self.depth):
             x = DiMBlock(
@@ -254,9 +282,11 @@ class DiM(nn.Module):
                 self.mlp_ratio,
                 self.dropout,
                 self.use_attention_fallback,
+                self.dtype,
             )(x, c, train)
 
-        x = DiMFinalLayer(self.hidden_size, self.patch_size, self.in_channels)(
-            x, c
-        )
-        return unpatchify(x, h_tokens, w_tokens, self.patch_size, self.in_channels)
+        x = DiMFinalLayer(self.hidden_size, self.patch_size, self.in_channels,
+                          self.dtype)(x, c)
+        x = unpatchify(x, h_tokens, w_tokens, self.patch_size, self.in_channels)
+        # uniform eps contract: fp32 out regardless of compute dtype
+        return x.astype(jnp.float32)

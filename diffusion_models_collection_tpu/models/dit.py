@@ -10,7 +10,7 @@ model starts as an identity-residual network exactly like the reference.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Any, Optional, Tuple, Union
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -26,6 +26,8 @@ from .layers import (
     unpatchify,
 )
 
+Dtype = Any
+
 
 class SelfAttention(nn.Module):
     """QKV self-attention (parity: torch nn.MultiheadAttention at
@@ -34,12 +36,14 @@ class SelfAttention(nn.Module):
 
     num_heads: int
     dropout: float = 0.0
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dim = x.shape[-1]
         qkv = nn.Dense(
-            3 * dim, kernel_init=init.xavier_uniform, bias_init=init.zeros
+            3 * dim, dtype=self.dtype,
+            kernel_init=init.xavier_uniform, bias_init=init.zeros
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         rng = self.make_rng("dropout") if (train and self.dropout > 0) else None
@@ -53,7 +57,8 @@ class SelfAttention(nn.Module):
             dropout_rng=rng,
         )
         return nn.Dense(
-            dim, kernel_init=init.xavier_uniform, bias_init=init.zeros
+            dim, dtype=self.dtype,
+            kernel_init=init.xavier_uniform, bias_init=init.zeros
         )(out)
 
 
@@ -63,16 +68,19 @@ class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     dropout: float = 0.1
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Dense(
-            self.hidden_dim, kernel_init=init.xavier_uniform, bias_init=init.zeros
+            self.hidden_dim, dtype=self.dtype,
+            kernel_init=init.xavier_uniform, bias_init=init.zeros
         )(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(
-            self.out_dim, kernel_init=init.xavier_uniform, bias_init=init.zeros
+            self.out_dim, dtype=self.dtype,
+            kernel_init=init.xavier_uniform, bias_init=init.zeros
         )(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -85,21 +93,24 @@ class DiTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dropout: float = 0.1
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
         (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = (
-            AdaLNModulation(self.hidden_size, 6)(c)
+            AdaLNModulation(self.hidden_size, 6, dtype=self.dtype)(c)
         )
-        h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False)(x)
+        h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                         dtype=self.dtype)(x)
         h = modulate(h, shift_msa, scale_msa)
-        h = SelfAttention(self.num_heads, self.dropout)(h, train)
+        h = SelfAttention(self.num_heads, self.dropout, self.dtype)(h, train)
         x = x + gate_msa[:, None, :] * h
 
-        h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False)(x)
+        h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                         dtype=self.dtype)(x)
         h = modulate(h, shift_mlp, scale_mlp)
         h = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
-                self.dropout)(h, train)
+                self.dropout, self.dtype)(h, train)
         x = x + gate_mlp[:, None, :] * h
         return x
 
@@ -110,14 +121,17 @@ class FinalLayer(nn.Module):
     hidden_size: int
     patch_size: int
     out_channels: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, c):
-        shift, scale = AdaLNModulation(self.hidden_size, 2)(c)
-        x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False)(x)
+        shift, scale = AdaLNModulation(self.hidden_size, 2, dtype=self.dtype)(c)
+        x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                         dtype=self.dtype)(x)
         x = modulate(x, shift, scale)
         return nn.Dense(
             self.patch_size * self.patch_size * self.out_channels,
+            dtype=self.dtype,
             kernel_init=init.zeros,
             bias_init=init.zeros,
         )(x)
@@ -138,6 +152,7 @@ class DiT(nn.Module):
     mlp_ratio: float = 4.0
     num_classes: Optional[int] = None
     dropout: float = 0.1
+    dtype: Optional[Dtype] = None
 
     def _hw(self) -> Tuple[int, int]:
         if isinstance(self.img_size, int):
@@ -151,20 +166,25 @@ class DiT(nn.Module):
         w_tokens = img_w // self.patch_size
         num_patches = h_tokens * w_tokens
 
-        x = PatchEmbed(self.patch_size, self.hidden_size)(x)
+        x = PatchEmbed(self.patch_size, self.hidden_size, self.dtype)(x)
         pos_embed = self.param(
             "pos_embed", init.normal_002, (1, num_patches, self.hidden_size)
         )
-        x = x + pos_embed
+        x = x + pos_embed.astype(x.dtype)
 
-        c = TimestepEmbedder(self.hidden_size)(t)
+        c = TimestepEmbedder(self.hidden_size, dtype=self.dtype)(t)
         if self.num_classes is not None and y is not None:
-            c = c + LabelEmbedder(self.num_classes, self.hidden_size)(y)
+            c = c + LabelEmbedder(self.num_classes, self.hidden_size,
+                                  self.dtype)(y)
 
         for _ in range(self.depth):
             x = DiTBlock(
-                self.hidden_size, self.num_heads, self.mlp_ratio, self.dropout
+                self.hidden_size, self.num_heads, self.mlp_ratio, self.dropout,
+                self.dtype,
             )(x, c, train)
 
-        x = FinalLayer(self.hidden_size, self.patch_size, self.in_channels)(x, c)
-        return unpatchify(x, h_tokens, w_tokens, self.patch_size, self.in_channels)
+        x = FinalLayer(self.hidden_size, self.patch_size, self.in_channels,
+                       self.dtype)(x, c)
+        x = unpatchify(x, h_tokens, w_tokens, self.patch_size, self.in_channels)
+        # uniform eps contract: fp32 out regardless of compute dtype
+        return x.astype(jnp.float32)

@@ -9,12 +9,20 @@ images / (B, L, D) token sequences, the native TPU layouts.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 from . import initializers as init
+
+# Compute dtype for mixed-precision execution. Modules accept a `dtype`
+# attribute (flax convention): None keeps full fp32; jnp.bfloat16 runs the
+# matmuls/convs and activations in bf16 while parameters stay fp32
+# (param_dtype default) — the TPU-native mixed-precision policy. Sinusoidal
+# embeddings always *compute* their trig args in fp32 (t spans [0, 1000) —
+# bf16's 8-bit mantissa would alias timesteps) and cast only the result.
+Dtype = Any
 
 
 def sinusoidal_time_embedding_unet(t: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -47,19 +55,24 @@ class UNetTimeEmbed(nn.Module):
     """Sinusoidal features -> MLP (reference models/unet.py:166-172)."""
 
     model_channels: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
         dim = self.model_channels * 4
         h = sinusoidal_time_embedding_unet(t, self.model_channels)
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
         h = nn.Dense(
             dim,
+            dtype=self.dtype,
             kernel_init=init.torch_default_kernel,
             bias_init=init.torch_default_bias(self.model_channels),
         )(h)
         h = nn.silu(h)
         h = nn.Dense(
             dim,
+            dtype=self.dtype,
             kernel_init=init.torch_default_kernel,
             bias_init=init.torch_default_bias(dim),
         )(h)
@@ -71,14 +84,19 @@ class TimestepEmbedder(nn.Module):
 
     hidden_size: int
     frequency_embedding_size: int = 256
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
         h = sinusoidal_time_embedding_dit(t, self.frequency_embedding_size)
-        h = nn.Dense(self.hidden_size, kernel_init=init.xavier_uniform,
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
+        h = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     kernel_init=init.xavier_uniform,
                      bias_init=init.zeros)(h)
         h = nn.silu(h)
-        h = nn.Dense(self.hidden_size, kernel_init=init.xavier_uniform,
+        h = nn.Dense(self.hidden_size, dtype=self.dtype,
+                     kernel_init=init.xavier_uniform,
                      bias_init=init.zeros)(h)
         return h
 
@@ -95,6 +113,7 @@ class LabelEmbedder(nn.Module):
 
     num_classes: int
     hidden_size: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, y: jnp.ndarray) -> jnp.ndarray:
@@ -103,6 +122,8 @@ class LabelEmbedder(nn.Module):
             init.embedding_with_null_row,
             (self.num_classes + 1, self.hidden_size),
         )
+        if self.dtype is not None:
+            table = table.astype(self.dtype)
         y = jnp.clip(y, 0, self.num_classes)
         emb = jnp.take(table, y, axis=0)
         return emb * (y != 0).astype(emb.dtype)[:, None]
@@ -117,6 +138,7 @@ class PatchEmbed(nn.Module):
 
     patch_size: int
     embed_dim: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -127,6 +149,7 @@ class PatchEmbed(nn.Module):
             kernel_size=(p, p),
             strides=(p, p),
             padding="VALID",
+            dtype=self.dtype,
             kernel_init=init.torch_default_kernel,
             bias_init=init.torch_default_bias(c * p * p),
         )(x)
@@ -160,11 +183,13 @@ class AdaLNModulation(nn.Module):
 
     dim: int
     n_chunks: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, c: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
         h = nn.Dense(
             self.n_chunks * self.dim,
+            dtype=self.dtype,
             kernel_init=init.zeros,
             bias_init=init.zeros,
         )(nn.silu(c))

@@ -17,7 +17,7 @@ CFG null class (labels pre-shifted +1 by the trainer).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -25,6 +25,8 @@ from flax import linen as nn
 from ..ops import group_norm_silu, multihead_attention
 from . import initializers as init
 from .layers import LabelEmbedder, UNetTimeEmbed
+
+Dtype = Any
 
 
 class FusedGroupNormSiLU(nn.Module):
@@ -35,30 +37,37 @@ class FusedGroupNormSiLU(nn.Module):
     """
 
     num_groups: int = 8
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        return group_norm_silu(x, scale, bias, self.num_groups)
+        # normalization stats always in fp32 (group reductions over
+        # H*W*C/G elements lose too much in bf16); only the output is cast
+        y = group_norm_silu(x.astype(jnp.float32), scale, bias,
+                            self.num_groups)
+        return y.astype(self.dtype) if self.dtype is not None else y
 
 
-def _conv3(features: int, in_ch: int, strides: int = 1) -> nn.Conv:
+def _conv3(features: int, in_ch: int, strides: int = 1, dtype=None) -> nn.Conv:
     return nn.Conv(
         features,
         kernel_size=(3, 3),
         strides=(strides, strides),
         padding=((1, 1), (1, 1)),
+        dtype=dtype,
         kernel_init=init.torch_default_kernel,
         bias_init=init.torch_default_bias(in_ch * 9),
     )
 
 
-def _conv1(features: int, in_ch: int) -> nn.Conv:
+def _conv1(features: int, in_ch: int, dtype=None) -> nn.Conv:
     return nn.Conv(
         features,
         kernel_size=(1, 1),
+        dtype=dtype,
         kernel_init=init.torch_default_kernel,
         bias_init=init.torch_default_bias(in_ch),
     )
@@ -71,16 +80,18 @@ class ResidualBlock(nn.Module):
     out_channels: int
     conditional: bool = False
     dropout: float = 0.1
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, t_emb, y_emb=None, train: bool = False):
         in_ch = x.shape[-1]
-        h = FusedGroupNormSiLU()(x)
-        h = _conv3(self.out_channels, in_ch)(h)
+        h = FusedGroupNormSiLU(dtype=self.dtype)(x)
+        h = _conv3(self.out_channels, in_ch, dtype=self.dtype)(h)
 
         t_dim = t_emb.shape[-1]
         h = h + nn.Dense(
             self.out_channels,
+            dtype=self.dtype,
             kernel_init=init.torch_default_kernel,
             bias_init=init.torch_default_bias(t_dim),
         )(nn.silu(t_emb))[:, None, None, :]
@@ -89,15 +100,16 @@ class ResidualBlock(nn.Module):
             h = h + nn.Dense(
                 self.out_channels,
                 use_bias=False,
+                dtype=self.dtype,
                 kernel_init=init.torch_default_kernel,
             )(nn.silu(y_emb))[:, None, None, :]
 
-        h = FusedGroupNormSiLU()(h)
+        h = FusedGroupNormSiLU(dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = _conv3(self.out_channels, self.out_channels)(h)
+        h = _conv3(self.out_channels, self.out_channels, dtype=self.dtype)(h)
 
         if in_ch != self.out_channels:
-            x = _conv1(self.out_channels, in_ch)(x)
+            x = _conv1(self.out_channels, in_ch, dtype=self.dtype)(x)
         return h + x
 
 
@@ -105,33 +117,38 @@ class AttentionBlock(nn.Module):
     """Spatial self-attention over H*W tokens (parity: unet.py:75-99)."""
 
     num_heads: int = 4
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        hidden = nn.GroupNorm(num_groups=8, epsilon=1e-5)(x)
-        qkv = _conv1(3 * c, c)(hidden).reshape(b, h * w, 3, c)
+        hidden = nn.GroupNorm(num_groups=8, epsilon=1e-5)(x.astype(jnp.float32))
+        qkv = _conv1(3 * c, c, dtype=self.dtype)(hidden).reshape(b, h * w, 3, c)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         out = multihead_attention(q, k, v, self.num_heads)
-        out = _conv1(c, c)(out.reshape(b, h, w, c))
+        out = _conv1(c, c, dtype=self.dtype)(out.reshape(b, h, w, c))
         return x + out
 
 
 class Downsample(nn.Module):
     """Stride-2 conv (parity: unet.py:102-109)."""
 
+    dtype: Optional[Dtype] = None
+
     @nn.compact
     def __call__(self, x):
-        return _conv3(x.shape[-1], x.shape[-1], strides=2)(x)
+        return _conv3(x.shape[-1], x.shape[-1], strides=2, dtype=self.dtype)(x)
 
 
 class Upsample(nn.Module):
     """Nearest ×2 + conv (parity: unet.py:112-120)."""
 
+    dtype: Optional[Dtype] = None
+
     @nn.compact
     def __call__(self, x):
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return _conv3(x.shape[-1], x.shape[-1])(x)
+        return _conv3(x.shape[-1], x.shape[-1], dtype=self.dtype)(x)
 
 
 class UNet(nn.Module):
@@ -151,16 +168,17 @@ class UNet(nn.Module):
     channel_mult: Sequence[int] = (1, 2, 2, 2)
     num_classes: Optional[int] = None
     use_attention: bool = True
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, t, y=None, train: bool = False):
         conditional = self.num_classes is not None
         time_dim = self.model_channels * 4
 
-        t_emb = UNetTimeEmbed(self.model_channels)(t)
+        t_emb = UNetTimeEmbed(self.model_channels, self.dtype)(t)
         y_emb = None
         if conditional and y is not None:
-            y_emb = LabelEmbedder(self.num_classes, time_dim)(y)
+            y_emb = LabelEmbedder(self.num_classes, time_dim, self.dtype)(y)
 
         def attend_here(resolution):
             return self.use_attention and (
@@ -168,7 +186,9 @@ class UNet(nn.Module):
                 or resolution[1] in self.attention_resolutions
             )
 
-        h = _conv3(self.model_channels, self.in_channels)(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        h = _conv3(self.model_channels, self.in_channels, dtype=self.dtype)(x)
         hs = [h]
         resolution = list(self.image_size)
 
@@ -176,24 +196,25 @@ class UNet(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             out_ch = self.model_channels * mult
             for _ in range(self.num_res_blocks):
-                h = ResidualBlock(out_ch, conditional, self.dropout)(
-                    h, t_emb, y_emb, train
-                )
+                h = ResidualBlock(out_ch, conditional, self.dropout,
+                                  self.dtype)(h, t_emb, y_emb, train)
                 if attend_here(resolution):
-                    h = AttentionBlock()(h)
+                    h = AttentionBlock(dtype=self.dtype)(h)
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
-                h = Downsample()(h)
+                h = Downsample(self.dtype)(h)
                 hs.append(h)
                 resolution[0] //= 2
                 resolution[1] //= 2
 
         # Middle (parity: unet.py:213-218)
         ch = h.shape[-1]
-        h = ResidualBlock(ch, conditional, self.dropout)(h, t_emb, y_emb, train)
+        h = ResidualBlock(ch, conditional, self.dropout, self.dtype)(
+            h, t_emb, y_emb, train)
         if self.use_attention:
-            h = AttentionBlock()(h)
-        h = ResidualBlock(ch, conditional, self.dropout)(h, t_emb, y_emb, train)
+            h = AttentionBlock(dtype=self.dtype)(h)
+        h = ResidualBlock(ch, conditional, self.dropout, self.dtype)(
+            h, t_emb, y_emb, train)
 
         # Up path (parity: unet.py:220-234 — note the reference updates
         # `resolution` only after building the Upsample, so the attention
@@ -202,15 +223,18 @@ class UNet(nn.Module):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
                 h = ResidualBlock(
-                    self.model_channels * mult, conditional, self.dropout
+                    self.model_channels * mult, conditional, self.dropout,
+                    self.dtype,
                 )(h, t_emb, y_emb, train)
                 if attend_here(resolution):
-                    h = AttentionBlock()(h)
+                    h = AttentionBlock(dtype=self.dtype)(h)
                 if level != len(self.channel_mult) - 1 and i == self.num_res_blocks:
-                    h = Upsample()(h)
+                    h = Upsample(self.dtype)(h)
                     resolution[0] *= 2
                     resolution[1] *= 2
 
         # Output head (parity: unet.py:237-241)
-        h = FusedGroupNormSiLU()(h)
-        return _conv3(self.out_channels, h.shape[-1])(h)
+        h = FusedGroupNormSiLU(dtype=self.dtype)(h)
+        h = _conv3(self.out_channels, h.shape[-1], dtype=self.dtype)(h)
+        # uniform eps contract: fp32 out regardless of compute dtype
+        return h.astype(jnp.float32)

@@ -74,3 +74,19 @@ def test_get_dataset_and_loader():
     assert imgs.shape == (8, 16, 16, 3)
     assert labels is not None
     assert labels.max() < 7
+
+
+def test_get_model_mixed_precision():
+    import jax.numpy as jnp
+
+    base = {**BASE, "model_type": "dit",
+            "model_params": {"hidden_size": 32, "depth": 1, "num_heads": 2,
+                             "patch_size": 4}}
+    m = get_model({**base, "mixed_precision": "bf16"})
+    assert m.dtype == jnp.bfloat16
+    m2 = get_model(base)
+    assert m2.dtype is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        get_model({**base, "mixed_precision": "fp8"})

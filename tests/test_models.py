@@ -191,3 +191,34 @@ def test_non_square_image():
     variables = model.init(jax.random.PRNGKey(0), x, t)
     out = model.apply(variables, x, t)
     assert out.shape == (1, 16, 32, 1)
+
+
+# ------------------------------------------------------- mixed precision
+@pytest.mark.parametrize(
+    "cls,kwargs",
+    [(UNet, SMALL_UNET), (DiT, SMALL_DIT), (DiM, SMALL_DIM)],
+    ids=["unet", "dit", "dim"],
+)
+def test_bf16_compute_dtype_matches_fp32(cls, kwargs):
+    """`dtype=bfloat16` keeps params fp32 and the fp32-eps output contract,
+    and stays within bf16 rounding of the fp32 forward. Zero-init final
+    layers make the init-params output exactly 0, so params are randomized
+    for a meaningful comparison."""
+    m32 = cls(**kwargs)
+    mbf = cls(**kwargs, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, C))
+    t = jnp.array([3, 900], jnp.int32)
+    variables = mbf.init(jax.random.PRNGKey(0), x, t)
+    leaves, treedef = jax.tree_util.tree_flatten(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)  # master weights
+    keys = jax.random.split(jax.random.PRNGKey(2), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for k, l in zip(keys, leaves)],
+    )
+    o32 = m32.apply({"params": params}, x, t)
+    obf = mbf.apply({"params": params}, x, t)
+    assert obf.dtype == jnp.float32
+    rel = float(jnp.max(jnp.abs(o32 - obf)) / (jnp.max(jnp.abs(o32)) + 1e-8))
+    assert rel < 0.05, rel

@@ -67,9 +67,9 @@ def small_config(tmp_path, **overrides):
 
 def make_trainer(tmp_path, **overrides):
     cfg = small_config(tmp_path, **overrides)
-    model = UNet(**{**cfg["model_params"],
-                    "num_classes": cfg.get("num_classes")
-                    if cfg.get("conditional") else None})
+    from diffusion_models_collection_tpu.factory import get_model
+
+    model = get_model(cfg)
     diffusion = DDPM(cfg["num_timesteps"], cfg["beta_start"], cfg["beta_end"],
                      cfg["beta_schedule"])
     ds = DiffusionDataset(
@@ -251,3 +251,15 @@ def test_nan_loss_stops_training(tmp_path, capsys):
     trainer.train()
     out = capsys.readouterr().out
     assert "non-finite loss" in out
+
+
+def test_trainer_mixed_precision_bf16(tmp_path):
+    """mixed_precision: bf16 — master weights stay fp32, loss finite and
+    decreasing over a few epochs."""
+    trainer, _ = make_trainer(tmp_path, mixed_precision="bf16")
+    l1 = trainer.train_epoch(1)
+    losses = [trainer.train_epoch(e) for e in range(2, 5)]
+    assert math.isfinite(l1)
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    assert min(losses) < l1, (l1, losses)
