@@ -75,13 +75,25 @@ class Mamba(nn.Module):
         d_inner = self.expand * self.d_model
         dt_rank = math.ceil(self.d_model / 16)
 
-        xz = nn.Dense(
-            2 * d_inner,
+        # The torch Mamba fuses these as one in_proj Linear(d, 2*d_inner)
+        # and splits; two named projections are mathematically identical
+        # (same per-column fan_in init) and TP-friendly — each output dim
+        # column-shards over the 'model' axis cleanly, whereas slicing a
+        # sharded concatenated axis lands each half on a different shard.
+        x = nn.Dense(
+            d_inner,
             use_bias=False,
             dtype=self.dtype,
             kernel_init=init.torch_default_kernel,
+            name="in_proj_x",
         )(u)
-        x, z = jnp.split(xz, 2, axis=-1)
+        z = nn.Dense(
+            d_inner,
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=init.torch_default_kernel,
+            name="in_proj_z",
+        )(u)
 
         # Causal depthwise conv over the sequence axis (kernel d_conv).
         x = nn.Conv(
@@ -92,6 +104,7 @@ class Mamba(nn.Module):
             dtype=self.dtype,
             kernel_init=init.torch_default_kernel,
             bias_init=init.torch_default_bias(self.d_conv),
+            name="conv",
         )(x)
         x = nn.silu(x)
 
@@ -101,6 +114,7 @@ class Mamba(nn.Module):
             use_bias=False,
             dtype=self.dtype,
             kernel_init=init.torch_default_kernel,
+            name="x_dbl",
         )(x)
         dt, B, C = jnp.split(x_dbl, [dt_rank, dt_rank + self.d_state], axis=-1)
         dt_init_std = dt_rank**-0.5
@@ -115,6 +129,7 @@ class Mamba(nn.Module):
             dtype=self.dtype,
             kernel_init=_dt_kernel_init,
             bias_init=_dt_bias_init(),
+            name="dt_proj",
         )(dt)
         dt = nn.softplus(dt)
 
@@ -138,7 +153,8 @@ class Mamba(nn.Module):
         y = y * nn.silu(z)
         return nn.Dense(
             self.d_model, use_bias=False, dtype=self.dtype,
-            kernel_init=init.torch_default_kernel
+            kernel_init=init.torch_default_kernel,
+            name="out_proj",
         )(y)
 
 

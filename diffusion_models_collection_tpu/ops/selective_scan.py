@@ -15,11 +15,38 @@ sequences by scanning over chunks with carried state.
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+_TP_STATE = threading.local()
+
+
+@contextlib.contextmanager
+def scan_tensor_parallel(mesh, axis: str = "model"):
+    """Run selective scans sharded over `axis` of `mesh` within this scope.
+
+    The recurrence is elementwise-independent across d_inner, so tensor
+    parallelism is a pure shard_map over the channel axis: x/dt/A/D split
+    on d_inner, B/C replicated, no collectives inside. This is how the
+    Pallas kernel participates in TP — GSPMD cannot partition an opaque
+    `pallas_call`, so the op wraps itself in shard_map at trace time when
+    this context is active (the model code never changes).
+    """
+    prev = getattr(_TP_STATE, "ctx", None)
+    _TP_STATE.ctx = (mesh, axis)
+    try:
+        yield
+    finally:
+        _TP_STATE.ctx = prev
+
+
+def _tp_ctx():
+    return getattr(_TP_STATE, "ctx", None)
 
 
 def _affine_combine(left, right):
@@ -296,7 +323,27 @@ def selective_scan(
     """
     if chunk_size is not None:
         return selective_scan_xla(x, dt, A, B, C, D, chunk_size=chunk_size)
-    y = _selective_scan_core(x, dt, A, B, C)
+    ctx = _tp_ctx()
+    if ctx is not None:
+        from jax.sharding import PartitionSpec as P
+
+        mesh, axis = ctx
+        core = jax.shard_map(
+            _selective_scan_core,
+            mesh=mesh,
+            in_specs=(
+                P(None, None, axis),  # x: d_inner sharded
+                P(None, None, axis),  # dt
+                P(axis, None),        # A: (d_inner, n)
+                P(),                  # B: replicated
+                P(),                  # C: replicated
+            ),
+            out_specs=P(None, None, axis),
+            check_vma=False,
+        )
+        y = core(x, dt, A, B, C)
+    else:
+        y = _selective_scan_core(x, dt, A, B, C)
     if D is not None:
         y = y + x * D[None, None, :]
     return y

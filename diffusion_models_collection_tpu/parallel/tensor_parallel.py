@@ -30,12 +30,21 @@ def data_model_mesh(dp: int, tp: int, devices=None) -> Mesh:
 
 
 def _spec_for_path(path_keys, leaf) -> P:
-    """Megatron rules for DiT params (flax path key names).
+    """Megatron rules for DiT and DiM params (flax path key names).
 
-    Column-parallel (shard output features): SelfAttention QKV (Dense_0),
-    Mlp up-projection (Dense_0). Row-parallel (shard input features):
-    SelfAttention out (Dense_1), Mlp down-projection (Dense_1). Everything
-    else (embedders, adaLN, final layer, norms) is replicated — they are
+    DiT — column-parallel (shard output features): SelfAttention QKV
+    (Dense_0), Mlp up-projection (Dense_0). Row-parallel (shard input
+    features): SelfAttention out (Dense_1), Mlp down-projection (Dense_1).
+
+    DiM — the Mamba mixer shards its d_inner channel axis (the selective
+    scan is elementwise-independent across d_inner; the op itself runs
+    under `ops.selective_scan.scan_tensor_parallel`): in_proj_x/in_proj_z
+    and dt_proj column-parallel, the depthwise conv and A_log/D split
+    per-channel, x_dbl and out_proj row-parallel (their outputs — the
+    shared Δ/B/C features and the residual — are the two all-reduce points
+    per mixer). The FeedForward half reuses the Mlp rules.
+
+    Everything else (embedders, adaLN, norms, final layer) is replicated —
     tiny compared to the block matmuls.
     """
     keys = [getattr(k, "key", str(k)) for k in path_keys]
@@ -43,8 +52,21 @@ def _spec_for_path(path_keys, leaf) -> P:
     is_kernel = keys[-1] == "kernel"
     is_bias = keys[-1] == "bias"
 
+    parent = keys[-2] if len(keys) >= 2 else ""
     column = ("SelfAttention" in path or "Mlp" in path) and "Dense_0" in path
     row = ("SelfAttention" in path or "Mlp" in path) and "Dense_1" in path
+    column = column or parent in ("in_proj_x", "in_proj_z", "dt_proj")
+    row = row or parent in ("x_dbl", "out_proj")
+
+    if "Mamba" in path:
+        if keys[-1] == "A_log":
+            return P(MODEL_AXIS, None)
+        if keys[-1] == "D":
+            return P(MODEL_AXIS)
+        if "conv" in keys and is_kernel:  # (d_conv, 1, d_inner) depthwise
+            return P(None, None, MODEL_AXIS)
+        if "conv" in keys and is_bias:
+            return P(MODEL_AXIS)
 
     if column and is_kernel and leaf.ndim == 2:
         return P(None, MODEL_AXIS)
@@ -55,8 +77,10 @@ def _spec_for_path(path_keys, leaf) -> P:
     return P()
 
 
-def shard_dit_params(mesh: Mesh, params):
-    """Place a DiT param pytree on the mesh with Megatron TP shardings."""
+def shard_model_params(mesh: Mesh, params):
+    """Place a DiT/DiM param pytree on the mesh with Megatron TP
+    shardings (UNet params simply land replicated — its conv backbone is
+    DP-scaled; see docs/benchmarks.md)."""
 
     def place(path, leaf):
         spec = _spec_for_path(path, leaf)
@@ -65,8 +89,13 @@ def shard_dit_params(mesh: Mesh, params):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
+# Back-compat name (the rules are shared).
+shard_dit_params = shard_model_params
+shard_dim_params = shard_model_params
+
+
 def shard_state_for_tp(mesh: Mesh, state):
-    """Shard a TrainState's params/EMA with the DiT TP rules.
+    """Shard a TrainState's params/EMA with the Megatron TP rules.
 
     Optimizer moments are left for jit to lay out: inside the train step
     gradients carry the param shardings, so XLA keeps Adam's mu/nu
@@ -74,9 +103,9 @@ def shard_state_for_tp(mesh: Mesh, state):
     """
     from ..utils.trainer import TrainState
 
-    params = shard_dit_params(mesh, state.params)
+    params = shard_model_params(mesh, state.params)
     ema = (
-        shard_dit_params(mesh, state.ema_params)
+        shard_model_params(mesh, state.ema_params)
         if state.ema_params is not None
         else None
     )

@@ -22,6 +22,7 @@ Checkpoint keys and file naming follow the reference contract
 
 from __future__ import annotations
 
+import contextlib
 import math
 import time
 from pathlib import Path
@@ -127,7 +128,29 @@ class DiffusionTrainer:
         self.image_size = resolve_image_size(cfg.get("image_size", 32))
         self.in_channels = cfg.get("model_params", {}).get("in_channels", 3)
 
-        self.mesh = mesh if mesh is not None else pmesh.data_parallel_mesh()
+        # Tensor parallelism (extension beyond the reference): with
+        # `tensor_parallel: N` the mesh becomes 2-D (data, model), params
+        # shard by the Megatron rules (parallel/tensor_parallel.py) and
+        # DiM's selective scan runs under its shard_map context.
+        self.tp = int(cfg.get("tensor_parallel", 1) or 1)
+        if mesh is not None:
+            self.mesh = mesh
+            if self.tp > 1 and "model" not in mesh.axis_names:
+                raise ValueError(
+                    "tensor_parallel > 1 needs a mesh with a 'model' axis"
+                )
+        elif self.tp > 1:
+            from ..parallel.tensor_parallel import data_model_mesh
+
+            ndev = len(jax.devices())
+            if ndev % self.tp:
+                raise ValueError(
+                    f"tensor_parallel={self.tp} does not divide "
+                    f"{ndev} devices"
+                )
+            self.mesh = data_model_mesh(ndev // self.tp, self.tp)
+        else:
+            self.mesh = pmesh.data_parallel_mesh()
         self.is_main_process = pmesh.process_index() == 0
         self.world_size = self.mesh.devices.size
 
@@ -173,13 +196,19 @@ class DiffusionTrainer:
         self.state = TrainState(
             params=self.params, opt_state=opt_state, ema_params=ema_params
         )
-        self.state = pmesh.replicate(self.mesh, self.state)
+        self.state = self._place_state(self.state)
 
         self.best_loss = float("inf")
         self.start_epoch = 1
         self.global_step = 0
 
         self._train_step = self._build_train_step()
+        if self.tp > 1:
+            from ..ops.selective_scan import scan_tensor_parallel
+
+            self._tp_scope = lambda: scan_tensor_parallel(self.mesh, "model")
+        else:
+            self._tp_scope = contextlib.nullcontext
 
         if resume_path:
             self.load_checkpoint(resume_path)
@@ -193,6 +222,14 @@ class DiffusionTrainer:
 
         self.step_timer = StepTimer()
         self.profile_dir = cfg.get("profile_dir")
+
+    def _place_state(self, state: "TrainState") -> "TrainState":
+        """Replicate (DP) or Megatron-shard (DP x TP) the train state."""
+        if self.tp > 1:
+            from ..parallel.tensor_parallel import shard_state_for_tp
+
+            return shard_state_for_tp(self.mesh, state)
+        return pmesh.replicate(self.mesh, state)
 
     # ---------------------------------------------------------------- step
     def _build_train_step(self):
@@ -303,9 +340,10 @@ class DiffusionTrainer:
                     ),
                 )
                 self.rng, step_rng = jax.random.split(self.rng)
-                self.state, loss = self._train_step(
-                    self.state, batch[0], batch[1], step_rng
-                )
+                with self._tp_scope():
+                    self.state, loss = self._train_step(
+                        self.state, batch[0], batch[1], step_rng
+                    )
                 losses.append(loss)
                 self.global_step += 1
 
@@ -337,6 +375,14 @@ class DiffusionTrainer:
         model_fn = self._eval_model_fn()
 
         self.rng, sample_rng = jax.random.split(self.rng)
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(self._tp_scope())
+            return self._sample_images_inner(
+                epoch, num_samples, shape, nrow, model_fn, sample_rng
+            )
+
+    def _sample_images_inner(self, epoch, num_samples, shape, nrow, model_fn,
+                             sample_rng):
         if self.conditional and self.num_classes:
             num_rows = (num_samples + nrow - 1) // nrow
             row_labels = np.arange(num_rows) % self.num_classes
@@ -397,7 +443,7 @@ class DiffusionTrainer:
             opt_state=opt_state,
             ema_params=ema if self.use_ema else None,
         )
-        self.state = pmesh.replicate(self.mesh, state)
+        self.state = self._place_state(state)
         self.start_epoch = payload.get("epoch", 0) + 1
         self.best_loss = payload.get("best_loss", float("inf"))
         self.global_step = payload.get("global_step", 0)

@@ -19,7 +19,7 @@ from diffusion_models_collection_tpu.utils.tracker import NullTracker
 SIZE = (8, 8)
 
 
-def make_trainer(tmp_path, model, conditional=True):
+def make_trainer(tmp_path, model, conditional=True, **overrides):
     cfg = {
         "model_type": "dit",
         "model_params": {"in_channels": 3},
@@ -48,6 +48,7 @@ def make_trainer(tmp_path, model, conditional=True):
         "seed": 0,
         "use_swanlab": False,
     }
+    cfg.update(overrides)
     ds = DiffusionDataset(
         "synthetic", conditional=conditional,
         transform=ImageTransform(SIZE, train=True), image_size=SIZE,
@@ -85,3 +86,23 @@ def test_dim_attention_fallback_trains(tmp_path):
     trainer = make_trainer(tmp_path, model)
     loss = trainer.train_epoch(1)
     assert math.isfinite(loss)
+
+
+def test_dim_trainer_tensor_parallel(tmp_path):
+    """`tensor_parallel: 2` on the 8-device CPU mesh: DiM trains on a 4x2
+    (data, model) mesh with Megatron-sharded params and the scan under its
+    shard_map context; loss finite and params actually sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    model = DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+                depth=2, state_size=4, num_classes=10)
+    trainer = make_trainer(tmp_path, model, tensor_parallel=2)
+    assert trainer.mesh.axis_names == ("data", "model")
+    assert trainer.mesh.devices.shape == (4, 2)
+    loss = trainer.train_epoch(1)
+    assert math.isfinite(loss)
+    k = trainer.state.params["DiMBlock_0"]["MambaBlock_0"]["Mamba_0"][
+        "in_proj_x"]["kernel"]
+    assert k.sharding.spec == P(None, "model")
+    samples = trainer.sample_images(epoch=1, num_samples=4)
+    assert samples.shape[0] == 4
