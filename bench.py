@@ -13,6 +13,7 @@ jitted lax.scan. Compile excluded (one warmup), best of 3 timed runs.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -46,6 +47,7 @@ def main():
         "num_inference_steps": INFERENCE_STEPS,
         "ddim_eta": 0.0,
     }
+    bf16 = os.environ.get("DMC_TPU_BENCH_BF16", "0") == "1"
     model = UNet(
         image_size=(32, 32),
         in_channels=3,
@@ -55,6 +57,7 @@ def main():
         attention_resolutions=(16, 8),
         channel_mult=(1, 2, 2, 2),
         num_classes=10,
+        **({"dtype": jnp.bfloat16} if bf16 else {}),
     )
     params = init_model_params(
         model, jax.random.PRNGKey(0), (32, 32), 3, conditional=True

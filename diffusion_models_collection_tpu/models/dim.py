@@ -24,9 +24,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops import multihead_attention, selective_scan
+from ..ops import selective_scan
 from . import initializers as init
-from .dit import Mlp
+from .dit import Mlp, SelfAttention
 from .layers import (
     AdaLNModulation,
     LabelEmbedder,
@@ -178,14 +178,13 @@ class MambaBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
         h = modulate(h, shift, scale)
         if self.use_attention_fallback:
-            rng = (
-                self.make_rng("dropout") if (train and self.dropout > 0) else None
-            )
-            h = multihead_attention(
-                h, h, h, 8,
-                dropout_rate=self.dropout,
-                deterministic=not train,
-                dropout_rng=rng,
+            # Parity: the reference's fallback is a full
+            # nn.MultiheadAttention(hidden, 8, dropout) with learnable
+            # qkv/out projections (dim.py:111-117,136-139) — SelfAttention
+            # is the exact JAX analog (and lets reference fallback
+            # checkpoints import 1:1, utils/torch_import.py).
+            h = SelfAttention(8, self.dropout, self.dtype, name="attn")(
+                h, train
             )
         else:
             h = Mamba(self.hidden_size, self.state_size, dtype=self.dtype)(h)

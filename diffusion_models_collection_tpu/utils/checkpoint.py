@@ -62,10 +62,16 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
-    """Load either format: a pickle file or an orbax directory."""
+    """Load any supported format: our pickle file, an orbax directory, or
+    a reference PyTorch checkpoint (.pth/.pt — converted on the fly, see
+    utils/torch_import.py)."""
     path = Path(path)
     if path.is_dir():
         return _load_orbax(path)
+    if path.suffix.lower() in (".pth", ".pt"):
+        from .torch_import import load_reference_checkpoint
+
+        return load_reference_checkpoint(path)
     with path.open("rb") as f:
         return pickle.load(f)
 
