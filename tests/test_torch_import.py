@@ -272,3 +272,111 @@ def test_reference_checkpoint_end_to_end(tmp_path):
     )
     assert samples.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(samples)).all()
+
+
+@needs_reference
+def test_ddim_trajectory_cross_framework_parity():
+    """End-to-end sampler parity: identical weights (via the importer) +
+    identical initial noise -> the full DDIM-eta0 trajectory matches the
+    torch reference step-for-step (deterministic, no per-step noise). This
+    is the SURVEY §7 'fixed-seed parity' goal, achieved with the sampler's
+    init_noise injection hook."""
+    sys.path.insert(0, str(REFERENCE))
+    import torch
+    from diffusion.ddim import DDIM as RefDDIM
+    from models.unet import UNet as RefUNet
+
+    from diffusion_models_collection_tpu.diffusion import DDIM
+
+    kw = dict(image_size=(H, W), in_channels=C, model_channels=16,
+              out_channels=C, num_res_blocks=1, attention_resolutions=(8,),
+              channel_mult=(1, 2), num_classes=10)
+    tm = RefUNet(**kw)
+    tm.eval()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_torch_state_dict(tm.state_dict(), "unet")
+    )
+    ours_model = UNet(**kw)
+
+    T, S = 100, 10
+    ref_diff = RefDDIM(num_timesteps=T, num_inference_steps=S, eta=0.0,
+                       device="cpu")
+    our_diff = DDIM(num_timesteps=T, num_inference_steps=S, eta=0.0)
+
+    noise = np.random.default_rng(7).standard_normal((2, C, H, W)).astype(np.float32)
+    y = np.array([2, 5], np.int64)
+
+    # reference trajectory (its own sample() loop, fixed initial noise)
+    img = torch.from_numpy(noise)
+    ty = torch.from_numpy(y)
+    steps = ref_diff.inference_timesteps.tolist()
+    with torch.no_grad():
+        for i, t in enumerate(steps):
+            t_b = torch.full((2,), t, dtype=torch.long)
+            t_n = torch.full(
+                (2,), steps[i + 1] if i < len(steps) - 1 else -1,
+                dtype=torch.long,
+            )
+            img = ref_diff.p_sample(tm, img, t_b, t_n, ty)
+    ref_out = img.numpy()
+
+    def model_fn(x, t, yy):
+        return ours_model.apply({"params": params}, x, t, yy, train=False)
+
+    our_out = our_diff.sample(
+        jax.tree_util.Partial(model_fn), (2, H, W, C), jax.random.PRNGKey(0),
+        y=jnp.asarray(y, jnp.int32),
+        init_noise=jnp.asarray(noise.transpose(0, 2, 3, 1)),
+    )
+    our_out = np.asarray(our_out).transpose(0, 3, 1, 2)
+    _assert_close(ref_out, our_out, tol=5e-4)
+
+
+@needs_reference
+def test_ddim_cfg_trajectory_cross_framework_parity():
+    """Same as above for the CFG path — exercises the fused [cond; uncond]
+    batch and jnp.quantile dynamic thresholding against the reference's
+    2-forward loop and torch.quantile. The reference draws its initial
+    noise internally; with eta=0 that torch.randn call is its ONLY RNG use,
+    so seeding torch and replaying torch.randn captures it exactly."""
+    sys.path.insert(0, str(REFERENCE))
+    import torch
+    from diffusion.ddim import DDIM as RefDDIM
+    from models.unet import UNet as RefUNet
+
+    from diffusion_models_collection_tpu.diffusion import DDIM
+
+    kw = dict(image_size=(H, W), in_channels=C, model_channels=16,
+              out_channels=C, num_res_blocks=1, attention_resolutions=(8,),
+              channel_mult=(1, 2), num_classes=10)
+    tm = RefUNet(**kw)
+    tm.eval()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_torch_state_dict(tm.state_dict(), "unet")
+    )
+    ours_model = UNet(**kw)
+
+    T, S = 100, 8
+    ref_diff = RefDDIM(num_timesteps=T, num_inference_steps=S, eta=0.0,
+                       device="cpu")
+    our_diff = DDIM(num_timesteps=T, num_inference_steps=S, eta=0.0)
+    y = torch.tensor([2, 5])
+
+    torch.manual_seed(11)
+    with torch.no_grad():
+        ref_out = ref_diff.sample_with_cfg(tm, (2, C, H, W), y,
+                                           cfg_scale=2.0).numpy()
+    torch.manual_seed(11)
+    noise = torch.randn((2, C, H, W)).numpy()
+
+    def model_fn(x, t, yy):
+        return ours_model.apply({"params": params}, x, t, yy, train=False)
+
+    our_out = our_diff.sample_with_cfg(
+        jax.tree_util.Partial(model_fn), (2, H, W, C),
+        jnp.asarray(y.numpy(), jnp.int32), jax.random.PRNGKey(0),
+        cfg_scale=2.0,
+        init_noise=jnp.asarray(noise.transpose(0, 2, 3, 1)),
+    )
+    our_out = np.asarray(our_out).transpose(0, 3, 1, 2)
+    _assert_close(ref_out, our_out, tol=5e-4)
