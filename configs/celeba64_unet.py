@@ -34,6 +34,9 @@ config = {
     # 'bf16' = bfloat16 compute with fp32 master weights (+25-35%
     # train throughput on TPU); 'none' = full fp32 (reference parity)
     'mixed_precision': 'none',
+    # True = per-block gradient checkpointing (less activation memory,
+    # ~1/3 more backward FLOPs) — for bigger batches / deeper models
+    'remat': False,
     'cfg_scale': 0.0,
 
     'num_inference_steps': 50,

@@ -266,6 +266,7 @@ class DiM(nn.Module):
     dropout: float = 0.1
     use_attention_fallback: bool = False
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     def _hw(self) -> Tuple[int, int]:
         if isinstance(self.img_size, int):
@@ -290,14 +291,19 @@ class DiM(nn.Module):
             c = c + LabelEmbedder(self.num_classes, self.hidden_size,
                                   self.dtype)(y)
 
-        for _ in range(self.depth):
-            x = DiMBlock(
+        block_cls = (
+            nn.remat(DiMBlock, static_argnums=(3,)) if self.remat else DiMBlock
+        )
+        for i in range(self.depth):
+            # explicit name keeps the param tree identical with/without remat
+            x = block_cls(
                 self.hidden_size,
                 self.state_size,
                 self.mlp_ratio,
                 self.dropout,
                 self.use_attention_fallback,
                 self.dtype,
+                name=f"DiMBlock_{i}",
             )(x, c, train)
 
         x = DiMFinalLayer(self.hidden_size, self.patch_size, self.in_channels,

@@ -169,6 +169,7 @@ class UNet(nn.Module):
     num_classes: Optional[int] = None
     use_attention: bool = True
     dtype: Optional[Dtype] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, t, y=None, train: bool = False):
@@ -179,6 +180,17 @@ class UNet(nn.Module):
         y_emb = None
         if conditional and y is not None:
             y_emb = LabelEmbedder(self.num_classes, time_dim, self.dtype)(y)
+
+        _res_cls = (
+            nn.remat(ResidualBlock, static_argnums=(4,))
+            if self.remat
+            else ResidualBlock
+        )
+        res_counter = iter(range(10_000))
+
+        def res_block_cls(*args):
+            # explicit name keeps the param tree identical with/without remat
+            return _res_cls(*args, name=f"ResidualBlock_{next(res_counter)}")
 
         def attend_here(resolution):
             return self.use_attention and (
@@ -196,7 +208,7 @@ class UNet(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             out_ch = self.model_channels * mult
             for _ in range(self.num_res_blocks):
-                h = ResidualBlock(out_ch, conditional, self.dropout,
+                h = res_block_cls(out_ch, conditional, self.dropout,
                                   self.dtype)(h, t_emb, y_emb, train)
                 if attend_here(resolution):
                     h = AttentionBlock(dtype=self.dtype)(h)
@@ -209,11 +221,11 @@ class UNet(nn.Module):
 
         # Middle (parity: unet.py:213-218)
         ch = h.shape[-1]
-        h = ResidualBlock(ch, conditional, self.dropout, self.dtype)(
+        h = res_block_cls(ch, conditional, self.dropout, self.dtype)(
             h, t_emb, y_emb, train)
         if self.use_attention:
             h = AttentionBlock(dtype=self.dtype)(h)
-        h = ResidualBlock(ch, conditional, self.dropout, self.dtype)(
+        h = res_block_cls(ch, conditional, self.dropout, self.dtype)(
             h, t_emb, y_emb, train)
 
         # Up path (parity: unet.py:220-234 — note the reference updates
@@ -222,7 +234,7 @@ class UNet(nn.Module):
         for level, mult in enumerate(reversed(self.channel_mult)):
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResidualBlock(
+                h = res_block_cls(
                     self.model_channels * mult, conditional, self.dropout,
                     self.dtype,
                 )(h, t_emb, y_emb, train)

@@ -519,11 +519,15 @@ class DiffusionTrainer:
             self.save_checkpoint(epoch, is_best)
 
             if (
-                self.is_main_process
-                and epoch >= self.sample_start_epoch
+                epoch >= self.sample_start_epoch
                 and epoch % self.sample_interval == 0
             ):
-                print(f"Generating samples at epoch {epoch}...")
+                # ALL processes run the sampling computation (the params are
+                # globally-replicated jax.Arrays — a rank-0-only jit would
+                # deadlock multi-host); only rank 0 saves the grid (the
+                # reference's rank-0 gate, trainer.py:409-411, moves inside).
+                if self.is_main_process:
+                    print(f"Generating samples at epoch {epoch}...")
                 self.sample_images(epoch)
 
         if self.is_main_process:

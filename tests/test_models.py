@@ -222,3 +222,31 @@ def test_bf16_compute_dtype_matches_fp32(cls, kwargs):
     assert obf.dtype == jnp.float32
     rel = float(jnp.max(jnp.abs(o32 - obf)) / (jnp.max(jnp.abs(o32)) + 1e-8))
     assert rel < 0.05, rel
+
+
+# ---------------------------------------------------------------- remat
+@pytest.mark.parametrize(
+    "cls,kwargs",
+    [(UNet, SMALL_UNET), (DiT, SMALL_DIT), (DiM, SMALL_DIM)],
+    ids=["unet", "dit", "dim"],
+)
+def test_remat_identical_params_and_grads(cls, kwargs):
+    """`remat=True` (jax.checkpoint per block) keeps the param tree AND the
+    gradients identical to the plain model — only the backward's memory/
+    recompute schedule changes."""
+    m0 = cls(**kwargs)
+    m1 = cls(**kwargs, remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, C))
+    t = jnp.array([1, 7], jnp.int32)
+    params = m0.init(jax.random.PRNGKey(0), x, t)["params"]
+    p1 = m1.init(jax.random.PRNGKey(0), x, t)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p1)
+
+    def loss(mod):
+        return lambda p: jnp.mean(mod.apply({"params": p}, x, t) ** 2)
+
+    g0 = jax.grad(loss(m0))(params)
+    g1 = jax.grad(loss(m1))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)

@@ -263,3 +263,12 @@ def test_trainer_mixed_precision_bf16(tmp_path):
     leaves = jax.tree_util.tree_leaves(trainer.state.params)
     assert all(l.dtype == jnp.float32 for l in leaves)
     assert min(losses) < l1, (l1, losses)
+
+
+def test_trainer_remat(tmp_path):
+    """remat: true — trains to finite, decreasing losses."""
+    trainer, _ = make_trainer(tmp_path, remat=True)
+    l1 = trainer.train_epoch(1)
+    losses = [trainer.train_epoch(e) for e in range(2, 4)]
+    assert math.isfinite(l1)
+    assert min(losses) < l1
