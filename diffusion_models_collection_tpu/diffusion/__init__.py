@@ -11,11 +11,13 @@ from .base import (
 )
 from .ddim import DDIM
 from .ddpm import DDPM
+from .dpm_solver import DPMSolverPP
 from .schedule import NoiseSchedule, ddim_timesteps, make_betas
 
 __all__ = [
     "DDPM",
     "DDIM",
+    "DPMSolverPP",
     "NoiseSchedule",
     "make_betas",
     "ddim_timesteps",

@@ -1,0 +1,203 @@
+"""DPM-Solver++(2M) — deterministic multistep ODE sampler (Lu et al. 2022).
+
+Extension beyond the reference (which ships DDPM + DDIM only): a
+second-order multistep solver in the data-prediction (x0) formulation,
+the standard production choice for high quality at very low step counts
+(10–20 steps ≈ DDIM-50 quality). Same API surface as `DDIM`
+(`sample` / `sample_with_cfg` / `set_inference_steps`, init_noise hook),
+same timestep grid, so the CLIs expose it as `--sampling_method dpm++`.
+
+Math (x0-parameterization, order 2 multistep):
+    alpha_t  = sqrt(alpha_bar_t),  sigma_t = sqrt(1 - alpha_bar_t)
+    lambda_t = log(alpha_t / sigma_t)                (half log-SNR)
+    h_i      = lambda_{t_{i+1}} - lambda_{t_i}
+    r_i      = h_{i-1} / h_i
+    D_i      = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1}   (first step: x0_i)
+    x_{t_{i+1}} = (sigma_{t_{i+1}} / sigma_{t_i}) x_{t_i}
+                  - alpha_{t_{i+1}} (exp(-h_i) - 1) D_i
+The final transition (reference convention t_next = -1 ⇒ alpha_bar = 1,
+sigma = 0) is the h → ∞ limit of the update, which is exactly `D_i` —
+selected branch-free with `where`, like DDIM's final step.
+
+TPU-native: the whole trajectory is ONE jitted `lax.scan`; the multistep
+history (x0_prev, lambda_prev) rides in the scan carry. CFG is the fused
+[cond; uncond] batch from `base.cfg_eps`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import base
+from .schedule import NoiseSchedule, ddim_timesteps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_cfg", "p_threshold", "clip_denoised",
+                     "return_all_timesteps"),
+)
+def _solve(
+    schedule: NoiseSchedule,
+    model_fn,
+    img: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    y: Optional[jnp.ndarray],
+    cfg_scale: jnp.ndarray,
+    *,
+    use_cfg: bool,
+    p_threshold: Optional[float],
+    clip_denoised: bool,
+    return_all_timesteps: bool,
+):
+    batch = img.shape[0]
+    expand = (-1,) + (1,) * (img.ndim - 1)
+
+    alpha_bar = schedule.alphas_cumprod
+    a = jnp.sqrt(alpha_bar)
+    s = jnp.sqrt(1.0 - alpha_bar)
+    lam = jnp.log(a / jnp.clip(s, min=1e-12))
+
+    t_next_seq = jnp.concatenate(
+        [timesteps[1:], jnp.full((1,), -1, dtype=timesteps.dtype)]
+    )
+    idx = jnp.arange(timesteps.shape[0], dtype=jnp.int32)
+
+    def x0_at(x, t):
+        if use_cfg:
+            eps = base.cfg_eps(model_fn, x, t, y, cfg_scale)
+            x0 = base.predict_x0_from_eps(schedule, x, t, eps)
+            return base.apply_x0_constraint(x0, p_threshold)
+        eps = model_fn(x, t, y)
+        x0 = base.predict_x0_from_eps(schedule, x, t, eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0
+
+    def step(carry, scan_in):
+        x, x0_prev, lam_prev, have_prev = carry
+        i, t_scalar, t_next_scalar = scan_in
+        t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
+        x0 = x0_at(x, t)
+
+        lam_t = lam[t_scalar]
+        final = t_next_scalar < 0
+        tn = jnp.clip(t_next_scalar, 0)
+        lam_next = jnp.where(final, lam_t + 1.0, lam[tn])  # finite dummy
+        h = lam_next - lam_t
+        h_prev = lam_t - lam_prev
+
+        # multistep combination; first step (or degenerate h) -> first order
+        r = h_prev / jnp.clip(h, min=1e-12)
+        coef = 1.0 / jnp.clip(2.0 * r, min=1e-12)
+        use_ms = jnp.logical_and(have_prev, h > 1e-12)
+        D = jnp.where(use_ms, (1.0 + coef) * x0 - coef * x0_prev, x0)
+
+        sig_ratio = s[tn] / jnp.clip(s[t_scalar], min=1e-12)
+        x_new = sig_ratio * x - a[tn] * (jnp.exp(-h) - 1.0) * D
+        x_new = jnp.where(final, D, x_new)
+
+        new_carry = (x_new, x0, lam_t, jnp.bool_(True))
+        return new_carry, (x_new if return_all_timesteps else None)
+
+    carry0 = (img, jnp.zeros_like(img), jnp.float32(0.0), jnp.bool_(False))
+    (x, _, _, _), ys = jax.lax.scan(
+        step, carry0, (idx, timesteps.astype(jnp.int32),
+                       t_next_seq.astype(jnp.int32))
+    )
+    return (ys if return_all_timesteps else x)
+
+
+class DPMSolverPP:
+    """DPM-Solver++(2M) process (same API as DDIM; deterministic)."""
+
+    def __init__(
+        self,
+        num_timesteps: int = 1000,
+        num_inference_steps: int = 20,
+        beta_start: float = 1e-4,
+        beta_end: float = 0.02,
+        beta_schedule: str = "linear",
+        eta: float = 0.0,  # accepted for API symmetry; solver is an ODE
+    ):
+        del eta
+        self.num_timesteps = num_timesteps
+        self.num_inference_steps = num_inference_steps
+        self.schedule = NoiseSchedule.create(
+            num_timesteps, beta_start, beta_end, beta_schedule
+        )
+        self._setup_inference_timesteps()
+
+    def _setup_inference_timesteps(self):
+        self.inference_timesteps = ddim_timesteps(
+            self.num_timesteps, self.num_inference_steps
+        )
+
+    def set_inference_steps(self, num_inference_steps: int):
+        self.num_inference_steps = num_inference_steps
+        self._setup_inference_timesteps()
+
+    # training-side API mirrors DDPM/DDIM
+    def q_sample(self, x_start, t, noise):
+        return base.q_sample(self.schedule, x_start, t, noise)
+
+    def p_losses(self, model_fn, x_start, t, noise, y=None, loss_type="l2"):
+        return base.p_losses(
+            self.schedule, model_fn, x_start, t, noise, y=y, loss_type=loss_type
+        )
+
+    def _run(self, model_fn, shape, rng, y, cfg_scale, init_noise, *,
+             use_cfg, p_threshold, clip_denoised, return_all_timesteps,
+             progress, desc):
+        if progress:
+            print(f"{desc}: {self.num_inference_steps} steps")
+        rng, init_rng = jax.random.split(rng)
+        img = (
+            init_noise
+            if init_noise is not None
+            else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+        )
+        fn = base.as_pytree_fn(model_fn)
+        return _solve(
+            self.schedule, fn, img, self.inference_timesteps, y, cfg_scale,
+            use_cfg=use_cfg, p_threshold=p_threshold,
+            clip_denoised=clip_denoised,
+            return_all_timesteps=return_all_timesteps,
+        )
+
+    def sample(self, model_fn, shape, rng, y=None, return_all_timesteps=False,
+               init_noise=None, progress=False):
+        return self._run(
+            model_fn, shape, rng, y, jnp.float32(0.0), init_noise,
+            use_cfg=False, p_threshold=None, clip_denoised=True,
+            return_all_timesteps=return_all_timesteps, progress=progress,
+            desc="DPM-Solver++ Sampling",
+        )
+
+    def sample_with_cfg(
+        self,
+        model_fn,
+        shape,
+        y,
+        rng,
+        cfg_scale: float = 3.0,
+        p_threshold: Optional[float] = 0.995,
+        return_all_timesteps: bool = False,
+        init_noise=None,
+        progress: bool = False,
+    ):
+        if y is None:
+            raise ValueError("CFG sampling requires class labels y.")
+        if p_threshold is not None and not (0.0 < float(p_threshold) < 1.0):
+            raise ValueError("p_threshold must be in (0, 1) or None")
+        return self._run(
+            model_fn, shape, rng, jnp.asarray(y), jnp.float32(cfg_scale),
+            init_noise, use_cfg=True, p_threshold=p_threshold,
+            clip_denoised=False, return_all_timesteps=return_all_timesteps,
+            progress=progress,
+            desc=f"DPM-Solver++ sampling with CFG scale {cfg_scale}",
+        )

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .datasets import CustomImageDataset, DataLoader, DiffusionDataset
-from .diffusion import DDIM, DDPM
+from .diffusion import DDIM, DDPM, DPMSolverPP
 from .models import DiM, DiT, UNet
 from .parallel import mesh as pmesh
 from .utils.helpers import resolve_image_size
@@ -77,10 +77,16 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
         beta_end=config["beta_end"],
         beta_schedule=config["beta_schedule"],
     )
-    if sampling_method.lower() == "ddim":
+    method = sampling_method.lower()
+    if method == "ddim":
         return DDIM(
             num_inference_steps=config.get("num_inference_steps", 50),
             eta=config.get("ddim_eta", 0.0),
+            **common,
+        )
+    if method in ("dpm++", "dpmpp", "dpm_solver++", "dpm-solver++"):
+        return DPMSolverPP(
+            num_inference_steps=config.get("num_inference_steps", 20),
             **common,
         )
     return DDPM(**common)

@@ -81,7 +81,8 @@ def main():
     parser.add_argument("--config", type=str, default=None,
                         help="Path to config file (if not in checkpoint)")
     parser.add_argument("--sampling_method", type=str, default="ddpm",
-                        choices=["ddpm", "ddim"], help="Sampling method")
+                        choices=["ddpm", "ddim", "dpm++"],
+                        help="Sampling method (dpm++ = DPM-Solver++(2M), beyond the reference)")
     parser.add_argument("--num_inference_steps", type=int, default=50,
                         help="Number of inference steps for DDIM sampling")
     parser.add_argument("--num_samples", type=int, default=64,
@@ -116,7 +117,7 @@ def main():
     checkpoint = load_checkpoint(args.checkpoint)
     config = load_config(Path(args.config)) if args.config else checkpoint["config"]
 
-    if args.sampling_method.lower() == "ddim" and args.num_inference_steps:
+    if args.sampling_method.lower() in ("ddim", "dpm++") and args.num_inference_steps:
         config["num_inference_steps"] = args.num_inference_steps
     config["image_size"] = resolve_image_size(config["image_size"])
 

@@ -199,3 +199,90 @@ def test_progress_return_all_timesteps():
     b = ddpm.sample(dummy_model, SHAPE, rng, return_all_timesteps=True,
                     progress=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------------------- DPM-Solver++(2M)
+class TestDPMSolverPP:
+    def _model_fn(self, schedule=None):
+        """Analytic denoiser whose implied x0 stays in [-1, 1]:
+        x0_hat = 0.5*tanh(x), eps_hat backed out through the schedule. The
+        clipping nonlinearity never triggers, so the probability-flow ODE
+        is smooth and solver orders are comparable (heavy x0 clipping makes
+        midpoint extrapolation overshoot by construction — a property of
+        clipped dynamics, not of the solver)."""
+        if schedule is None:
+            def fn(x, t, y):
+                c = (t.astype(jnp.float32) + 1.0) / 1000.0
+                return x * c.reshape(-1, 1, 1, 1) * 0.5
+            return jax.tree_util.Partial(fn)
+
+        ab = schedule.alphas_cumprod
+
+        def fn(x, t, y):
+            a = jnp.sqrt(ab[t]).reshape(-1, 1, 1, 1)
+            s = jnp.sqrt(1.0 - ab[t]).reshape(-1, 1, 1, 1)
+            x0 = 0.5 * jnp.tanh(x)
+            return (x - a * x0) / jnp.clip(s, min=1e-6)
+
+        return jax.tree_util.Partial(fn)
+
+    def test_shapes_and_determinism(self):
+        from diffusion_models_collection_tpu.diffusion import DPMSolverPP
+
+        d = DPMSolverPP(num_timesteps=100, num_inference_steps=10)
+        rng = jax.random.PRNGKey(0)
+        out1 = d.sample(self._model_fn(), (2, 8, 8, 3), rng)
+        out2 = d.sample(self._model_fn(), (2, 8, 8, 3), rng)
+        assert out1.shape == (2, 8, 8, 3)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_converges_to_ddim_solution(self):
+        """Both DDIM(eta=0) and DPM-Solver++ integrate the same probability
+        flow ODE — at dense steps they must agree; at FEW steps the
+        second-order solver must be closer to the dense solution than DDIM
+        with the same step count (the whole point of the solver)."""
+        from diffusion_models_collection_tpu.diffusion import DDIM, DPMSolverPP
+
+        kw = dict(num_timesteps=200, beta_start=1e-4, beta_end=0.02,
+                  beta_schedule="linear")
+        fn = self._model_fn(DDIM(**kw).schedule)
+        noise = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3))
+
+        # dense 2nd-order solve as the truth proxy (a dense DDIM still
+        # carries its own first-order bias, so it is NOT a fixed point for
+        # the higher-order solver — measured ~0.04 here)
+        ref = DPMSolverPP(num_inference_steps=200, **kw).sample(
+            fn, (2, 8, 8, 3), jax.random.PRNGKey(0), init_noise=noise)
+
+        def err(sampler, steps):
+            out = sampler(num_inference_steps=steps, **kw).sample(
+                fn, (2, 8, 8, 3), jax.random.PRNGKey(0), init_noise=noise)
+            return float(jnp.max(jnp.abs(out - ref)))
+
+        ddim = lambda **k: DDIM(eta=0.0, **k)  # noqa: E731
+        # order advantage at few steps + monotone self-convergence
+        assert err(DPMSolverPP, 8) < err(ddim, 8)
+        assert err(DPMSolverPP, 24) < err(DPMSolverPP, 8)
+        assert err(DPMSolverPP, 24) < 0.2 * err(ddim, 24)
+        # both solvers are consistent discretizations of the same ODE
+        assert err(ddim, 200) < 0.05
+
+    def test_cfg_runs_and_thresholds(self):
+        from diffusion_models_collection_tpu.diffusion import DPMSolverPP
+
+        d = DPMSolverPP(num_timesteps=50, num_inference_steps=6)
+        y = jnp.array([1, 2], jnp.int32)
+        out = d.sample_with_cfg(self._model_fn(), (2, 8, 8, 3), y,
+                                jax.random.PRNGKey(1), cfg_scale=2.0)
+        assert out.shape == (2, 8, 8, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_factory_dispatch(self):
+        from diffusion_models_collection_tpu.diffusion import DPMSolverPP
+        from diffusion_models_collection_tpu.factory import get_diffusion
+
+        cfg = {"num_timesteps": 100, "beta_start": 1e-4, "beta_end": 0.02,
+               "beta_schedule": "linear", "num_inference_steps": 12}
+        d = get_diffusion(cfg, sampling_method="dpm++")
+        assert isinstance(d, DPMSolverPP)
+        assert d.num_inference_steps == 12
