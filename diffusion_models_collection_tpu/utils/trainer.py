@@ -375,8 +375,7 @@ class DiffusionTrainer:
         model_fn = self._eval_model_fn()
 
         self.rng, sample_rng = jax.random.split(self.rng)
-        with contextlib.ExitStack() as stack:
-            stack.enter_context(self._tp_scope())
+        with self._tp_scope():
             return self._sample_images_inner(
                 epoch, num_samples, shape, nrow, model_fn, sample_rng
             )
