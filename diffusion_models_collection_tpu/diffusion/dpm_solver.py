@@ -16,8 +16,11 @@ Math (x0-parameterization, order 2 multistep):
     x_{t_{i+1}} = (sigma_{t_{i+1}} / sigma_{t_i}) x_{t_i}
                   - alpha_{t_{i+1}} (exp(-h_i) - 1) D_i
 The final transition (reference convention t_next = -1 ⇒ alpha_bar = 1,
-sigma = 0) is the h → ∞ limit of the update, which is exactly `D_i` —
-selected branch-free with `where`, like DDIM's final step.
+sigma = 0) uses the FIRST-order update, i.e. returns the current x0
+prediction — the standard `lower_order_final` convention (k-diffusion,
+diffusers): the second-order correction has no well-defined h there, so
+extrapolating would make the sample depend on an arbitrary step size.
+Selected branch-free with `where`, like DDIM's final step.
 
 TPU-native: the whole trajectory is ONE jitted `lax.scan`; the multistep
 history (x0_prev, lambda_prev) rides in the scan carry. CFG is the fused
@@ -55,7 +58,6 @@ def _solve(
     return_all_timesteps: bool,
 ):
     batch = img.shape[0]
-    expand = (-1,) + (1,) * (img.ndim - 1)
 
     alpha_bar = schedule.alphas_cumprod
     a = jnp.sqrt(alpha_bar)
@@ -65,7 +67,6 @@ def _solve(
     t_next_seq = jnp.concatenate(
         [timesteps[1:], jnp.full((1,), -1, dtype=timesteps.dtype)]
     )
-    idx = jnp.arange(timesteps.shape[0], dtype=jnp.int32)
 
     def x0_at(x, t):
         if use_cfg:
@@ -80,7 +81,7 @@ def _solve(
 
     def step(carry, scan_in):
         x, x0_prev, lam_prev, have_prev = carry
-        i, t_scalar, t_next_scalar = scan_in
+        t_scalar, t_next_scalar = scan_in
         t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
         x0 = x0_at(x, t)
 
@@ -91,10 +92,11 @@ def _solve(
         h = lam_next - lam_t
         h_prev = lam_t - lam_prev
 
-        # multistep combination; first step (or degenerate h) -> first order
+        # multistep combination; first step, degenerate h, and the FINAL
+        # step (no real h there — lower_order_final) use first order
         r = h_prev / jnp.clip(h, min=1e-12)
         coef = 1.0 / jnp.clip(2.0 * r, min=1e-12)
-        use_ms = jnp.logical_and(have_prev, h > 1e-12)
+        use_ms = have_prev & (h > 1e-12) & jnp.logical_not(final)
         D = jnp.where(use_ms, (1.0 + coef) * x0 - coef * x0_prev, x0)
 
         sig_ratio = s[tn] / jnp.clip(s[t_scalar], min=1e-12)
@@ -106,8 +108,8 @@ def _solve(
 
     carry0 = (img, jnp.zeros_like(img), jnp.float32(0.0), jnp.bool_(False))
     (x, _, _, _), ys = jax.lax.scan(
-        step, carry0, (idx, timesteps.astype(jnp.int32),
-                       t_next_seq.astype(jnp.int32))
+        step, carry0,
+        (timesteps.astype(jnp.int32), t_next_seq.astype(jnp.int32)),
     )
     return (ys if return_all_timesteps else x)
 

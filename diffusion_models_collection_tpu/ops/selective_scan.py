@@ -27,18 +27,28 @@ _TP_STATE = threading.local()
 
 
 @contextlib.contextmanager
-def scan_tensor_parallel(mesh, axis: str = "model"):
+def scan_tensor_parallel(mesh, axis: str = "model",
+                         batch_axis: Optional[str] = "auto"):
     """Run selective scans sharded over `axis` of `mesh` within this scope.
 
     The recurrence is elementwise-independent across d_inner, so tensor
     parallelism is a pure shard_map over the channel axis: x/dt/A/D split
-    on d_inner, B/C replicated, no collectives inside. This is how the
-    Pallas kernel participates in TP — GSPMD cannot partition an opaque
-    `pallas_call`, so the op wraps itself in shard_map at trace time when
-    this context is active (the model code never changes).
+    on d_inner, B/C replicated over `axis`, no collectives inside. This is
+    how the Pallas kernel participates in TP — GSPMD cannot partition an
+    opaque `pallas_call`, so the op wraps itself in shard_map at trace
+    time when this context is active (the model code never changes).
+
+    `batch_axis` additionally splits the batch dimension of every operand
+    over that mesh axis — REQUIRED under a DP x TP mesh: an unmentioned
+    mesh axis means 'replicated' to shard_map, so leaving the data axis
+    out would all-gather the full global batch onto every dp replica and
+    scan it dp-fold redundantly. 'auto' uses the mesh's 'data' axis when
+    present; None replicates the batch (single-axis TP-only meshes).
     """
+    if batch_axis == "auto":
+        batch_axis = "data" if "data" in mesh.axis_names else None
     prev = getattr(_TP_STATE, "ctx", None)
-    _TP_STATE.ctx = (mesh, axis)
+    _TP_STATE.ctx = (mesh, axis, batch_axis)
     try:
         yield
     finally:
@@ -327,18 +337,20 @@ def selective_scan(
     if ctx is not None:
         from jax.sharding import PartitionSpec as P
 
-        mesh, axis = ctx
+        mesh, axis, batch_axis = ctx
+        bld = P(batch_axis, None, axis)  # (batch, L, d_inner)
+        bln = P(batch_axis, None, None)  # (batch, L, n)
         core = jax.shard_map(
             _selective_scan_core,
             mesh=mesh,
             in_specs=(
-                P(None, None, axis),  # x: d_inner sharded
-                P(None, None, axis),  # dt
-                P(axis, None),        # A: (d_inner, n)
-                P(),                  # B: replicated
-                P(),                  # C: replicated
+                bld,            # x: batch + d_inner sharded
+                bld,            # dt
+                P(axis, None),  # A: (d_inner, n)
+                bln,            # B: replicated over the model axis only
+                bln,            # C
             ),
-            out_specs=P(None, None, axis),
+            out_specs=bld,
             check_vma=False,
         )
         y = core(x, dt, A, B, C)

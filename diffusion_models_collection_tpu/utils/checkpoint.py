@@ -64,16 +64,51 @@ def save_checkpoint(
 def load_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
     """Load any supported format: our pickle file, an orbax directory, or
     a reference PyTorch checkpoint (.pth/.pt — converted on the fly, see
-    utils/torch_import.py)."""
+    utils/torch_import.py). Legacy param layouts are migrated in place."""
     path = Path(path)
     if path.is_dir():
-        return _load_orbax(path)
-    if path.suffix.lower() in (".pth", ".pt"):
+        payload = _load_orbax(path)
+    elif path.suffix.lower() in (".pth", ".pt"):
         from .torch_import import load_reference_checkpoint
 
-        return load_reference_checkpoint(path)
-    with path.open("rb") as f:
-        return pickle.load(f)
+        payload = load_reference_checkpoint(path)
+    else:
+        with path.open("rb") as f:
+            payload = pickle.load(f)
+    for key in ("model_state_dict", "ema_model_state_dict"):
+        if payload.get(key) is not None:
+            payload[key] = migrate_legacy_params(payload[key])
+    return payload
+
+
+def migrate_legacy_params(params):
+    """Upgrade param pytrees saved before the Mamba projections were
+    named (auto-numbered Dense_0..Dense_3 / Conv_0 with a FUSED in_proj).
+
+    Old layout inside each `.../Mamba_0`: Dense_0 = fused in_proj kernel
+    (d_model, 2*d_inner), Conv_0 = depthwise conv, Dense_1 = x_dbl,
+    Dense_2 = dt_proj, Dense_3 = out_proj. New layout splits in_proj into
+    `in_proj_x`/`in_proj_z` column halves (TP-friendly; the recurrence is
+    unchanged, so migrated checkpoints are numerically identical). Returns
+    the input unchanged when no legacy Mamba blocks are present.
+    """
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: fix(v) for k, v in node.items()}
+        if "A_log" in node and "Dense_0" in node and "conv" not in node:
+            fused = np.asarray(node.pop("Dense_0")["kernel"])
+            d_inner = fused.shape[1] // 2
+            node["in_proj_x"] = {"kernel": fused[:, :d_inner]}
+            node["in_proj_z"] = {"kernel": fused[:, d_inner:]}
+            node["conv"] = node.pop("Conv_0")
+            node["x_dbl"] = node.pop("Dense_1")
+            node["dt_proj"] = node.pop("Dense_2")
+            node["out_proj"] = node.pop("Dense_3")
+        return node
+
+    return fix(params)
 
 
 # --- orbax backend (config 'checkpoint_format': 'orbax') --------------------

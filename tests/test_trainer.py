@@ -272,3 +272,51 @@ def test_trainer_remat(tmp_path):
     losses = [trainer.train_epoch(e) for e in range(2, 4)]
     assert math.isfinite(l1)
     assert min(losses) < l1
+
+
+def test_legacy_dim_checkpoint_migration(tmp_path):
+    """Checkpoints saved before the Mamba projections were named (fused
+    in_proj Dense_0, auto-numbered Conv_0/Dense_1..3) load and produce
+    identical outputs after `migrate_legacy_params`."""
+    from diffusion_models_collection_tpu.models import DiM
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        migrate_legacy_params,
+        save_checkpoint,
+    )
+
+    model = DiM(img_size=(8, 8), patch_size=4, in_channels=3, hidden_size=32,
+                depth=1, state_size=4, num_classes=10)
+    x = jnp.zeros((1, 8, 8, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    y = jnp.zeros((1,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, y)["params"]
+
+    # reconstruct the legacy layout from the new one
+    import copy
+
+    legacy = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+    mamba = legacy["DiMBlock_0"]["MambaBlock_0"]["Mamba_0"]
+    fused = np.concatenate(
+        [mamba.pop("in_proj_x")["kernel"], mamba.pop("in_proj_z")["kernel"]],
+        axis=1,
+    )
+    mamba["Dense_0"] = {"kernel": fused}
+    mamba["Conv_0"] = mamba.pop("conv")
+    mamba["Dense_1"] = mamba.pop("x_dbl")
+    mamba["Dense_2"] = mamba.pop("dt_proj")
+    mamba["Dense_3"] = mamba.pop("out_proj")
+
+    migrated = migrate_legacy_params(legacy)
+    ref_out = model.apply({"params": params}, x, t, y)
+    mig_out = model.apply({"params": migrated}, x, t, y)
+    np.testing.assert_array_equal(np.asarray(ref_out), np.asarray(mig_out))
+
+    # and through the file loader
+    save_checkpoint(
+        tmp_path / "legacy.ckpt", epoch=1, params=legacy, opt_state={},
+        best_loss=1.0, config={"model_type": "dim"},
+    )
+    # re-inject the legacy tree (save_checkpoint stored it as-is)
+    payload = load_checkpoint(tmp_path / "legacy.ckpt")
+    out = model.apply({"params": payload["model_state_dict"]}, x, t, y)
+    np.testing.assert_array_equal(np.asarray(ref_out), np.asarray(out))
