@@ -1,0 +1,233 @@
+"""Minimal production serving daemon (beyond the reference).
+
+Loads a checkpoint (native .ckpt/orbax, or a reference PyTorch .pth —
+converted on the fly) and serves image generation over HTTP with ONE
+compiled program: requests are padded to the fixed serving batch, so the
+TPU never retraces. CFG scale and seed are runtime inputs (traced
+scalars), not compile-time constants.
+
+    python serve.py --checkpoint ckpt/best_model.ckpt --port 8000 \
+        --sampling_method dpm++ --num_inference_steps 16 --use_ema
+
+    GET  /healthz            -> {"status": "ok", ...}
+    POST /generate           JSON {"num_samples": 4, "labels": [0,1,2,3],
+                                   "seed": 7, "cfg_scale": 1.8,
+                                   "format": "png"|"npy"}
+      -> image/png grid (or application/octet-stream .npy of
+         (N, H, W, C) float32 in [0, 1])
+
+Single-threaded by design: one chip, one compiled sampler — queuing at
+the HTTP layer is the correct backpressure (see docs/benchmarks.md
+serving scaling note: the chip saturates at the serving batch already).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_models_collection_tpu.factory import (
+    get_diffusion,
+    load_model_for_inference,
+)
+from diffusion_models_collection_tpu.utils.checkpoint import load_checkpoint
+from diffusion_models_collection_tpu.utils.helpers import (
+    resolve_image_size,
+    save_image_grid,
+)
+
+
+class SamplerService:
+    """Owns the model, params and the one compiled sampler."""
+
+    def __init__(self, checkpoint_path: str, *, sampling_method: str = "ddim",
+                 num_inference_steps: int | None = None, batch_size: int = 16,
+                 use_ema: bool = False, config: dict | None = None):
+        payload = load_checkpoint(checkpoint_path)
+        self.config = config or payload.get("config")
+        if self.config is None:
+            raise ValueError("checkpoint has no embedded config; pass one")
+        self.model, params = load_model_for_inference(
+            payload, self.config, use_ema
+        )
+        self.params = jax.device_put(params)
+        self.diffusion = get_diffusion(self.config, sampling_method)
+        if num_inference_steps and hasattr(self.diffusion,
+                                           "set_inference_steps"):
+            self.diffusion.set_inference_steps(num_inference_steps)
+        self.batch_size = int(batch_size)
+        h, w = resolve_image_size(self.config["image_size"])
+        self.image_hw = (h, w)
+        self.channels = self.config.get("model_params", {}).get(
+            "in_channels", 3
+        )
+        self.conditional = bool(self.config.get("conditional", False))
+        self.num_classes = self.config.get("num_classes")
+        self.default_cfg = float(self.config.get("cfg_scale", 1.8))
+
+        model, params = self.model, self.params
+
+        def model_fn(x, t, y):
+            return model.apply({"params": params}, x, t, y, train=False)
+
+        self._model_fn = jax.tree_util.Partial(model_fn)
+
+    def warmup(self):
+        t0 = time.time()
+        self.generate(1, labels=[0] if self.conditional else None, seed=0)
+        return time.time() - t0
+
+    def generate(self, num_samples: int, labels=None, seed: int = 0,
+                 cfg_scale: float | None = None) -> np.ndarray:
+        """Images (num_samples, H, W, C) float32 in [0, 1]. Requests pad to
+        the fixed serving batch so the compiled shape never changes."""
+        if not (1 <= num_samples <= self.batch_size):
+            raise ValueError(
+                f"num_samples must be in [1, {self.batch_size}]"
+            )
+        h, w = self.image_hw
+        shape = (self.batch_size, h, w, self.channels)
+        rng = jax.random.PRNGKey(int(seed))
+
+        if self.conditional:
+            if labels is None:
+                labels = list(range(num_samples))
+            if len(labels) != num_samples:
+                raise ValueError("labels length must equal num_samples")
+            if self.num_classes and any(
+                not (0 <= l < self.num_classes) for l in labels
+            ):
+                raise ValueError(
+                    f"labels must be in [0, {self.num_classes})"
+                )
+            y = np.zeros((self.batch_size,), np.int32)
+            y[:num_samples] = np.asarray(labels) + 1  # +1 shift, 0 = null
+            out = self.diffusion.sample_with_cfg(
+                self._model_fn, shape, jnp.asarray(y), rng,
+                cfg_scale=float(
+                    self.default_cfg if cfg_scale is None else cfg_scale
+                ),
+            )
+        else:
+            out = self.diffusion.sample(self._model_fn, shape, rng)
+        out = np.clip((np.asarray(out[:num_samples]) + 1.0) / 2.0, 0.0, 1.0)
+        return out.astype(np.float32)
+
+
+def _png_grid(images: np.ndarray) -> bytes:
+    import tempfile
+    from pathlib import Path
+
+    nrow = max(1, int(np.ceil(np.sqrt(len(images)))))
+    with tempfile.TemporaryDirectory() as td:
+        path = Path(td) / "grid.png"
+        save_image_grid(images, path, nrow=nrow)
+        return path.read_bytes()
+
+
+def make_handler(service: SamplerService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                h, w = service.image_hw
+                self._send_json(200, {
+                    "status": "ok",
+                    "model_type": service.config.get("model_type"),
+                    "image_size": [h, w],
+                    "conditional": service.conditional,
+                    "num_classes": service.num_classes,
+                    "max_batch": service.batch_size,
+                })
+            else:
+                self._send_json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send_json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                t0 = time.time()
+                images = service.generate(
+                    int(req.get("num_samples", 1)),
+                    labels=req.get("labels"),
+                    seed=int(req.get("seed", 0)),
+                    cfg_scale=req.get("cfg_scale"),
+                )
+                elapsed = time.time() - t0
+                if req.get("format", "png") == "npy":
+                    buf = io.BytesIO()
+                    np.save(buf, images)
+                    self._send(200, buf.getvalue(),
+                               "application/octet-stream")
+                else:
+                    self._send(200, _png_grid(images), "image/png")
+                print(f"generated {len(images)} in {elapsed:.2f}s",
+                      flush=True)
+            except ValueError as e:
+                self._send_json(400, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Serve a diffusion model")
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--batch_size", type=int, default=16,
+                        help="Fixed serving batch (requests pad to it)")
+    parser.add_argument("--sampling_method", type=str, default="ddim",
+                        choices=["ddpm", "ddim", "dpm++"])
+    parser.add_argument("--num_inference_steps", type=int, default=None)
+    parser.add_argument("--use_ema", action="store_true")
+    args = parser.parse_args(argv)
+
+    service = SamplerService(
+        args.checkpoint,
+        sampling_method=args.sampling_method,
+        num_inference_steps=args.num_inference_steps,
+        batch_size=args.batch_size,
+        use_ema=args.use_ema,
+    )
+    print("Warming up (compiling the sampler)...", flush=True)
+    dt = service.warmup()
+    print(f"Warmup done in {dt:.1f}s", flush=True)
+
+    server = HTTPServer((args.host, args.port), make_handler(service))
+    print(f"Serving on http://{args.host}:{server.server_address[1]}",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,133 @@
+"""Serving daemon: HTTP generate/healthz against a live server thread."""
+
+import http.client
+import io
+import json
+import socket
+import threading
+from http.server import HTTPServer
+
+import numpy as np
+import pytest
+
+import serve as serve_mod
+from diffusion_models_collection_tpu.datasets import (
+    DataLoader,
+    DiffusionDataset,
+    ImageTransform,
+)
+from diffusion_models_collection_tpu.diffusion import DDPM
+from diffusion_models_collection_tpu.factory import get_model
+from diffusion_models_collection_tpu.utils import DiffusionTrainer
+from diffusion_models_collection_tpu.utils.tracker import NullTracker
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve_ckpt")
+    cfg = {
+        "model_type": "unet",
+        "model_params": {
+            "image_size": (8, 8), "in_channels": 3, "model_channels": 16,
+            "out_channels": 3, "num_res_blocks": 1,
+            "attention_resolutions": (4,), "channel_mult": (1, 2),
+        },
+        "image_size": (8, 8),
+        "conditional": True,
+        "num_classes": 4,
+        "num_timesteps": 10,
+        "beta_start": 1e-4, "beta_end": 0.02, "beta_schedule": "linear",
+        "loss_type": "l2", "epochs": 1, "batch_size": 8,
+        "optimizer": "adamw", "learning_rate": 1e-3, "weight_decay": 0.0,
+        "gradient_accumulation_steps": 1, "use_ema": True, "ema_decay": 0.9,
+        "cfg_dropout_prob": 0.2, "cfg_scale": 1.5,
+        "num_inference_steps": 4, "ddim_eta": 0.0,
+        "use_scheduler": False,
+        "save_dir": str(tmp / "ckpt"), "sample_dir": str(tmp / "samples"),
+        "save_interval": 10, "sample_interval": 100,
+        "sample_start_epoch": 100, "num_samples": 4,
+        "seed": 0, "use_swanlab": False,
+    }
+    ds = DiffusionDataset(
+        "synthetic", conditional=True,
+        transform=ImageTransform((8, 8), train=True), image_size=(8, 8),
+        n_train=16, num_classes=4,
+    )
+    loader = DataLoader(ds, batch_size=8, seed=0, prefetch=0)
+    trainer = DiffusionTrainer(
+        get_model(cfg), DDPM(10), loader, config=cfg, tracker=NullTracker()
+    )
+    trainer.train_epoch(1)
+    trainer.save_checkpoint(1)
+    return str(tmp / "ckpt" / "current_model.ckpt")
+
+
+@pytest.fixture(scope="module")
+def server(checkpoint):
+    service = serve_mod.SamplerService(
+        checkpoint, sampling_method="ddim", num_inference_steps=3,
+        batch_size=4, use_ema=True,
+    )
+    httpd = HTTPServer(("127.0.0.1", 0), serve_mod.make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield httpd.server_address
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _request(addr, method, path, body=None):
+    conn = http.client.HTTPConnection(*addr, timeout=300)
+    conn.request(method, path, body=json.dumps(body) if body else None)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, resp.getheader("Content-Type"), data
+
+
+def test_healthz(server):
+    status, ctype, data = _request(server, "GET", "/healthz")
+    assert status == 200
+    info = json.loads(data)
+    assert info["status"] == "ok"
+    assert info["conditional"] is True
+    assert info["max_batch"] == 4
+
+
+def test_generate_npy(server):
+    status, ctype, data = _request(
+        server, "POST", "/generate",
+        {"num_samples": 2, "labels": [0, 3], "seed": 5, "format": "npy"},
+    )
+    assert status == 200, data
+    images = np.load(io.BytesIO(data))
+    assert images.shape == (2, 8, 8, 3)
+    assert images.min() >= 0.0 and images.max() <= 1.0
+
+    # determinism at fixed seed
+    _, _, data2 = _request(
+        server, "POST", "/generate",
+        {"num_samples": 2, "labels": [0, 3], "seed": 5, "format": "npy"},
+    )
+    np.testing.assert_array_equal(images, np.load(io.BytesIO(data2)))
+
+
+def test_generate_png(server):
+    status, ctype, data = _request(
+        server, "POST", "/generate", {"num_samples": 3}
+    )
+    assert status == 200
+    assert ctype == "image/png"
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_generate_validation(server):
+    status, _, data = _request(
+        server, "POST", "/generate", {"num_samples": 99}
+    )
+    assert status == 400
+    status, _, data = _request(
+        server, "POST", "/generate", {"num_samples": 1, "labels": [9]}
+    )
+    assert status == 400
+    assert b"labels" in data
