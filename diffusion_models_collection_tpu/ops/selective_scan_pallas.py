@@ -124,20 +124,34 @@ def _scan_kernel_blocked(dt_ref, u_ref, b_ref, c_ref, a_ref, y_ref, h_ref,
     jax.lax.fori_loop(0, n_blocks, outer, ())
 
 
-_T_BLOCK = 16  # swept on v5e: 8 -> 13.7 ms, 16 -> 12.8 ms, 32 -> 12.9 ms
-               # (vs 23.7 ms unblocked) at (160, 256, 768, 16), dot-based
-               # kernels; the VPU form keeps the same optimum at 16.
+_T_BLOCK = 16   # fallback block (any L % 16 == 0)
+_T_BLOCK_WIDE = 32  # preferred when L % 32 == 0
+
+# History: with the original dot-based kernels, 16 was the optimum
+# (8 -> 13.7, 16 -> 12.8, 32 -> 12.9 ms) and t_block=32 in the backward
+# exceeded scoped VMEM outright. The all-VPU contractions freed enough
+# VMEM that 32 now fits AND wins: backward 3.64 -> 3.09 ms/call (-15%)
+# at (128, 256, 768, 16) on v5e; forward comparable-or-better. Block
+# size is picked per sequence length (`t_block_for`); the forward's
+# boundary-checkpoint residuals shrink 2x at 32.
 
 
-@jax.jit
-def _scan_pallas_call_blocked(dt, u, B, C, A):
+def t_block_for(length: int) -> int:
+    """Largest supported time block for this L (kernels require L % tb == 0)."""
+    if length % _T_BLOCK_WIDE == 0:
+        return _T_BLOCK_WIDE
+    return _T_BLOCK
+
+
+@functools.partial(jax.jit, static_argnames=("t_block",))
+def _scan_pallas_call_blocked(dt, u, B, C, A, *, t_block=_T_BLOCK):
     batch, length, d_inner = dt.shape
     n_state = A.shape[0]
     grid = (batch,)
     ldd = pl.BlockSpec((1, length, d_inner), lambda i: (i, 0, 0))
     lnn = pl.BlockSpec((1, length, n_state), lambda i: (i, 0, 0))
     return pl.pallas_call(
-        functools.partial(_scan_kernel_blocked, t_block=_T_BLOCK),
+        functools.partial(_scan_kernel_blocked, t_block=t_block),
         out_shape=jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
         grid=grid,
         in_specs=[ldd, ldd, lnn, lnn,
@@ -315,16 +329,16 @@ def _scan_kernel_blocked_ckpt(dt_ref, u_ref, b_ref, c_ref, a_ref,
     jax.lax.fori_loop(0, n_blocks, outer, ())
 
 
-@jax.jit
-def _scan_fwd_ckpt_pallas_call(dt, u, B, C, A):
+@functools.partial(jax.jit, static_argnames=("t_block",))
+def _scan_fwd_ckpt_pallas_call(dt, u, B, C, A, *, t_block=_T_BLOCK):
     """(y, bound): forward outputs plus boundary states (B, nb, N, D)."""
     batch, length, d_inner = dt.shape
     n_state = A.shape[0]
-    n_blocks = length // _T_BLOCK
+    n_blocks = length // t_block
     ldd = pl.BlockSpec((1, length, d_inner), lambda i: (i, 0, 0))
     lnn = pl.BlockSpec((1, length, n_state), lambda i: (i, 0, 0))
     return pl.pallas_call(
-        functools.partial(_scan_kernel_blocked_ckpt, t_block=_T_BLOCK),
+        functools.partial(_scan_kernel_blocked_ckpt, t_block=t_block),
         out_shape=(
             jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
             jax.ShapeDtypeStruct((batch, n_blocks, n_state, d_inner),
@@ -346,10 +360,12 @@ def selective_scan_fwd_ckpt_pallas(x, dt, A, B, C):
     """Core forward + boundary checkpoints (for the custom_vjp fwd pass).
 
     Returns (y_core, bound). The caller adds the D-skip; bound feeds
-    `selective_scan_bwd_from_ckpt_pallas`. Requires length % _T_BLOCK == 0
-    (callers gate on that before dispatching here).
+    `selective_scan_bwd_from_ckpt_pallas` (which infers t_block from the
+    bound shape). Requires length % 16 == 0 (callers gate on that).
     """
-    return _scan_fwd_ckpt_pallas_call(dt, dt * x, B, C, A.T)
+    return _scan_fwd_ckpt_pallas_call(
+        dt, dt * x, B, C, A.T, t_block=t_block_for(x.shape[1])
+    )
 
 
 def _scan_bwd_kernel_from_ckpt(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
@@ -390,12 +406,13 @@ def _scan_bwd_kernel_from_ckpt(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
 def _scan_bwd_from_ckpt_pallas_call(dt, x, B, C, A, g, bound):
     batch, length, d_inner = dt.shape
     n_state = A.shape[0]
-    n_blocks = length // _T_BLOCK
+    n_blocks = bound.shape[1]  # t_block inferred from the residual
+    t_block = length // n_blocks
     ldd = pl.BlockSpec((1, length, d_inner), lambda i: (i, 0, 0))
     lnn = pl.BlockSpec((1, length, n_state), lambda i: (i, 0, 0))
     lnd = pl.BlockSpec((1, n_state, d_inner), lambda i: (i, 0, 0))
     dx, ddt, dB, dC, dA_part = pl.pallas_call(
-        functools.partial(_scan_bwd_kernel_from_ckpt, t_block=_T_BLOCK),
+        functools.partial(_scan_bwd_kernel_from_ckpt, t_block=t_block),
         out_shape=(
             jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
             jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
@@ -471,7 +488,9 @@ def selective_scan_pallas(x, dt, A, B, C, D=None):
     u = dt * x
     At = A.T  # (n, d_inner)
     if x.shape[1] % _T_BLOCK == 0:
-        y = _scan_pallas_call_blocked(dt, u, B, C, At)
+        y = _scan_pallas_call_blocked(
+            dt, u, B, C, At, t_block=t_block_for(x.shape[1])
+        )
     else:
         y = _scan_pallas_call(dt, u, B, C, At)
     if D is not None:

@@ -170,6 +170,6 @@ def test_selective_scan_bwd_from_ckpt_parity_interpret():
             x, dt, A, B, C, g, bound
         )
     np.testing.assert_allclose(y_ckpt, y_plain, rtol=1e-5, atol=1e-5)
-    assert bound.shape == (b, L // ssp._T_BLOCK, n, d)
+    assert bound.shape == (b, L // ssp.t_block_for(L), n, d)
     for a, r in zip(outs, gref):
         np.testing.assert_allclose(a, r, rtol=1e-4, atol=1e-4)
