@@ -35,13 +35,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffusion_models_collection_tpu.factory import (
+    eval_model_fn,
     get_diffusion,
     load_model_for_inference,
 )
 from diffusion_models_collection_tpu.utils.checkpoint import load_checkpoint
 from diffusion_models_collection_tpu.utils.helpers import (
+    make_grid,
     resolve_image_size,
-    save_image_grid,
 )
 
 
@@ -73,12 +74,7 @@ class SamplerService:
         self.num_classes = self.config.get("num_classes")
         self.default_cfg = float(self.config.get("cfg_scale", 1.8))
 
-        model, params = self.model, self.params
-
-        def model_fn(x, t, y):
-            return model.apply({"params": params}, x, t, y, train=False)
-
-        self._model_fn = jax.tree_util.Partial(model_fn)
+        self._model_fn = eval_model_fn(self.model, self.params)
 
     def warmup(self):
         t0 = time.time()
@@ -93,13 +89,22 @@ class SamplerService:
             raise ValueError(
                 f"num_samples must be in [1, {self.batch_size}]"
             )
+        if labels is not None and (
+            not isinstance(labels, (list, tuple))
+            or not all(isinstance(l, int) for l in labels)
+        ):
+            raise ValueError("labels must be a list of integers")
         h, w = self.image_hw
         shape = (self.batch_size, h, w, self.channels)
         rng = jax.random.PRNGKey(int(seed))
 
         if self.conditional:
             if labels is None:
-                labels = list(range(num_samples))
+                # round-robin default, wrapping at num_classes (the
+                # sample.py per-row convention)
+                labels = [
+                    i % (self.num_classes or 1) for i in range(num_samples)
+                ]
             if len(labels) != num_samples:
                 raise ValueError("labels length must equal num_samples")
             if self.num_classes and any(
@@ -117,20 +122,27 @@ class SamplerService:
                 ),
             )
         else:
+            if labels is not None or cfg_scale is not None:
+                raise ValueError(
+                    "this model is unconditional: labels/cfg_scale are "
+                    "not supported"
+                )
             out = self.diffusion.sample(self._model_fn, shape, rng)
         out = np.clip((np.asarray(out[:num_samples]) + 1.0) / 2.0, 0.0, 1.0)
         return out.astype(np.float32)
 
 
 def _png_grid(images: np.ndarray) -> bytes:
-    import tempfile
-    from pathlib import Path
+    from PIL import Image
 
     nrow = max(1, int(np.ceil(np.sqrt(len(images)))))
-    with tempfile.TemporaryDirectory() as td:
-        path = Path(td) / "grid.png"
-        save_image_grid(images, path, nrow=nrow)
-        return path.read_bytes()
+    grid = make_grid((np.clip(images, 0, 1) * 255).round().astype(np.uint8),
+                     nrow=nrow)
+    if grid.shape[-1] == 1:
+        grid = grid[..., 0]
+    buf = io.BytesIO()
+    Image.fromarray(grid).save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def make_handler(service: SamplerService):
@@ -169,6 +181,8 @@ def make_handler(service: SamplerService):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 t0 = time.time()
                 images = service.generate(
                     int(req.get("num_samples", 1)),
@@ -186,7 +200,8 @@ def make_handler(service: SamplerService):
                     self._send(200, _png_grid(images), "image/png")
                 print(f"generated {len(images)} in {elapsed:.2f}s",
                       flush=True)
-            except ValueError as e:
+            except (ValueError, TypeError, KeyError,
+                    json.JSONDecodeError) as e:
                 self._send_json(400, {"error": str(e)})
             except Exception as e:  # pragma: no cover - defensive
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})

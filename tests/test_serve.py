@@ -131,3 +131,57 @@ def test_generate_validation(server):
     )
     assert status == 400
     assert b"labels" in data
+
+
+def test_generate_default_labels_wrap(checkpoint):
+    """Default labels wrap at num_classes: num_samples > num_classes must
+    not 400 (the server's own default used to exceed the class range)."""
+    service = serve_mod.SamplerService(
+        checkpoint, sampling_method="ddim", num_inference_steps=2,
+        batch_size=6, use_ema=True,
+    )
+    images = service.generate(6)  # num_classes=4 < 6
+    assert images.shape[0] == 6
+
+
+def test_unconditional_rejects_labels(tmp_path, checkpoint):
+    """Labels/cfg_scale on an unconditional model are a client error, not
+    silently ignored."""
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    payload = load_checkpoint(checkpoint)
+    cfg = dict(payload["config"], conditional=False, num_classes=None)
+    path = tmp_path / "uncond.ckpt"
+    save_checkpoint(
+        path, epoch=1, params=payload["model_state_dict"], opt_state={},
+        best_loss=1.0, config=cfg,
+    )
+    service = serve_mod.SamplerService(
+        str(path), sampling_method="ddim", num_inference_steps=2,
+        batch_size=2,
+    )
+    with pytest.raises(ValueError, match="unconditional"):
+        service.generate(1, labels=[0])
+    with pytest.raises(ValueError, match="unconditional"):
+        service.generate(1, cfg_scale=2.0)
+    assert service.generate(1).shape[0] == 1
+
+
+def test_malformed_requests_are_400(server):
+    conn = http.client.HTTPConnection(*server, timeout=300)
+    conn.request("POST", "/generate", body=b"[1, 2]")
+    resp = conn.getresponse()
+    assert resp.status == 400
+    resp.read()
+    conn.close()
+    status, _, _ = _request(
+        server, "POST", "/generate", {"num_samples": 1, "labels": 5}
+    )
+    assert status == 400
+    status, _, _ = _request(
+        server, "POST", "/generate", {"num_samples": 1, "labels": ["a"]}
+    )
+    assert status == 400
