@@ -77,6 +77,29 @@ def test_sample_cli_ddim(workdir):
     assert (out_dir / "out.png").exists()
 
 
+def test_sample_cli_dpmpp(workdir):
+    """--sampling_method dpm++ (extension) through the CLI, incl. the
+    intermediates path (return_all_timesteps on the solver's scan)."""
+    out_dir = workdir / "samples_dpmpp"
+    run(
+        [
+            str(REPO / "sample.py"),
+            "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+            "--sampling_method", "dpm++",
+            "--num_inference_steps", "4",
+            "--num_samples", "4",
+            "--batch_size", "4",
+            "--use_ema",
+            "--save_intermediate",
+            "--output_dir", str(out_dir),
+            "--output_name", "out.png",
+        ],
+        cwd=str(workdir),
+    )
+    assert (out_dir / "out.png").exists()
+    assert any((out_dir / "intermediate").glob("step_*.png"))
+
+
 def test_sample_cli_gif_and_labels(workdir):
     out_dir = workdir / "samples_gif"
     run(
