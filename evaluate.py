@@ -59,6 +59,9 @@ def main():
                         help="Directory to save PNG images (real/generate "
                              "subfolders)")
     parser.add_argument("--seed", type=int, default=42, help="Random seed")
+    parser.add_argument("--mixed_precision", type=str, default=None,
+                        choices=["bf16", "none"],
+                        help="Override the checkpoint config's compute dtype")
     parser.add_argument("--device", type=str, default="tpu",
                         help="Accepted for parity; placement is automatic")
     parser.add_argument("--cfg_scale", type=float, default=0.0,
@@ -70,6 +73,8 @@ def main():
     print(f"Loading checkpoint from {args.checkpoint}...")
     checkpoint = load_checkpoint(args.checkpoint)
     config = load_config(Path(args.config)) if args.config else checkpoint["config"]
+    if args.mixed_precision is not None:
+        config["mixed_precision"] = args.mixed_precision
     config["image_size"] = resolve_image_size(config["image_size"])
 
     print("Creating model...")

@@ -100,6 +100,11 @@ def main():
     parser.add_argument("--labels", type=str, default=None,
                         help="Comma-separated labels for conditional generation")
     parser.add_argument("--seed", type=int, default=42, help="Random seed")
+    parser.add_argument("--mixed_precision", type=str, default=None,
+                        choices=["bf16", "none"],
+                        help="Override the checkpoint config's compute "
+                             "dtype (e.g. bf16 inference on an imported "
+                             "fp32 .pth checkpoint)")
     parser.add_argument("--device", type=str, default="tpu",
                         help="Accepted for parity; placement is automatic")
     parser.add_argument("--save_intermediate", action="store_true",
@@ -119,6 +124,8 @@ def main():
 
     if args.sampling_method.lower() in ("ddim", "dpm++") and args.num_inference_steps:
         config["num_inference_steps"] = args.num_inference_steps
+    if args.mixed_precision is not None:
+        config["mixed_precision"] = args.mixed_precision
     config["image_size"] = resolve_image_size(config["image_size"])
 
     print("Creating model...")

@@ -4,6 +4,7 @@ paths including the selective-scan custom_vjp."""
 
 import math
 
+import jax.numpy as jnp
 import pytest
 
 from diffusion_models_collection_tpu.datasets import (
@@ -106,3 +107,12 @@ def test_dim_trainer_tensor_parallel(tmp_path):
     assert k.sharding.spec == P(None, "model")
     samples = trainer.sample_images(epoch=1, num_samples=4)
     assert samples.shape[0] == 4
+
+
+def test_dim_trainer_tp_with_bf16(tmp_path):
+    """tensor_parallel + mixed_precision compose: the bf16 Mamba casts to
+    fp32 at the scan boundary inside the shard_map."""
+    model = DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+                depth=1, state_size=4, num_classes=10, dtype=jnp.bfloat16)
+    trainer = make_trainer(tmp_path, model, tensor_parallel=2)
+    assert math.isfinite(trainer.train_epoch(1))
