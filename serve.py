@@ -16,9 +16,10 @@ scalars), not compile-time constants.
       -> image/png grid (or application/octet-stream .npy of
          (N, H, W, C) float32 in [0, 1])
 
-Single-threaded by design: one chip, one compiled sampler — queuing at
-the HTTP layer is the correct backpressure (see docs/benchmarks.md
-serving scaling note: the chip saturates at the serving batch already).
+Generation is serialized by a lock (one chip, one compiled sampler —
+queuing is the correct backpressure; the chip saturates at the serving
+batch already, docs/benchmarks.md), while /healthz and error responses
+stay responsive on separate threads.
 """
 
 from __future__ import annotations
@@ -27,8 +28,9 @@ import argparse
 import io
 import json
 import sys
+import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +77,7 @@ class SamplerService:
         self.default_cfg = float(self.config.get("cfg_scale", 1.8))
 
         self._model_fn = eval_model_fn(self.model, self.params)
+        self._lock = threading.Lock()  # serialize device work
 
     def warmup(self):
         t0 = time.time()
@@ -115,19 +118,21 @@ class SamplerService:
                 )
             y = np.zeros((self.batch_size,), np.int32)
             y[:num_samples] = np.asarray(labels) + 1  # +1 shift, 0 = null
-            out = self.diffusion.sample_with_cfg(
-                self._model_fn, shape, jnp.asarray(y), rng,
-                cfg_scale=float(
-                    self.default_cfg if cfg_scale is None else cfg_scale
-                ),
-            )
+            with self._lock:
+                out = self.diffusion.sample_with_cfg(
+                    self._model_fn, shape, jnp.asarray(y), rng,
+                    cfg_scale=float(
+                        self.default_cfg if cfg_scale is None else cfg_scale
+                    ),
+                )
         else:
             if labels is not None or cfg_scale is not None:
                 raise ValueError(
                     "this model is unconditional: labels/cfg_scale are "
                     "not supported"
                 )
-            out = self.diffusion.sample(self._model_fn, shape, rng)
+            with self._lock:
+                out = self.diffusion.sample(self._model_fn, shape, rng)
         out = np.clip((np.asarray(out[:num_samples]) + 1.0) / 2.0, 0.0, 1.0)
         return out.astype(np.float32)
 
@@ -233,7 +238,9 @@ def main(argv=None):
     dt = service.warmup()
     print(f"Warmup done in {dt:.1f}s", flush=True)
 
-    server = HTTPServer((args.host, args.port), make_handler(service))
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(service)
+    )
     print(f"Serving on http://{args.host}:{server.server_address[1]}",
           flush=True)
     try:

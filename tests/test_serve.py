@@ -5,7 +5,7 @@ import io
 import json
 import socket
 import threading
-from http.server import HTTPServer
+from http.server import ThreadingHTTPServer
 
 import numpy as np
 import pytest
@@ -68,7 +68,9 @@ def server(checkpoint):
         checkpoint, sampling_method="ddim", num_inference_steps=3,
         batch_size=4, use_ema=True,
     )
-    httpd = HTTPServer(("127.0.0.1", 0), serve_mod.make_handler(service))
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_mod.make_handler(service)
+    )
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     yield httpd.server_address
@@ -185,3 +187,20 @@ def test_malformed_requests_are_400(server):
         server, "POST", "/generate", {"num_samples": 1, "labels": ["a"]}
     )
     assert status == 400
+
+
+def test_healthz_responsive_during_generate(server):
+    """/healthz answers from another thread while a generate runs."""
+    results = {}
+
+    def gen():
+        results["gen"] = _request(
+            server, "POST", "/generate", {"num_samples": 4, "format": "npy"}
+        )
+
+    t = threading.Thread(target=gen)
+    t.start()
+    status, _, _ = _request(server, "GET", "/healthz")
+    assert status == 200
+    t.join(timeout=300)
+    assert results["gen"][0] == 200
