@@ -17,9 +17,12 @@ scalars), not compile-time constants.
          (N, H, W, C) float32 in [0, 1])
 
 Generation is serialized by a lock (one chip, one compiled sampler —
-queuing is the correct backpressure; the chip saturates at the serving
-batch already, docs/benchmarks.md), while /healthz and error responses
-stay responsive on separate threads.
+the chip saturates at the serving batch already, docs/benchmarks.md)
+with the device computation MATERIALIZED inside the lock (JAX dispatch
+is async — releasing before block_until_ready would let a second
+sampling program overlap on the chip). /healthz and error responses stay
+responsive on separate threads; queued generates beyond `--max_queue`
+get 503 instead of unbounded thread growth.
 """
 
 from __future__ import annotations
@@ -53,11 +56,14 @@ class SamplerService:
 
     def __init__(self, checkpoint_path: str, *, sampling_method: str = "ddim",
                  num_inference_steps: int | None = None, batch_size: int = 16,
-                 use_ema: bool = False, config: dict | None = None):
+                 use_ema: bool = False, config: dict | None = None,
+                 mixed_precision: str | None = None, max_queue: int = 8):
         payload = load_checkpoint(checkpoint_path)
         self.config = config or payload.get("config")
         if self.config is None:
             raise ValueError("checkpoint has no embedded config; pass one")
+        if mixed_precision is not None:
+            self.config = dict(self.config, mixed_precision=mixed_precision)
         self.model, params = load_model_for_inference(
             payload, self.config, use_ema
         )
@@ -78,6 +84,8 @@ class SamplerService:
 
         self._model_fn = eval_model_fn(self.model, self.params)
         self._lock = threading.Lock()  # serialize device work
+        # bounded queue: in-flight + waiting generates; beyond this -> 503
+        self._slots = threading.BoundedSemaphore(max(1, int(max_queue)))
 
     def warmup(self):
         t0 = time.time()
@@ -125,6 +133,9 @@ class SamplerService:
                         self.default_cfg if cfg_scale is None else cfg_scale
                     ),
                 )
+                # materialize INSIDE the lock: dispatch is async, so the
+                # device is still running until this host transfer completes
+                out = np.asarray(out[:num_samples])
         else:
             if labels is not None or cfg_scale is not None:
                 raise ValueError(
@@ -133,8 +144,14 @@ class SamplerService:
                 )
             with self._lock:
                 out = self.diffusion.sample(self._model_fn, shape, rng)
-        out = np.clip((np.asarray(out[:num_samples]) + 1.0) / 2.0, 0.0, 1.0)
-        return out.astype(np.float32)
+                out = np.asarray(out[:num_samples])
+        return np.clip((out + 1.0) / 2.0, 0.0, 1.0).astype(np.float32)
+
+    def try_acquire_slot(self) -> bool:
+        return self._slots.acquire(blocking=False)
+
+    def release_slot(self):
+        self._slots.release()
 
 
 def _png_grid(images: np.ndarray) -> bytes:
@@ -183,6 +200,9 @@ def make_handler(service: SamplerService):
             if self.path != "/generate":
                 self._send_json(404, {"error": "not found"})
                 return
+            if not service.try_acquire_slot():
+                self._send_json(503, {"error": "server overloaded"})
+                return
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
@@ -210,6 +230,8 @@ def make_handler(service: SamplerService):
                 self._send_json(400, {"error": str(e)})
             except Exception as e:  # pragma: no cover - defensive
                 self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                service.release_slot()
 
     return Handler
 
@@ -225,6 +247,12 @@ def main(argv=None):
                         choices=["ddpm", "ddim", "dpm++"])
     parser.add_argument("--num_inference_steps", type=int, default=None)
     parser.add_argument("--use_ema", action="store_true")
+    parser.add_argument("--mixed_precision", type=str, default=None,
+                        choices=["bf16", "none"],
+                        help="Override the checkpoint config's compute "
+                             "dtype (bf16 inference on fp32 checkpoints)")
+    parser.add_argument("--max_queue", type=int, default=8,
+                        help="Max queued generate requests before 503")
     args = parser.parse_args(argv)
 
     service = SamplerService(
@@ -233,6 +261,8 @@ def main(argv=None):
         num_inference_steps=args.num_inference_steps,
         batch_size=args.batch_size,
         use_ema=args.use_ema,
+        mixed_precision=args.mixed_precision,
+        max_queue=args.max_queue,
     )
     print("Warming up (compiling the sampler)...", flush=True)
     dt = service.warmup()

@@ -62,6 +62,9 @@ def checkpoint(tmp_path_factory):
     return str(tmp / "ckpt" / "current_model.ckpt")
 
 
+server_service = {}
+
+
 @pytest.fixture(scope="module")
 def server(checkpoint):
     service = serve_mod.SamplerService(
@@ -73,6 +76,7 @@ def server(checkpoint):
     )
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
+    server_service[httpd.server_address] = service
     yield httpd.server_address
     httpd.shutdown()
     httpd.server_close()
@@ -189,18 +193,61 @@ def test_malformed_requests_are_400(server):
     assert status == 400
 
 
-def test_healthz_responsive_during_generate(server):
-    """/healthz answers from another thread while a generate runs."""
+def test_healthz_responsive_during_generate(server, monkeypatch):
+    """/healthz answers while a generate is verifiably in flight: the
+    generation lock is instrumented so the health check runs INSIDE the
+    generate critical section (a single-threaded server or a whole-handler
+    lock would deadlock/timeouts here, not pass by accident)."""
+    import serve as serve_mod
+
+    in_generate = threading.Event()
+    release = threading.Event()
+    service = server_service[server]
+    real_lock = service._lock
+
+    class SignallingLock:
+        def __enter__(self):
+            real_lock.acquire()
+            in_generate.set()
+            release.wait(timeout=120)
+            return self
+
+        def __exit__(self, *exc):
+            real_lock.release()
+            return False
+
+    monkeypatch.setattr(service, "_lock", SignallingLock())
     results = {}
 
     def gen():
-        results["gen"] = _request(
-            server, "POST", "/generate", {"num_samples": 4, "format": "npy"}
-        )
+        try:
+            results["gen"] = _request(
+                server, "POST", "/generate",
+                {"num_samples": 2, "format": "npy"},
+            )
+        except Exception as e:  # surface instead of KeyError
+            results["gen"] = ("exception", str(e), b"")
 
     t = threading.Thread(target=gen)
     t.start()
+    assert in_generate.wait(timeout=120), "generate never reached the lock"
     status, _, _ = _request(server, "GET", "/healthz")
-    assert status == 200
+    assert status == 200  # answered while generate held the lock
+    release.set()
     t.join(timeout=300)
-    assert results["gen"][0] == 200
+    assert not t.is_alive()
+    assert results["gen"][0] == 200, results["gen"]
+
+
+def test_generate_queue_cap_503(checkpoint):
+    """Beyond max_queue concurrent generates, the server sheds load with
+    503 instead of accumulating threads."""
+    service = serve_mod.SamplerService(
+        checkpoint, sampling_method="ddim", num_inference_steps=2,
+        batch_size=2, use_ema=True, max_queue=1,
+    )
+    assert service.try_acquire_slot()      # occupy the only slot
+    assert not service.try_acquire_slot()  # next request would 503
+    service.release_slot()
+    assert service.try_acquire_slot()
+    service.release_slot()
