@@ -31,7 +31,11 @@ def dot_product_attention(
     Dropout is applied to the attention probabilities, matching torch
     `nn.MultiheadAttention(dropout=p)` semantics used by DiT blocks.
     """
-    if dispatch.pallas_enabled() and deterministic:
+    # Flash kernel: inference always; training too when attention dropout
+    # is inactive (the kernel has a custom_vjp flash backward but no
+    # probability-dropout path — with dropout_rate>0 the XLA formulation
+    # below keeps torch-parity semantics).
+    if dispatch.pallas_enabled() and (deterministic or dropout_rate == 0.0):
         from . import flash_attention
 
         out = flash_attention.flash_attention(q, k, v)

@@ -1,10 +1,22 @@
-"""Pallas flash-attention kernel for TPU.
+"""Pallas flash-attention kernel for TPU (forward + custom_vjp backward).
 
 Memory-linear attention for DiT blocks and UNet AttentionBlocks (replacing
 the O(L^2)-materializing softmax at reference models/unet.py:92-95 and
 models/dit.py:123). Online-softmax tiling over KV blocks: Q tiles stay
 resident in VMEM, K/V stream through, running max/denominator carried in
-f32 — the standard TPU flash pattern, one `pallas_call` per (batch, head).
+f32 — the standard TPU flash pattern, one grid step per (batch*head,
+q-block).
+
+Shapes that actually ship: DiT-CIFAR is L=256, head_dim=64; UNet attention
+blocks are L=256..1024, head_dim 32/64. head_dim therefore only needs to be
+a multiple of 8 (Mosaic pads sub-128 lane dims); requiring 128 lanes — as
+round 1 did — made the kernel dead code for every shipped model.
+
+Backward: the forward also emits the per-row logsumexp; the backward
+recomputes P from (q, k, lse) in one program per (batch*head) — at the
+shipped sequence lengths the full L x L score matrix fits comfortably in
+VMEM, so tiling the backward would only add bookkeeping. Longer sequences
+fall back to an equivalent jnp formulation (one fused XLA computation).
 """
 
 from __future__ import annotations
@@ -22,9 +34,24 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: F401 (memory spaces)
 # image-token sequences (e.g. 64 tokens) are faster fused by XLA itself.
 _MIN_SEQ_LEN = 128
 _LANE = 128
+# One-program backward materializes the (L, L) score block in VMEM:
+# L=1024 f32 is 4 MiB x ~4 live buffers — the practical ceiling.
+_BWD_MAX_SEQ = 1024
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def supported(seq_len: int, head_dim: int) -> bool:
+    """Shape gate shared by fwd/bwd; callers fall back to XLA otherwise."""
+    return (
+        seq_len >= _MIN_SEQ_LEN
+        and seq_len % _LANE == 0
+        and head_dim % 8 == 0
+        and head_dim <= 256
+    )
+
+
+# ---------------------------------------------------------------- forward
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
+                scale: float):
     q = q_ref[0].astype(jnp.float32) * scale  # (block_q, d)
     num_k = k_ref.shape[1] // block_k
 
@@ -48,48 +75,147 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
     acc0 = jnp.zeros((q.shape[0], d), jnp.float32)
     m0 = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    # lse carried as (L, 1) — a trailing singleton lane dim keeps the
+    # block shape Mosaic-legal ((block_q, 1): sublane %8, lane == array
+    # dim); a 2-D (bh, L) layout is NOT lowerable (block (1, block_q)
+    # puts block_q in lanes with a 1-sublane block).
+    lse_ref[0] = m + jnp.log(l)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def _flash_bh(q, k, v, block_q: int, block_k: int):
-    """q,k,v: (BH, L, D) with L % block == 0 and D % 128 == 0."""
+def _flash_fwd_bh(q, k, v, block_q: int, block_k: int):
+    """q,k,v: (BH, L, D). Returns (o, lse) with lse = logsumexp(s*scale)."""
     bh, seq_len, head_dim = q.shape
     scale = 1.0 / math.sqrt(head_dim)
-    kernel = functools.partial(_flash_kernel, block_k=block_k, scale=scale)
+    kernel = functools.partial(_fwd_kernel, block_k=block_k, scale=scale)
     grid = (bh, seq_len // block_q)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bh, seq_len, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, block_q, head_dim), lambda b, i: (b, i, 0)
-            ),
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, seq_len, head_dim), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, seq_len, head_dim), lambda b, i: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0)),
+        out_specs=(
+            pl.BlockSpec((1, block_q, head_dim), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+        ),
     )(q, k, v)
+
+
+# --------------------------------------------------------------- backward
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float):
+    """One program per (batch*head): recompute P from lse, full-matrix
+    flash backward (Dao et al. eqns): dv = P^T dO; dS = P*(dO V^T - D);
+    dq = dS K * scale; dk = dS^T Q * scale."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    o = o_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # (L, 1)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)  # softmax probabilities, exactly as in fwd
+    dv_ref[0] = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq_ref[0] = jnp.dot(
+        ds, k, preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+
+
+@jax.jit
+def _flash_bwd_bh(q, k, v, o, do, lse):
+    bh, seq_len, head_dim = q.shape
+    scale = 1.0 / math.sqrt(head_dim)
+    kernel = functools.partial(_bwd_kernel, scale=scale)
+    full = pl.BlockSpec((1, seq_len, head_dim), lambda b: (b, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(bh,),
+        in_specs=[full, full, full, full, full,
+                  pl.BlockSpec((1, seq_len, 1), lambda b: (b, 0, 0))],
+        out_specs=(full, full, full),
+    )(q, k, v, o, do, lse)
+
+
+def _bwd_jnp(q, k, v, o, do, lse):
+    """XLA fallback for sequences too long for the one-program backward —
+    same math, one fused XLA computation."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bqd,bkd->bqk", q, k).astype(jnp.float32) * scale
+    p = jnp.exp(s - lse)  # lse: (BH, L, 1) broadcasts over keys
+    dv = jnp.einsum("bqk,bqd->bkd", p, do.astype(jnp.float32))
+    dp = jnp.einsum("bqd,bkd->bqk", do.astype(jnp.float32),
+                    v.astype(jnp.float32))
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = p * (dp - delta) * scale
+    dq = jnp.einsum("bqk,bkd->bqd", ds, k.astype(jnp.float32))
+    dk = jnp.einsum("bqk,bqd->bkd", ds, q.astype(jnp.float32))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+# ----------------------------------------------------------- custom_vjp op
+@jax.custom_vjp
+def _flash_core(q, k, v):
+    """(BH, L, D) flash attention; differentiable via the flash backward."""
+    block = min(256, q.shape[1])
+    o, _ = _flash_fwd_bh(q, k, v, block, block)
+    return o
+
+
+def _flash_core_fwd(q, k, v):
+    block = min(256, q.shape[1])
+    o, lse = _flash_fwd_bh(q, k, v, block, block)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_core_bwd(res, do):
+    q, k, v, o, lse = res
+    if q.shape[1] <= _BWD_MAX_SEQ:
+        return _flash_bwd_bh(q, k, v, o, do, lse)
+    return _bwd_jnp(q, k, v, o, do, lse)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
 ) -> Optional[jnp.ndarray]:
     """Flash attention over (B, H, L, Dh); returns None if shapes don't
-    meet kernel constraints (caller falls back to the XLA path)."""
+    meet kernel constraints (caller falls back to the XLA path). Safe
+    under jax.grad — the backward is the Pallas flash backward."""
     batch, heads, seq_len, head_dim = q.shape
-    if seq_len < _MIN_SEQ_LEN or seq_len % _LANE != 0:
-        return None
-    if head_dim % _LANE != 0:
-        return None
-    block_q = min(256, seq_len)
-    block_k = min(256, seq_len)
-    if seq_len % block_q or seq_len % block_k:
+    if not supported(seq_len, head_dim):
         return None
     qf = q.reshape(batch * heads, seq_len, head_dim)
     kf = k.reshape(batch * heads, seq_len, head_dim)
     vf = v.reshape(batch * heads, seq_len, head_dim)
-    out = _flash_bh(qf, kf, vf, block_q, block_k)
+    out = _flash_core(qf, kf, vf)
     return out.reshape(batch, heads, seq_len, head_dim)

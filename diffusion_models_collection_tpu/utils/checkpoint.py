@@ -15,12 +15,69 @@ every `save_interval` epochs.
 
 from __future__ import annotations
 
+import importlib
+import os
 import pickle
 from pathlib import Path
 from typing import Any, Dict, Optional, Union
 
 import jax
 import numpy as np
+
+# --- restricted unpickling ---------------------------------------------------
+# `pickle.load` executes arbitrary callables named in the stream; serve.py
+# and the CLIs load user-supplied checkpoint paths, so the default loader
+# only reconstructs an allowlisted vocabulary: containers, numpy arrays,
+# and namedtuple/dict-like state classes from optax/flax/jax. Anything
+# else (os.system, subprocess, ...) raises UnpicklingError. Foreign
+# pickles that genuinely need more can opt out via allow_unsafe=True or
+# DMC_TPU_UNSAFE_PICKLE=1 — an explicit trust decision, mirroring the
+# reference's torch.load(weights_only=False) risk surface.
+
+_SAFE_BUILTINS = {
+    "dict", "list", "tuple", "set", "frozenset", "complex", "slice",
+    "bytearray", "range",
+}
+_SAFE_NUMPY = {"_reconstruct", "ndarray", "dtype", "scalar", "_frombuffer"}
+_NUMPY_MODULES = {
+    "numpy", "numpy.core.multiarray", "numpy._core.multiarray",
+    "numpy.dtypes", "numpy.core.numeric", "numpy._core.numeric",
+}
+_STATE_ROOTS = ("optax", "flax", "jax", "ml_dtypes")
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):  # noqa: D102
+        if module == "builtins" and name in _SAFE_BUILTINS:
+            return getattr(__import__("builtins"), name)
+        if module == "collections" and name in ("OrderedDict", "defaultdict"):
+            import collections
+
+            return getattr(collections, name)
+        if module in _NUMPY_MODULES and (
+            name in _SAFE_NUMPY or name.endswith("DType")
+        ):
+            return getattr(importlib.import_module(module), name)
+        if module.split(".")[0] in _STATE_ROOTS:
+            obj = getattr(importlib.import_module(module), name)
+            # classes only, and only value-like ones: namedtuple states
+            # (optax), dict-likes (flax FrozenDict), scalar dtypes
+            # (ml_dtypes.bfloat16). Functions stay unreachable.
+            if isinstance(obj, type) and issubclass(
+                obj, (tuple, dict, np.generic)
+            ):
+                return obj
+        raise pickle.UnpicklingError(
+            f"checkpoint references disallowed global {module}.{name}; "
+            "pass allow_unsafe=True (or DMC_TPU_UNSAFE_PICKLE=1) only for "
+            "checkpoints you trust"
+        )
+
+
+def _pickle_load(f, allow_unsafe: bool = False):
+    if allow_unsafe or os.environ.get("DMC_TPU_UNSAFE_PICKLE") == "1":
+        return pickle.load(f)
+    return _RestrictedUnpickler(f).load()
 
 
 def _to_host(tree):
@@ -61,20 +118,23 @@ def save_checkpoint(
     tmp.replace(path)  # atomic on POSIX: no torn checkpoints on crash
 
 
-def load_checkpoint(path: Union[str, Path]) -> Dict[str, Any]:
-    """Load any supported format: our pickle file, an orbax directory, or
-    a reference PyTorch checkpoint (.pth/.pt — converted on the fly, see
-    utils/torch_import.py). Legacy param layouts are migrated in place."""
+def load_checkpoint(
+    path: Union[str, Path], allow_unsafe: bool = False
+) -> Dict[str, Any]:
+    """Load any supported format: our pickle file (restricted unpickler by
+    default — see above), an orbax directory, or a reference PyTorch
+    checkpoint (.pth/.pt — converted on the fly, see utils/torch_import.py).
+    Legacy param layouts are migrated in place."""
     path = Path(path)
     if path.is_dir():
-        payload = _load_orbax(path)
+        payload = _load_orbax(path, allow_unsafe=allow_unsafe)
     elif path.suffix.lower() in (".pth", ".pt"):
         from .torch_import import load_reference_checkpoint
 
         payload = load_reference_checkpoint(path)
     else:
         with path.open("rb") as f:
-            payload = pickle.load(f)
+            payload = _pickle_load(f, allow_unsafe)
     for key in ("model_state_dict", "ema_model_state_dict"):
         if payload.get(key) is not None:
             payload[key] = migrate_legacy_params(payload[key])
@@ -140,12 +200,12 @@ def _save_orbax(path: Path, payload: Dict[str, Any]) -> None:
         pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
 
 
-def _load_orbax(path: Path) -> Dict[str, Any]:
+def _load_orbax(path: Path, allow_unsafe: bool = False) -> Dict[str, Any]:
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
     arrays = ckptr.restore((path / "arrays").resolve())
     with (path / "meta.pkl").open("rb") as f:
-        payload = pickle.load(f)
+        payload = _pickle_load(f, allow_unsafe)
     payload.update(arrays)
     return payload

@@ -123,6 +123,10 @@ class DiffusionTrainer:
         # runs stay seed-deterministic per backend). 'threefry' opts back
         # into JAX's default stream.
         self.dropout_rng_impl = cfg.get("dropout_rng_impl", "rbg")
+        # Per-batch progress bar (parity: reference trainer.py:213-217
+        # tqdm). True = show when stderr is a tty (CI logs stay clean);
+        # 'force' = always; False = never.
+        self.progress = cfg.get("progress", True)
         self.conditional = cfg.get("conditional", False)
         self.num_classes = cfg.get("num_classes", None)
         self.image_size = resolve_image_size(cfg.get("image_size", 32))
@@ -328,28 +332,65 @@ class DiffusionTrainer:
         if hasattr(self.train_loader, "set_epoch"):
             self.train_loader.set_epoch(epoch)
 
+        bar = self._progress_bar(epoch)
         losses = []
-        for images, labels in self.train_loader:
-            with self.step_timer.step():
-                batch = pmesh.local_batch_to_global(
-                    self.mesh,
-                    (
-                        np.asarray(images, dtype=np.float32),
-                        np.asarray(labels if labels is not None else
-                                   np.zeros(len(images)), dtype=np.int32),
-                    ),
-                )
-                self.rng, step_rng = jax.random.split(self.rng)
-                with self._tp_scope():
-                    self.state, loss = self._train_step(
-                        self.state, batch[0], batch[1], step_rng
+        try:
+            for images, labels in self.train_loader:
+                with self.step_timer.step():
+                    batch = pmesh.local_batch_to_global(
+                        self.mesh,
+                        (
+                            np.asarray(images, dtype=np.float32),
+                            np.asarray(labels if labels is not None else
+                                       np.zeros(len(images)), dtype=np.int32),
+                        ),
                     )
-                losses.append(loss)
-                self.global_step += 1
+                    self.rng, step_rng = jax.random.split(self.rng)
+                    with self._tp_scope():
+                        self.state, loss = self._train_step(
+                            self.state, batch[0], batch[1], step_rng
+                        )
+                    losses.append(loss)
+                    self.global_step += 1
+                if bar is not None:
+                    bar.update(1)
+                    if len(losses) >= 2:
+                        # display the PREVIOUS step's loss: it has already
+                        # materialized behind the async dispatch of the
+                        # current step, so the readback never stalls the
+                        # device pipeline (reference shows per-batch loss,
+                        # trainer.py:270-273).
+                        bar.set_postfix(
+                            loss=f"{float(losses[-2]):.4f}", refresh=False
+                        )
+        finally:
+            if bar is not None:
+                bar.close()
 
         if not losses:
             return float("nan")
         return float(jnp.mean(jnp.stack(losses)))
+
+    def _progress_bar(self, epoch: int):
+        """tqdm over batches, gated to rank 0 + a tty (or progress='force')."""
+        import sys
+
+        if not self.is_main_process or not self.progress:
+            return None
+        if self.progress != "force" and not sys.stderr.isatty():
+            return None
+        from tqdm import tqdm
+
+        try:
+            total = len(self.train_loader)
+        except TypeError:
+            total = None
+        return tqdm(
+            total=total,
+            desc=f"Epoch {epoch}/{self.epochs}",
+            leave=False,
+            dynamic_ncols=True,
+        )
 
     # ------------------------------------------------------------- sampling
     def _eval_model_fn(self, use_ema: Optional[bool] = None):

@@ -123,6 +123,72 @@ def test_sample_cli_gif_and_labels(workdir):
     assert any((out_dir / "intermediate").glob("step_*.png"))
 
 
+TP_MODEL_PARAMS = {
+    "dit": {
+        "in_channels": 3, "patch_size": 4, "hidden_size": 32,
+        "depth": 2, "num_heads": 4,
+    },
+    "dim": {
+        "in_channels": 3, "patch_size": 4, "hidden_size": 32,
+        "depth": 2, "state_size": 4,
+    },
+}
+
+
+@pytest.mark.parametrize("model_type", ["dit", "dim"])
+def test_train_cli_tensor_parallel(tmp_path, model_type):
+    """`tensor_parallel: 2` straight through `python train.py` (the round-1
+    gap: the CLI hard-passed a 1-D mesh and the advertised config key raised
+    in the trainer). On the 8-virtual-device CPU mesh the trainer must build
+    the 4x2 (data, model) mesh itself and train both TP backbones."""
+    cfg = {
+        "project_name": "diffusion-models",
+        "experiment_name": f"tp-smoke-{model_type}",
+        "model_type": model_type,
+        "model_params": TP_MODEL_PARAMS[model_type],
+        "dataset": "synthetic",
+        "data_root": "./data",
+        "image_size": (8, 8),
+        "conditional": True,
+        "num_classes": 10,
+        "num_timesteps": 10,
+        "beta_start": 1e-4,
+        "beta_end": 0.02,
+        "beta_schedule": "linear",
+        "loss_type": "l2",
+        "cfg_scale": 1.4,
+        "num_inference_steps": 5,
+        "ddim_eta": 0.0,
+        "epochs": 1,
+        "batch_size": 16,
+        "optimizer": "adamw",
+        "learning_rate": 1e-3,
+        "weight_decay": 0.0,
+        "gradient_accumulation_steps": 1,
+        "use_ema": True,
+        "ema_decay": 0.99,
+        "cfg_dropout_prob": 0.2,
+        "use_scheduler": False,
+        "tensor_parallel": 2,
+        "save_dir": str(tmp_path / "ckpt"),
+        "save_interval": 10,
+        "resume_path": None,
+        "sample_dir": str(tmp_path / "gen"),
+        "sample_interval": 100,
+        "sample_start_epoch": 100,
+        "num_samples": 4,
+        "use_swanlab": False,
+        "seed": 42,
+    }
+    cfg_path = tmp_path / f"tp_{model_type}.py"
+    cfg_path.write_text(f"config = {cfg!r}\n")
+    out = run([str(REPO / "train.py"), "--config", str(cfg_path)],
+              cwd=str(tmp_path))
+    assert "Training completed!" in out
+    assert "'model': 2" in out  # trainer built the 2-D (data, model) mesh
+    assert (tmp_path / "ckpt" / "current_model.ckpt").exists()
+
+
 def test_evaluate_cli(workdir):
     out_json = workdir / "metrics.json"
     out = run(

@@ -2,6 +2,8 @@
 
 import json
 import math
+import os
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -109,6 +111,61 @@ def test_step_timer():
     assert s["total_s"] >= 0
     t.reset()
     assert t.summary() == {}
+
+
+def test_checkpoint_load_rejects_malicious_pickle(tmp_path):
+    """Default loads go through a restricted unpickler: a pickle whose
+    stream names an arbitrary callable (the torch.load/pickle RCE class —
+    reference torch_import risk surface) must raise, not execute."""
+    import pickle
+
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        load_checkpoint,
+    )
+
+    marker = tmp_path / "pwned"
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, (f"echo pwned > {marker}",))
+
+    bad = tmp_path / "bad.ckpt"
+    bad.write_bytes(pickle.dumps({"model_state_dict": Evil()}))
+    with pytest.raises(pickle.UnpicklingError, match="disallowed global"):
+        load_checkpoint(bad)
+    assert not marker.exists()  # the payload never executed
+    # the explicit opt-out still works for trusted foreign pickles
+    assert "model_state_dict" in load_checkpoint(bad, allow_unsafe=True)
+    assert marker.exists()  # ...and is a real trust decision
+
+
+def test_checkpoint_roundtrip_with_optax_state(tmp_path):
+    """A real trainer-shaped payload (numpy trees + nested optax namedtuple
+    state) round-trips through the RESTRICTED loader — the allowlist covers
+    everything our own save path emits."""
+    import jax.numpy as jnp
+    import optax
+
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    params = {"dense": {"kernel": jnp.ones((2, 3)), "bias": jnp.zeros(3)}}
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    tx = optax.MultiSteps(tx, every_k_schedule=2)
+    opt_state = tx.init(params)
+    save_checkpoint(
+        tmp_path / "m.ckpt", epoch=1, params=params, opt_state=opt_state,
+        best_loss=0.5, config={"model_type": "unet"}, ema_params=params,
+    )
+    payload = load_checkpoint(tmp_path / "m.ckpt")
+    assert payload["epoch"] == 1
+    np.testing.assert_allclose(
+        payload["model_state_dict"]["dense"]["kernel"], np.ones((2, 3))
+    )
+    restored = payload["optimizer_state_dict"]
+    assert type(restored).__name__ == type(opt_state).__name__
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path):

@@ -157,6 +157,19 @@ def test_train_loss_decreases(tmp_path):
     assert min(losses) < l1, (l1, losses)
 
 
+def test_progress_bar(tmp_path, capfd):
+    """progress='force' shows per-batch tqdm progress (reference
+    trainer.py:213-217); default gating keeps non-tty (CI) output clean."""
+    trainer, _ = make_trainer(tmp_path, progress="force")
+    trainer.train_epoch(1)
+    err = capfd.readouterr().err
+    assert "Epoch 1/" in err
+
+    quiet, _ = make_trainer(tmp_path, progress=True)  # no tty under pytest
+    quiet.train_epoch(1)
+    assert "Epoch 1/" not in capfd.readouterr().err
+
+
 def test_dropout_rng_impl_threefry_optout(tmp_path):
     """`dropout_rng_impl: threefry` opts back into the JAX-default stream;
     both impls must train to finite losses (default path is 'rbg' and is

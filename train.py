@@ -30,7 +30,6 @@ from diffusion_models_collection_tpu.factory import (
     get_diffusion,
     get_model,
 )
-from diffusion_models_collection_tpu.parallel import data_parallel_mesh
 from diffusion_models_collection_tpu.utils import DiffusionTrainer
 from diffusion_models_collection_tpu.utils.helpers import (
     format_duration,
@@ -62,10 +61,8 @@ def main():
     # per-process seed offset (parity: train.py:240 set_seed(seed + rank))
     rng = set_seed(config.get("seed", 42) + jax.process_index())
 
-    mesh = data_parallel_mesh()
     if jax.process_index() == 0:
-        print(f"Devices: {jax.device_count()} ({jax.default_backend()}), "
-              f"mesh axes {mesh.axis_names}")
+        print(f"Devices: {jax.device_count()} ({jax.default_backend()})")
 
     print("Creating model...")
     model = get_model(config)
@@ -77,13 +74,16 @@ def main():
         config, train_dataset, train=True, seed=config.get("seed", 42)
     )
 
+    # The trainer builds its own mesh from the config: a 1-D 'data' mesh
+    # by default, or a 2-D (data, model) mesh when `tensor_parallel: N`
+    # is set (utils/trainer.py:135-153). Passing a prebuilt 1-D mesh here
+    # would make the advertised TP config key unreachable from the CLI.
     trainer = DiffusionTrainer(
         model=model,
         diffusion=diffusion,
         train_loader=train_loader,
         config=config,
         rng=rng,
-        mesh=mesh,
         resume_path=config.get("resume_path"),
     )
     trainer.train()
