@@ -44,7 +44,10 @@ config = {
 
     'epochs': 500,
     'batch_size': 256,  # global batch across the data-parallel mesh
-    'num_workers': 4,
+    'num_workers': 8,        # JPEG-decode threads (lazy datasets)
+    # one-time parallel decode of all 200k JPEGs to a ~2.3 GB uint8 cache;
+    # every epoch after that runs the fused native batch-assembly path
+    'cache_decoded': True,
     'optimizer': 'adamw',
     'learning_rate': 2e-4,
     'weight_decay': 1e-4,

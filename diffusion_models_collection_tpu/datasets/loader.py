@@ -10,6 +10,8 @@ computes — host input pipeline and TPU step overlap.
 
 from __future__ import annotations
 
+import concurrent.futures
+import os
 import queue
 import threading
 from typing import Iterator, Optional, Tuple
@@ -34,6 +36,15 @@ class DataLoader:
         (DistributedSampler parity: disjoint strided shards).
       random_flip: apply batch-level horizontal flip with p=0.5.
       prefetch: number of batches assembled ahead in a background thread.
+      num_workers: decode threads for per-item (lazy file-backed) datasets
+        — CelebA JPEGs / custom folders. PIL's libjpeg decode releases the
+        GIL, so threads scale (reference analog: DataLoader num_workers,
+        train.py:107-128). 0/1 = serial; default auto (min(8, cpus)).
+      cache_decoded: decode the ENTIRE lazy dataset once (parallel, at the
+        transform's target size) into a uint8 array and serve every epoch
+        from the fused native fast path. Costs N*H*W*3 bytes of host RAM
+        (CelebA-64: ~2.3 GB) and one up-front decode pass; epochs after
+        the first are array-speed. No effect on array-backed datasets.
     """
 
     def __init__(
@@ -47,6 +58,8 @@ class DataLoader:
         process_count: int = 1,
         random_flip: Optional[bool] = None,
         prefetch: int = 2,
+        num_workers: Optional[int] = None,
+        cache_decoded: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -71,6 +84,7 @@ class DataLoader:
         # dmc_native.cpp) instead of the per-item Python path.
         images = getattr(dataset, "images", None)
         self._fast_images = None
+        self._pool = None
         if (
             isinstance(images, np.ndarray)
             and images.dtype == np.uint8
@@ -79,6 +93,41 @@ class DataLoader:
         ):
             self._fast_images = images
             self._fast_size = transform.image_size
+        elif isinstance(transform, ImageTransform):
+            # lazy file-backed dataset (CelebA / custom folder)
+            if num_workers is None:
+                num_workers = min(8, os.cpu_count() or 1)
+            if cache_decoded:
+                self._fast_images = self._decode_all(num_workers)
+                self._fast_size = transform.image_size
+            elif num_workers > 1:
+                self._pool = concurrent.futures.ThreadPoolExecutor(
+                    max_workers=num_workers,
+                    thread_name_prefix="dmc-decode",
+                )
+
+    def _decode_all(self, num_workers: int) -> np.ndarray:
+        """Parallel one-time decode of a lazy dataset to target-size uint8
+        (resize via the per-item transform path, normalization deferred to
+        the fused native kernel at batch time)."""
+        n = len(self.dataset)
+        h, w = self.dataset.transform.image_size
+        out = np.empty((n, h, w, 3), dtype=np.uint8)
+        gb = out.nbytes / 1e9
+        if gb > 0.5:
+            print(f"Decoding {n} images to a {gb:.1f} GB uint8 cache...")
+        from .transforms import center_crop, resize_image
+
+        def decode(i):
+            img = self.dataset.raw_image(i)
+            img = resize_image(img, (h, w))
+            out[i] = center_crop(img, (h, w))
+
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(1, num_workers)
+        ) as pool:
+            list(pool.map(decode, range(n), chunksize=256))
+        return out
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -127,13 +176,20 @@ class DataLoader:
                 return imgs, labels
             return imgs, None
 
-        first = self.dataset[int(indices[0])]
-        has_label = isinstance(first, tuple)
-        imgs = np.empty((len(indices),) + np.asarray(first[0] if has_label else first).shape,
-                        dtype=np.float32)
+        if self._pool is not None:
+            items = list(self._pool.map(
+                self.dataset.__getitem__, [int(i) for i in indices]
+            ))
+        else:
+            items = [self.dataset[int(i)] for i in indices]
+        has_label = isinstance(items[0], tuple)
+        imgs = np.empty(
+            (len(indices),)
+            + np.asarray(items[0][0] if has_label else items[0]).shape,
+            dtype=np.float32,
+        )
         labels = np.empty((len(indices),), dtype=np.int64) if has_label else None
-        for j, i in enumerate(indices):
-            item = self.dataset[int(i)]
+        for j, item in enumerate(items):
             if has_label:
                 imgs[j], labels[j] = item
             else:

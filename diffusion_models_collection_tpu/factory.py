@@ -146,6 +146,10 @@ def get_dataloader(config: dict, dataset, train: bool = True, seed: int = 0):
         seed=seed,
         process_index=pmesh.process_index(),
         process_count=pcount,
+        # lazy (file-backed) datasets only: decode thread pool / one-time
+        # decoded-uint8 cache (reference analog: DataLoader num_workers)
+        num_workers=config.get("num_workers"),
+        cache_decoded=config.get("cache_decoded", False),
     )
 
 

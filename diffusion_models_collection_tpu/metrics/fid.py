@@ -29,9 +29,12 @@ class FIDScore:
         self,
         feature_fn: Optional[Callable] = None,
         weights_path: Optional[str] = None,
+        inception: Optional[InceptionFeatures] = None,
     ):
         if feature_fn is None:
-            self._inception = InceptionFeatures(weights_path)
+            # `inception` lets callers share one extractor (params + jit
+            # cache) between FID and IS — calculate_all_metrics does.
+            self._inception = inception or InceptionFeatures(weights_path)
             if not self._inception.calibrated:
                 print(
                     "WARNING: InceptionV3 weights not found — FID values are "

@@ -231,6 +231,13 @@ def load_torchvision_weights(path) -> dict:
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_torchvision_state(state)
+
+
+def convert_torchvision_state(state) -> dict:
+    """Convert a torchvision inception_v3 state mapping (torch tensors or
+    numpy arrays) to our param tree — split from the file loader so golden
+    bundles (npz) can feed it directly."""
     params: dict = {}
     for key, tensor in state.items():
         if key.startswith("AuxLogits"):
@@ -238,7 +245,9 @@ def load_torchvision_weights(path) -> dict:
         path_parts, leaf = _torch_key_to_path(key)
         if path_parts is None:
             continue
-        arr = np.asarray(tensor.detach().numpy())
+        arr = np.asarray(
+            tensor.detach().numpy() if hasattr(tensor, "detach") else tensor
+        )
         if leaf == "kernel" and arr.ndim == 4:  # OIHW -> HWIO
             arr = arr.transpose(2, 3, 1, 0)
         elif leaf == "kernel" and arr.ndim == 2:  # (out, in) -> (in, out)

@@ -27,9 +27,11 @@ class InceptionScore:
         self,
         logits_fn: Optional[Callable] = None,
         weights_path: Optional[str] = None,
+        inception: Optional[InceptionFeatures] = None,
     ):
         if logits_fn is None:
-            self._inception = InceptionFeatures(weights_path)
+            # shared extractor support — see FIDScore.__init__
+            self._inception = inception or InceptionFeatures(weights_path)
             if not self._inception.calibrated:
                 print(
                     "WARNING: InceptionV3 weights not found — IS values are "

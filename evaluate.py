@@ -66,6 +66,14 @@ def main():
                         help="Accepted for parity; placement is automatic")
     parser.add_argument("--cfg_scale", type=float, default=0.0,
                         help="CFG guidance scale (0 = no CFG)")
+    parser.add_argument("--inception_weights", type=str, default=None,
+                        help="torchvision inception_v3 .pth (or converted "
+                             ".npz) to calibrate FID/IS; defaults to env "
+                             "DMC_TPU_INCEPTION_WEIGHTS")
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help="lpips-package AlexNet state (or converted "
+                             ".npz) to calibrate LPIPS; defaults to env "
+                             "DMC_TPU_LPIPS_WEIGHTS")
     args = parser.parse_args()
 
     rng = set_seed(args.seed)
@@ -191,7 +199,11 @@ def main():
     print("\n" + "=" * 50)
     print("Computing metrics...")
     print("=" * 50)
-    metrics = calculate_all_metrics(real_images, fake_images)
+    metrics = calculate_all_metrics(
+        real_images, fake_images,
+        weights_path=args.inception_weights,
+        lpips_weights_path=args.lpips_weights,
+    )
 
     print("\n" + "=" * 50)
     print("Results:")

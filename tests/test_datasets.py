@@ -175,3 +175,66 @@ def test_loader_drop_last():
     assert len(loader2) == 6
     sizes = [b[0].shape[0] for b in loader2]
     assert sizes[-1] == 12
+
+
+def _make_celeba_tree(tmp_path, n=24, size=(44, 36)):
+    """Synthetic CelebA-layout tree: img_align_celeba/ JPEGs + partition
+    file (torchvision layout, reference base_dataset.py:61-68)."""
+    from PIL import Image
+
+    img_dir = tmp_path / "celeba" / "img_align_celeba"
+    img_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(n):
+        name = f"{i + 1:06d}.jpg"
+        arr = rng.integers(0, 255, size=size + (3,), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / name, quality=95)
+        lines.append(f"{name} {0 if i < n - 4 else 2}")
+    (tmp_path / "celeba" / "list_eval_partition.txt").write_text(
+        "\n".join(lines) + "\n"
+    )
+    return tmp_path
+
+
+def test_celeba_lazy_pipeline_paths_agree(tmp_path):
+    """The three lazy-dataset pipelines — serial per-item decode, the
+    decode thread pool, and the one-time decoded-uint8 cache — must yield
+    identical batches (same shuffle/flip streams, same pixels)."""
+    from diffusion_models_collection_tpu.datasets import (
+        DataLoader,
+        DiffusionDataset,
+        ImageTransform,
+    )
+
+    root = _make_celeba_tree(tmp_path)
+    size = (16, 16)
+
+    def batches(**kw):
+        ds = DiffusionDataset(
+            "celeba", root=str(root), train=True,
+            transform=ImageTransform(size, train=True),
+        )
+        loader = DataLoader(ds, batch_size=5, seed=3, prefetch=0, **kw)
+        loader.set_epoch(2)
+        return [img for img, _ in loader]
+
+    serial = batches(num_workers=0)
+    pooled = batches(num_workers=4)
+    cached = batches(num_workers=4, cache_decoded=True)
+    assert len(serial) == 4  # 20 train imgs / batch 5
+    for s, p, c in zip(serial, pooled, cached):
+        np.testing.assert_array_equal(s, p)
+        # cache stores uint8 post-resize; normalization then happens in the
+        # fused native kernel — bit-identical to the per-item float path
+        np.testing.assert_allclose(s, c, atol=1e-6)
+
+
+def test_celeba_split_partition(tmp_path):
+    from diffusion_models_collection_tpu.datasets import DiffusionDataset
+
+    root = _make_celeba_tree(tmp_path)
+    train = DiffusionDataset("celeba", root=str(root), train=True)
+    test = DiffusionDataset("celeba", root=str(root), train=False)
+    assert len(train) == 20 and len(test) == 4
+    assert train.raw_image(0).shape == (44, 36, 3)

@@ -184,3 +184,82 @@ def test_torchvision_weight_converter_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     for key_path, leaf in flat_a:
         np.testing.assert_allclose(flat_b[key_path], leaf, rtol=1e-6)
+
+
+GOLDENS_ENV = "DMC_TPU_METRIC_GOLDENS"
+
+
+def _load_goldens():
+    import os
+    from pathlib import Path
+
+    path = os.environ.get(GOLDENS_ENV)
+    if not path or not Path(path).exists():
+        pytest.skip(
+            f"{GOLDENS_ENV} not set — generate the bundle with "
+            "tools/make_metric_goldens.py where torchvision exists"
+        )
+    return np.load(path)
+
+
+def test_inception_golden_parity():
+    """Numerical validation of the InceptionV3 port against the CANONICAL
+    torchvision graph (round-1 VERDICT weak-spot 4: the port had only been
+    validated against its own inverse converter). The golden bundle
+    carries the exact torch state_dict it was generated with, so this
+    validates converter + graph wiring + resize preprocessing together."""
+    from diffusion_models_collection_tpu.metrics.inception import (
+        InceptionV3,
+        convert_torchvision_state,
+        preprocess,
+    )
+
+    data = _load_goldens()
+    state = {k[len("state::"):]: data[k] for k in data.files
+             if k.startswith("state::")}
+    params = convert_torchvision_state(state)
+    model = InceptionV3()
+
+    for inp_key, pool_key, logit_key in (
+        ("inputs", "pool", "logits"),
+        ("small_inputs", "pool_small", "logits_small"),  # resize path
+    ):
+        pool, logits = jax.jit(
+            lambda x: model.apply({"params": params}, preprocess(x))
+        )(jnp.asarray(data[inp_key]))
+        # bilinear-resize kernels differ at ulp level between frameworks;
+        # 2e-3 relative over 2048 dims is far below FID sensitivity
+        np.testing.assert_allclose(
+            np.asarray(pool), data[pool_key], rtol=2e-3, atol=2e-3,
+            err_msg=f"pool features diverge for {inp_key}")
+        np.testing.assert_allclose(
+            np.asarray(logits), data[logit_key], rtol=2e-3, atol=2e-3,
+            err_msg=f"logits diverge for {inp_key}")
+
+
+def test_lpips_golden_parity():
+    """LPIPS-alex distances vs the canonical lpips package on the golden
+    input pairs (present only if lpips was installed at generation)."""
+    from diffusion_models_collection_tpu.metrics.lpips_score import (
+        LPIPSScore,
+        convert_lpips_state,
+    )
+
+    data = _load_goldens()
+    if "lpips_dists" not in data.files:
+        pytest.skip("golden bundle has no LPIPS section")
+    state = {k[len("lpips_state::"):]: data[k] for k in data.files
+             if k.startswith("lpips_state::")}
+    loaded = convert_lpips_state(state)
+    scorer = LPIPSScore.__new__(LPIPSScore)  # bypass file-path __init__
+    LPIPSScore.__init__(scorer)  # builds _distance; then swap in weights
+    scorer.params = jax.tree_util.tree_map(jnp.asarray, loaded["alex"])
+    scorer.lins = [jnp.asarray(l) for l in loaded["lins"]]
+    a01 = (data["lpips_inputs_a"] + 1) / 2  # compute_lpips takes [0,1]
+    b01 = (data["lpips_inputs_b"] + 1) / 2
+    got = [
+        scorer.compute_lpips(a01[i:i + 1], b01[i:i + 1])
+        for i in range(len(a01))
+    ]
+    np.testing.assert_allclose(got, data["lpips_dists"], rtol=3e-3,
+                               atol=3e-3)
