@@ -1,8 +1,9 @@
 """DiT — Diffusion Transformer (parity target: reference models/dit.py).
 
 adaLN-Zero transformer over patch tokens (Peebles & Xie 2023). TPU-native
-choices: NHWC input, attention via `ops.multihead_attention` (Pallas flash
-kernel on TPU for long sequences), exact-erf GELU to match torch, and the
+choices: NHWC input, attention via `ops.multihead_attention` (fused XLA
+attention — measured faster than the Pallas flash kernel at shipped
+shapes, which stays opt-in; see ops/attention.py), exact-erf GELU, and the
 reference's init scheme (xavier for all dense layers, N(0, 0.02) positional
 embedding, zero-init adaLN and final projection — dit.py:227-247) so the
 model starts as an identity-residual network exactly like the reference.

@@ -2,8 +2,10 @@
 
 TPU-native design decisions vs the reference:
   * NHWC layout throughout (XLA:TPU's native conv layout — no transposes).
-  * Attention runs through `ops.multihead_attention` (Pallas flash kernel
-    on TPU where profitable, fused XLA einsum otherwise).
+  * Attention runs through `ops.multihead_attention` — a fused XLA
+    einsum-softmax-einsum (measured faster than the Pallas flash kernel
+    at every shipped shape; flash is opt-in via DMC_TPU_FLASH_ATTENTION,
+    see ops/attention.py).
   * Same structural semantics: channel_mult levels, `num_res_blocks` per
     level, attention at levels whose running resolution intersects
     `attention_resolutions` (including the reference's exact check at

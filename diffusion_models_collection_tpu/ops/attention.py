@@ -1,20 +1,33 @@
 """Multi-head attention for denoiser backbones.
 
 Replaces the reference's `nn.MultiheadAttention` (models/dit.py:94) and the
-hand-rolled QKV-conv attention (models/unet.py:75-99). The XLA path is a
-fused einsum-softmax-einsum that XLA maps onto the MXU; a Pallas
-flash-attention kernel (ops/flash_attention.py) takes over on TPU for
-longer sequences where the O(L^2) materialization is HBM-bound.
+hand-rolled QKV-conv attention (models/unet.py:75-99). The default path is
+a fused einsum-softmax-einsum that XLA maps onto the MXU.
+
+Measured end-to-end VERDICT (v5e, round 2 — tools/bench_flash_attention.py,
+same discipline as the GN+SiLU kernel): the Pallas flash kernel LOSES to
+the XLA formulation at every shipped model shape — DiT-CIFAR DDIM-50
+27.2 vs 43.8 samples/s (0.62x), DiT train fwd+bwd 844 vs 933 imgs/s
+(0.90x), UNet-CIFAR DDIM-50 44.7 vs 58.5 samples/s (0.76x). At L<=1024
+with head_dim 64 the score matrix fits in VMEM-adjacent fusions and XLA's
+attention is already memory-efficient, while the flash kernel pays lane
+padding (64 of 128 lanes idle) and an optimization barrier per
+pallas_call. The kernel is kept behind an explicit opt-in
+(DMC_TPU_FLASH_ATTENTION=1) for long-sequence experiments, with parity
+tests; the default path lets XLA fuse. Details: docs/benchmarks.md.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from . import dispatch
+
+_FORCE_FLASH_ENV = "DMC_TPU_FLASH_ATTENTION"
 
 
 def dot_product_attention(
@@ -31,11 +44,14 @@ def dot_product_attention(
     Dropout is applied to the attention probabilities, matching torch
     `nn.MultiheadAttention(dropout=p)` semantics used by DiT blocks.
     """
-    # Flash kernel: inference always; training too when attention dropout
-    # is inactive (the kernel has a custom_vjp flash backward but no
-    # probability-dropout path — with dropout_rate>0 the XLA formulation
-    # below keeps torch-parity semantics).
-    if dispatch.pallas_enabled() and (deterministic or dropout_rate == 0.0):
+    # Flash kernel (opt-in only — see module docstring): usable whenever
+    # attention dropout is inactive (it has a custom_vjp flash backward
+    # but no probability-dropout path).
+    if (
+        os.environ.get(_FORCE_FLASH_ENV, "0") == "1"
+        and dispatch.pallas_enabled()
+        and (deterministic or dropout_rate == 0.0)
+    ):
         from . import flash_attention
 
         out = flash_attention.flash_attention(q, k, v)

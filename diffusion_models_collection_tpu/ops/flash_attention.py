@@ -1,13 +1,19 @@
 """Pallas flash-attention kernel for TPU (forward + custom_vjp backward).
 
-Memory-linear attention for DiT blocks and UNet AttentionBlocks (replacing
-the O(L^2)-materializing softmax at reference models/unet.py:92-95 and
-models/dit.py:123). Online-softmax tiling over KV blocks: Q tiles stay
-resident in VMEM, K/V stream through, running max/denominator carried in
-f32 — the standard TPU flash pattern, one grid step per (batch*head,
-q-block).
+Memory-linear attention: online-softmax tiling over KV blocks — Q tiles
+stay resident in VMEM, K/V stream through, running max/denominator carried
+in f32, one grid step per (batch*head, q-block).
 
-Shapes that actually ship: DiT-CIFAR is L=256, head_dim=64; UNet attention
+STATUS: **opt-in, not the default attention path** (DMC_TPU_FLASH_ATTENTION
+=1). Measured end-to-end it loses to XLA's fused attention at every
+shipped model shape (DiT-CIFAR L=256 d=64: 0.62x at DDIM-50 sampling,
+0.90x at train fwd+bwd; UNet-CIFAR: 0.76x — tools/bench_flash_attention.py,
+docs/benchmarks.md "Flash attention" section). At these sizes XLA is
+already memory-efficient and the kernel pays 64-of-128 idle lanes plus an
+optimization barrier per pallas_call. Kept (with parity + grad tests) as
+the long-sequence escape hatch and kernel reference.
+
+Shapes that ship today: DiT-CIFAR is L=256, head_dim=64; UNet attention
 blocks are L=256..1024, head_dim 32/64. head_dim therefore only needs to be
 a multiple of 8 (Mosaic pads sub-128 lane dims); requiring 128 lanes — as
 round 1 did — made the kernel dead code for every shipped model.

@@ -368,6 +368,140 @@ def selective_scan_fwd_ckpt_pallas(x, dt, A, B, C):
     )
 
 
+def _scan_fwd_ckpt_kernel_grid(dt_ref, u_ref, b_ref, c_ref, a_ref,
+                               y_ref, bound_ref, h_ref, *, t_block: int):
+    """Grid-over-L forward: grid = (batch, n_blocks), one TIME BLOCK per
+    program. TPU grids execute sequentially on the core, so the recurrence
+    state carries across grid steps in VMEM scratch; Pallas's automatic
+    block pipelining prefetches block k+1's dt/u/b/c from HBM while block
+    k computes — the fori_loop variants' manual `pl.ds` loads serialize
+    load->compute instead. Same math as `_scan_kernel_blocked_ckpt`.
+
+    Refs per program: dt/u (1, T, D); b/c (1, T, N); a (N, D);
+    y (1, T, D); bound (1, 1, N, D); scratch h (N, D).
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    A = a_ref[...]  # (N, D)
+    bound_ref[0, 0] = h_ref[...]  # state ENTERING this block
+    decay_c = jnp.exp(dt_ref[0][:, None, :] * A[None])  # (T, N, D)
+    outer_c = b_ref[0][:, :, None] * u_ref[0][:, None, :]
+    h = h_ref[...]
+    hs = []
+    for t in range(t_block):  # static unroll — serial recurrence only
+        h = decay_c[t] * h + outer_c[t]
+        hs.append(h)
+    h_ref[...] = h
+    h_all = jnp.stack(hs, axis=0)
+    y_ref[0] = jnp.sum(
+        h_all * c_ref[0][:, :, None], axis=1
+    ).astype(y_ref.dtype)
+
+
+def _scan_bwd_from_ckpt_kernel_grid(dt_ref, x_ref, b_ref, c_ref, a_ref,
+                                    g_ref, bound_ref, dx_ref, ddt_ref,
+                                    db_ref, dc_ref, da_ref, h_ref,
+                                    *, t_block: int):
+    """Grid-over-L backward: grid = (batch, n_blocks) with the TIME index
+    map REVERSED (program k processes block n_blocks-1-k), so blocks run
+    latest-first while Pallas prefetches the next (earlier) block's
+    inputs. phi (= a_{t+1} gamma_{t+1}) carries across grid steps in
+    scratch; dA accumulates into the per-batch output block, which stays
+    resident because its index map is constant in k (the standard
+    reduction-dim revisiting pattern)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    A = a_ref[...]  # (N, D)
+    phi, dx_c, ddt_c, db_c, dc_c, da_acc = _bwd_block_body(
+        dt_ref[0], x_ref[0], b_ref[0], c_ref[0], g_ref[0],
+        A, bound_ref[0, 0], h_ref[...], t_block=t_block,
+    )
+    h_ref[...] = phi
+    dx_ref[0] = dx_c
+    ddt_ref[0] = ddt_c
+    db_ref[0] = db_c
+    dc_ref[0] = dc_c
+    da_ref[0] = jnp.where(k == 0, da_acc, da_ref[0] + da_acc)
+
+
+@functools.partial(jax.jit, static_argnames=("t_block",))
+def _scan_fwd_ckpt_grid_call(dt, u, B, C, A, *, t_block):
+    batch, length, d_inner = dt.shape
+    n_state = A.shape[0]
+    n_blocks = length // t_block
+    tdd = pl.BlockSpec((1, t_block, d_inner), lambda i, k: (i, k, 0))
+    tnn = pl.BlockSpec((1, t_block, n_state), lambda i, k: (i, k, 0))
+    return pl.pallas_call(
+        functools.partial(_scan_fwd_ckpt_kernel_grid, t_block=t_block),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
+            jax.ShapeDtypeStruct((batch, n_blocks, n_state, d_inner),
+                                 jnp.float32),
+        ),
+        grid=(batch, n_blocks),
+        in_specs=[tdd, tdd, tnn, tnn,
+                  pl.BlockSpec((n_state, d_inner), lambda i, k: (0, 0))],
+        out_specs=(
+            tdd,
+            pl.BlockSpec((1, 1, n_state, d_inner),
+                         lambda i, k: (i, k, 0, 0)),
+        ),
+        scratch_shapes=[pltpu.VMEM((n_state, d_inner), jnp.float32)],
+    )(dt, u, B, C, A)
+
+
+@jax.jit
+def _scan_bwd_from_ckpt_grid_call(dt, x, B, C, A, g, bound):
+    batch, length, d_inner = dt.shape
+    n_state = A.shape[0]
+    n_blocks = bound.shape[1]  # t_block inferred from the residual
+    t_block = length // n_blocks
+    rev = lambda i, k: (i, n_blocks - 1 - k, 0)
+    tdd = pl.BlockSpec((1, t_block, d_inner), rev)
+    tnn = pl.BlockSpec((1, t_block, n_state), rev)
+    dx, ddt, dB, dC, dA_part = pl.pallas_call(
+        functools.partial(_scan_bwd_from_ckpt_kernel_grid, t_block=t_block),
+        out_shape=(
+            jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
+            jax.ShapeDtypeStruct((batch, length, d_inner), dt.dtype),
+            jax.ShapeDtypeStruct((batch, length, n_state), dt.dtype),
+            jax.ShapeDtypeStruct((batch, length, n_state), dt.dtype),
+            jax.ShapeDtypeStruct((batch, n_state, d_inner), dt.dtype),
+        ),
+        grid=(batch, n_blocks),
+        in_specs=[tdd, tdd, tnn, tnn,
+                  pl.BlockSpec((n_state, d_inner), lambda i, k: (0, 0)),
+                  tdd,
+                  pl.BlockSpec((1, 1, n_state, d_inner),
+                               lambda i, k: (i, n_blocks - 1 - k, 0, 0))],
+        out_specs=(tdd, tdd, tnn, tnn,
+                   pl.BlockSpec((1, n_state, d_inner),
+                                lambda i, k: (i, 0, 0))),
+        scratch_shapes=[pltpu.VMEM((n_state, d_inner), jnp.float32)],
+    )(dt, x, B, C, A, g, bound)
+    return dx, ddt, dA_part.sum(axis=0).T, dB, dC
+
+
+def selective_scan_fwd_ckpt_pallas_grid(x, dt, A, B, C, t_block=None):
+    """Grid-over-L pipelined forward + boundary checkpoints."""
+    if t_block is None:
+        t_block = t_block_for(x.shape[1])
+    return _scan_fwd_ckpt_grid_call(dt, dt * x, B, C, A.T, t_block=t_block)
+
+
+def selective_scan_bwd_from_ckpt_pallas_grid(x, dt, A, B, C, g, bound):
+    """Grid-over-L pipelined backward from forward-saved checkpoints."""
+    return _scan_bwd_from_ckpt_grid_call(dt, x, B, C, A.T, g, bound)
+
+
 def _scan_bwd_kernel_from_ckpt(dt_ref, x_ref, b_ref, c_ref, a_ref, g_ref,
                                bound_ref, dx_ref, ddt_ref, db_ref, dc_ref,
                                da_ref, h_ref, *, t_block: int):

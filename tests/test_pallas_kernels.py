@@ -173,3 +173,87 @@ def test_selective_scan_bwd_from_ckpt_parity_interpret():
     assert bound.shape == (b, L // ssp.t_block_for(L), n, d)
     for a, r in zip(outs, gref):
         np.testing.assert_allclose(a, r, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_small_head_dim_parity():
+    """head_dim 64/32 (the shipped DiT/UNet shapes — round-1 gate made
+    these fall back to XLA) match the exact softmax formulation."""
+    from diffusion_models_collection_tpu.ops import flash_attention as fa
+
+    for head_dim in (64, 32):
+        q, k, v = jax.random.normal(
+            jax.random.PRNGKey(head_dim), (3, 2, 3, 256, head_dim)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            out = fa.flash_attention(q, k, v)
+        assert out is not None
+        scale = 1.0 / np.sqrt(head_dim)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        expected = jnp.einsum(
+            "bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), v
+        )
+        np.testing.assert_allclose(out, expected, rtol=2e-2, atol=2e-3)
+
+
+def test_flash_attention_backward_parity():
+    """The custom_vjp flash backward (and the long-sequence jnp fallback)
+    match autodiff gradients of the exact formulation."""
+    from diffusion_models_collection_tpu.ops import flash_attention as fa
+
+    q, k, v = jax.random.normal(jax.random.PRNGKey(7), (3, 2, 2, 256, 64))
+    tgt = jax.random.normal(jax.random.PRNGKey(8), (2, 2, 256, 64))
+
+    def loss_flash(args):
+        out = fa.flash_attention(*args)
+        return jnp.mean((out - tgt) ** 2)
+
+    def loss_ref(args):
+        qq, kk, vv = args
+        scale = 1.0 / np.sqrt(qq.shape[-1])
+        logits = jnp.einsum("bhqd,bhkd->bhqk", qq, kk) * scale
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", jax.nn.softmax(logits, axis=-1), vv
+        )
+        return jnp.mean((out - tgt) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash)((q, k, v))
+    g_ref = jax.grad(loss_ref)((q, k, v))
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
+
+    # jnp fallback path (sequences beyond the one-program backward limit)
+    flat = tuple(t.reshape(4, 256, 64) for t in (q, k, v))
+    with pltpu.force_tpu_interpret_mode():
+        o, lse = fa._flash_fwd_bh(*flat, 256, 256)
+        do = jnp.ones_like(o)
+        dq2, dk2, dv2 = fa._flash_bwd_bh(*flat, o, do, lse)
+    dq1, dk1, dv1 = fa._bwd_jnp(*flat, o, do, lse)
+    np.testing.assert_allclose(dq1, dq2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dk1, dk2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dv1, dv2, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_is_opt_in(monkeypatch):
+    """The dispatch layer must NOT route to the flash kernel unless
+    DMC_TPU_FLASH_ATTENTION=1 (end-to-end it loses at shipped shapes —
+    docs/benchmarks.md)."""
+    import diffusion_models_collection_tpu.ops.attention as attn_mod
+    from diffusion_models_collection_tpu.ops import dispatch
+
+    calls = []
+    import diffusion_models_collection_tpu.ops.flash_attention as fa
+
+    real = fa.flash_attention
+    monkeypatch.setattr(
+        fa, "flash_attention",
+        lambda *a: calls.append(1) or real(*a),
+    )
+    q, k, v = jax.random.normal(jax.random.PRNGKey(0), (3, 1, 2, 256, 64))
+    with dispatch.use_pallas(True), pltpu.force_tpu_interpret_mode():
+        monkeypatch.delenv("DMC_TPU_FLASH_ATTENTION", raising=False)
+        attn_mod.dot_product_attention(q, k, v)
+        assert not calls, "flash ran without the opt-in env"
+        monkeypatch.setenv("DMC_TPU_FLASH_ATTENTION", "1")
+        attn_mod.dot_product_attention(q, k, v)
+        assert calls, "opt-in env did not enable flash"
