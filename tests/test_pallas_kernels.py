@@ -257,3 +257,30 @@ def test_flash_attention_is_opt_in(monkeypatch):
         monkeypatch.setenv("DMC_TPU_FLASH_ATTENTION", "1")
         attn_mod.dot_product_attention(q, k, v)
         assert calls, "opt-in env did not enable flash"
+
+
+def test_selective_scan_grid_over_l_parity():
+    """Grid-over-L pipelined fwd/bwd kernels match the fori_loop variants
+    (same math, different pipelining) in interpret mode."""
+    from diffusion_models_collection_tpu.ops import selective_scan_pallas as ssp
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    B_, L, D, N = 3, 64, 128, 8
+    x = jax.random.normal(ks[0], (B_, L, D))
+    dt = jax.nn.softplus(jax.random.normal(ks[1], (B_, L, D)) - 1)
+    A = -jnp.exp(jax.random.normal(ks[2], (D, N)))
+    Bm = jax.random.normal(ks[3], (B_, L, N))
+    Cm = jax.random.normal(ks[4], (B_, L, N))
+    g = jax.random.normal(ks[5], (B_, L, D))
+    with pltpu.force_tpu_interpret_mode():
+        y1, bound1 = ssp.selective_scan_fwd_ckpt_pallas(x, dt, A, Bm, Cm)
+        y2, bound2 = ssp.selective_scan_fwd_ckpt_pallas_grid(x, dt, A, Bm, Cm)
+        np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(bound1, bound2, rtol=1e-5, atol=1e-6)
+        g1 = ssp.selective_scan_bwd_from_ckpt_pallas(
+            x, dt, A, Bm, Cm, g, bound1)
+        g2 = ssp.selective_scan_bwd_from_ckpt_pallas_grid(
+            x, dt, A, Bm, Cm, g, bound2)
+        for i, (a, b) in enumerate(zip(g1, g2)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"grad output {i}")
