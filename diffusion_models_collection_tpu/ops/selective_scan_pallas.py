@@ -379,6 +379,12 @@ def _scan_fwd_ckpt_kernel_grid(dt_ref, u_ref, b_ref, c_ref, a_ref,
 
     Refs per program: dt/u (1, T, D); b/c (1, T, N); a (N, D);
     y (1, T, D); bound (1, 1, N, D); scratch h (N, D).
+
+    MEASURED (round 2, v5e, B=128 L=256 D=768 N=16): no speedup over the
+    fori_loop kernels — fwd 1.47 vs 1.48 ms, bwd 3.31 vs 3.29 ms — the
+    kernels are exp/VPU-bound, not HBM-stall-bound, so prefetch overlap
+    buys nothing (docs/benchmarks.md). Kept parity-tested as the scaffold
+    for longer-L regimes; NOT the dispatch default.
     """
     k = pl.program_id(1)
 
