@@ -25,6 +25,7 @@ WORKER = textwrap.dedent(
     pid = int(sys.argv[1])
     port = sys.argv[2]
     out_dir = sys.argv[3]
+    overrides = json.loads(sys.argv[4]) if len(sys.argv) > 4 else {}
 
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     os.environ["JAX_PLATFORMS"] = "cpu"
@@ -69,6 +70,7 @@ WORKER = textwrap.dedent(
         "num_samples": 4,
         "seed": 0, "use_swanlab": False,
     }
+    config.update(overrides)
     model = get_model(config)
     diffusion = get_diffusion(config)
     ds = get_dataset(config, train=True)
@@ -79,6 +81,12 @@ WORKER = textwrap.dedent(
     trainer = DiffusionTrainer(model, diffusion, loader, config=config,
                                tracker=NullTracker())
     assert trainer.world_size == 4
+    if config.get("tensor_parallel", 1) > 1:
+        # (data, model) mesh across the 2-process cluster: data axis spans
+        # processes, model axis stays intra-process (jax device order puts
+        # each process's local devices together)
+        assert trainer.mesh.axis_names == ("data", "model")
+        assert trainer.mesh.devices.shape == (2, 2)
     trainer.train()  # full loop: train epoch + checkpoint + sampling
 
     with open(os.path.join(out_dir, f"rank{pid}.json"), "w") as f:
@@ -94,18 +102,26 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training(tmp_path):
+def _run_cluster(tmp_path, overrides=None):
+    import json as _json
+
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER % {"repo": str(Path(__file__).resolve().parents[1])})
     port = _free_port()
-
+    args = [_json.dumps(overrides)] if overrides else []
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(pid), str(port), str(tmp_path)],
+            [sys.executable, str(worker), str(pid), str(port), str(tmp_path)]
+            + args,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in (0, 1)
     ]
+    return procs
+
+
+def test_two_process_training(tmp_path):
+    procs = _run_cluster(tmp_path)
     outputs = []
     for p in procs:
         try:
@@ -126,3 +142,35 @@ def test_two_process_training(tmp_path):
     # rank-0-only artifacts
     assert (tmp_path / "ckpt" / "current_model.ckpt").exists()
     assert (tmp_path / "samples" / "epoch_0001.png").exists()
+
+
+def test_two_process_tensor_parallel(tmp_path):
+    """DP x TP across a REAL 2-process jax.distributed cluster: the
+    (data, model) mesh's data axis spans processes (DCN analog), the
+    Megatron-sharded DiT params live on the intra-process model axis.
+    Round-2 extension of the dryrun's single-process TP evidence."""
+    overrides = {
+        "model_type": "dit",
+        "model_params": {"in_channels": 3, "patch_size": 4,
+                         "hidden_size": 32, "depth": 2, "num_heads": 4},
+        "tensor_parallel": 2,
+        # in-training sampling on a TP mesh is exercised single-process in
+        # test_tensor_parallel; skip it here to keep the cluster run lean
+        "sample_start_epoch": 100,
+    }
+    procs = _run_cluster(tmp_path, overrides)
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"rank failed:\n{out[-3000:]}"
+    r0 = json.loads((tmp_path / "rank0.json").read_text())
+    r1 = json.loads((tmp_path / "rank1.json").read_text())
+    assert r0["best_loss"] == pytest.approx(r1["best_loss"], rel=1e-6)
+    assert (tmp_path / "ckpt" / "current_model.ckpt").exists()
