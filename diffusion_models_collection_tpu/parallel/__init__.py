@@ -17,6 +17,13 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .pipeline_parallel import (
+    data_stage_mesh,
+    make_pipeline_apply,
+    shard_dit_params_pp,
+    stack_block_params,
+    unstack_block_params,
+)
 
 __all__ = [
     "data_parallel_mesh",
@@ -26,4 +33,9 @@ __all__ = [
     "local_batch_to_global",
     "process_index",
     "process_count",
+    "data_stage_mesh",
+    "make_pipeline_apply",
+    "shard_dit_params_pp",
+    "stack_block_params",
+    "unstack_block_params",
 ]

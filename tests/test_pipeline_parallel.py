@@ -1,0 +1,106 @@
+"""Pipeline parallelism (extension — SURVEY.md §2.3 lists none in the
+reference): GPipe microbatch schedule as shard_map + ppermute over a
+'stage' mesh axis. Equivalence vs the unpipelined DiT on the 8-device
+virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from diffusion_models_collection_tpu.models import DiT
+from diffusion_models_collection_tpu.parallel import (
+    data_stage_mesh,
+    make_pipeline_apply,
+    shard_dit_params_pp,
+    stack_block_params,
+    unstack_block_params,
+)
+
+
+def _setup(dropout=0.0, depth=4):
+    model = DiT(img_size=(8, 8), patch_size=2, in_channels=3, hidden_size=32,
+                depth=depth, num_heads=4, num_classes=10, dropout=dropout)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    t = jnp.arange(8) % 10
+    y = (jnp.arange(8) % 10) + 1
+    params = model.init(jax.random.PRNGKey(1), x, t, y)["params"]
+    return model, params, x, t, y
+
+
+@pytest.mark.parametrize("dp,pp", [(1, 2), (2, 4)])
+def test_pipeline_forward_matches_unpipelined(dp, pp):
+    model, params, x, t, y = _setup()
+    ref = model.apply({"params": params}, x, t, y, train=False)
+    mesh = data_stage_mesh(dp, pp)
+    stacked, rest = shard_dit_params_pp(mesh, params, model.depth)
+    apply_fn = make_pipeline_apply(model, mesh, num_microbatches=4)
+    out = apply_fn(stacked, rest, x, t, y, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_grads_match_unpipelined():
+    """Autodiff through the ppermute pipeline == per-block grads of the
+    plain model (GPipe backward derived automatically)."""
+    model, params, x, t, y = _setup()
+    tgt = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    mesh = data_stage_mesh(2, 4)
+    stacked, rest = shard_dit_params_pp(mesh, params, model.depth)
+    apply_fn = make_pipeline_apply(model, mesh)
+
+    g_pp = jax.grad(
+        lambda st: jnp.mean((apply_fn(st, rest, x, t, y) - tgt) ** 2)
+    )(stacked)
+    g_ref = jax.grad(
+        lambda p: jnp.mean(
+            (model.apply({"params": p}, x, t, y, train=False) - tgt) ** 2
+        )
+    )(params)
+    g_ref_stacked, _ = stack_block_params(g_ref, model.depth)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=5e-5),
+        g_pp, g_ref_stacked,
+    )
+
+
+def test_stack_unstack_roundtrip():
+    model, params, *_ = _setup()
+    stacked, rest = stack_block_params(params, model.depth)
+    back = unstack_block_params(stacked, rest, model.depth)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b), params, back
+    )
+
+
+def test_pipeline_train_step_decreases_loss():
+    """Jitted PP train step (dropout active, rng threaded) learns."""
+    model, params, x, t, y = _setup(dropout=0.1)
+    mesh = data_stage_mesh(2, 2)
+    stacked, rest = shard_dit_params_pp(mesh, params, model.depth)
+    apply_fn = make_pipeline_apply(model, mesh)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init((stacked, rest))
+    tgt = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+
+    @jax.jit
+    def step(stacked, rest, opt_state, rng):
+        def loss_fn(st, rs):
+            out = apply_fn(st, rs, x, t, y, dropout_rng=rng, train=True)
+            return jnp.mean((out - tgt) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            stacked, rest)
+        updates, opt_state = tx.update(grads, opt_state, (stacked, rest))
+        stacked, rest = optax.apply_updates((stacked, rest), updates)
+        return stacked, rest, opt_state, loss
+
+    losses = []
+    rng = jax.random.PRNGKey(4)
+    for i in range(8):
+        rng, sub = jax.random.split(rng)
+        stacked, rest, opt_state, loss = step(stacked, rest, opt_state, sub)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert min(losses[1:]) < losses[0], losses
