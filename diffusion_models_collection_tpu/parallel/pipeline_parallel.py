@@ -73,17 +73,55 @@ def unstack_block_params(stacked: dict, rest: dict, depth: int) -> dict:
 
 def shard_dit_params_pp(mesh: Mesh, params: dict, depth: int):
     """(stacked sharded over 'stage', rest replicated) on the mesh."""
+    tree = shard_pp_param_tree(mesh, to_pp_tree(params, depth))
+    return tree["blocks"], tree["rest"]
+
+
+# ---- trainer integration: {"blocks": stacked, "rest": ...} param trees ----
+
+def to_pp_tree(params: dict, depth: int) -> dict:
+    """Standard DiT param tree -> the PP layout the trainer's TrainState
+    holds ({"blocks": (depth, ...) stacked, "rest": everything else})."""
     stacked, rest = stack_block_params(params, depth)
-    stacked = jax.tree_util.tree_map(
+    return {"blocks": stacked, "rest": rest}
+
+
+def from_pp_tree(tree: dict, depth: int) -> dict:
+    """Inverse of `to_pp_tree` — used at checkpoint save so PP checkpoints
+    stay byte-compatible with non-PP runs."""
+    return unstack_block_params(tree["blocks"], tree["rest"], depth)
+
+
+def shard_pp_param_tree(mesh: Mesh, tree: dict) -> dict:
+    """blocks sharded over 'stage' (leading depth axis), rest replicated."""
+    blocks = jax.tree_util.tree_map(
         lambda x: jax.device_put(
             x, NamedSharding(mesh, P(STAGE_AXIS, *([None] * (x.ndim - 1))))
         ),
-        stacked,
+        tree["blocks"],
     )
     rest = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), rest
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree["rest"]
     )
-    return stacked, rest
+    return {"blocks": blocks, "rest": rest}
+
+
+def shard_state_for_pp(mesh: Mesh, state):
+    """Shard a TrainState whose params/EMA are PP trees. Optimizer moments
+    are left replicated for jit to co-shard with the params (same approach
+    as tensor_parallel.shard_state_for_tp)."""
+    from ..utils.trainer import TrainState
+
+    params = shard_pp_param_tree(mesh, state.params)
+    ema = (
+        shard_pp_param_tree(mesh, state.ema_params)
+        if state.ema_params is not None
+        else None
+    )
+    opt_state = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), state.opt_state
+    )
+    return TrainState(params=params, opt_state=opt_state, ema_params=ema)
 
 
 def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]

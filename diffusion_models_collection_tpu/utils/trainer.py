@@ -137,11 +137,36 @@ class DiffusionTrainer:
         # shard by the Megatron rules (parallel/tensor_parallel.py) and
         # DiM's selective scan runs under its shard_map context.
         self.tp = int(cfg.get("tensor_parallel", 1) or 1)
+        # Pipeline parallelism (extension): `pipeline_parallel: S` runs the
+        # DiT block stack as a GPipe microbatch pipeline over a 'stage'
+        # mesh axis (parallel/pipeline_parallel.py). Mutually exclusive
+        # with tensor_parallel (a 3-D dp x pp x tp mesh is out of scope).
+        self.pp = int(cfg.get("pipeline_parallel", 1) or 1)
+        if self.pp > 1:
+            if self.tp > 1:
+                raise ValueError(
+                    "pipeline_parallel and tensor_parallel cannot be "
+                    "combined (pick one model-sharding strategy)"
+                )
+            if type(model).__name__ != "DiT":
+                raise ValueError(
+                    "pipeline_parallel currently supports the DiT backbone "
+                    f"only (got {type(model).__name__})"
+                )
+            if model.depth % self.pp:
+                raise ValueError(
+                    f"DiT depth {model.depth} not divisible by "
+                    f"pipeline_parallel={self.pp}"
+                )
         if mesh is not None:
             self.mesh = mesh
             if self.tp > 1 and "model" not in mesh.axis_names:
                 raise ValueError(
                     "tensor_parallel > 1 needs a mesh with a 'model' axis"
+                )
+            if self.pp > 1 and "stage" not in mesh.axis_names:
+                raise ValueError(
+                    "pipeline_parallel > 1 needs a mesh with a 'stage' axis"
                 )
         elif self.tp > 1:
             from ..parallel.tensor_parallel import data_model_mesh
@@ -153,6 +178,16 @@ class DiffusionTrainer:
                     f"{ndev} devices"
                 )
             self.mesh = data_model_mesh(ndev // self.tp, self.tp)
+        elif self.pp > 1:
+            from ..parallel.pipeline_parallel import data_stage_mesh
+
+            ndev = len(jax.devices())
+            if ndev % self.pp:
+                raise ValueError(
+                    f"pipeline_parallel={self.pp} does not divide "
+                    f"{ndev} devices"
+                )
+            self.mesh = data_stage_mesh(ndev // self.pp, self.pp)
         else:
             self.mesh = pmesh.data_parallel_mesh()
         self.is_main_process = pmesh.process_index() == 0
@@ -171,6 +206,17 @@ class DiffusionTrainer:
         self.params = init_model_params(
             model, init_rng, self.image_size, self.in_channels, self.conditional
         )
+        self._pp_apply = None
+        if self.pp > 1:
+            from ..parallel import pipeline_parallel as pp_lib
+
+            # TrainState holds the PP layout ({"blocks", "rest"});
+            # checkpoints convert back to the standard tree on save.
+            self.params = pp_lib.to_pp_tree(self.params, model.depth)
+            self._pp_apply = pp_lib.make_pipeline_apply(
+                model, self.mesh,
+                num_microbatches=cfg.get("pp_microbatches") or self.pp,
+            )
         if self.is_main_process:
             print(f"Model parameters: {count_parameters(self.params):,}")
 
@@ -228,11 +274,16 @@ class DiffusionTrainer:
         self.profile_dir = cfg.get("profile_dir")
 
     def _place_state(self, state: "TrainState") -> "TrainState":
-        """Replicate (DP) or Megatron-shard (DP x TP) the train state."""
+        """Replicate (DP), Megatron-shard (DP x TP), or stage-shard
+        (DP x PP) the train state."""
         if self.tp > 1:
             from ..parallel.tensor_parallel import shard_state_for_tp
 
             return shard_state_for_tp(self.mesh, state)
+        if self.pp > 1:
+            from ..parallel.pipeline_parallel import shard_state_for_pp
+
+            return shard_state_for_pp(self.mesh, state)
         return pmesh.replicate(self.mesh, state)
 
     # ---------------------------------------------------------------- step
@@ -249,6 +300,7 @@ class DiffusionTrainer:
         ema_decay = float(self.ema_decay)
         is_multisteps = isinstance(optimizer, optax.MultiSteps)
         dropout_rng_impl = self.dropout_rng_impl
+        pp_apply = self._pp_apply
 
         def _dropout_key(raw):
             """Re-key the dropout stream on the configured PRNG impl."""
@@ -281,15 +333,22 @@ class DiffusionTrainer:
                 y = None
 
             def loss_fn(params):
-                def model_fn(x, tt, yy):
-                    return model.apply(
-                        {"params": params},
-                        x,
-                        tt,
-                        yy,
-                        train=True,
-                        rngs={"dropout": dropout_rng},
-                    )
+                if pp_apply is not None:
+                    def model_fn(x, tt, yy):
+                        return pp_apply(
+                            params["blocks"], params["rest"], x, tt, yy,
+                            dropout_rng=dropout_rng, train=True,
+                        )
+                else:
+                    def model_fn(x, tt, yy):
+                        return model.apply(
+                            {"params": params},
+                            x,
+                            tt,
+                            yy,
+                            train=True,
+                            rngs={"dropout": dropout_rng},
+                        )
 
                 return diffusion_base.p_losses(
                     schedule, model_fn, images, t, noise, y=y, loss_type=loss_type
@@ -401,8 +460,18 @@ class DiffusionTrainer:
         ):
             params = self.state.ema_params
 
-        def fn(x, t, y):
-            return self.model.apply({"params": params}, x, t, y, train=False)
+        if self._pp_apply is not None:
+            pp_apply = self._pp_apply
+
+            def fn(x, t, y):
+                return pp_apply(
+                    params["blocks"], params["rest"], x, t, y, train=False
+                )
+        else:
+            def fn(x, t, y):
+                return self.model.apply(
+                    {"params": params}, x, t, y, train=False
+                )
 
         return jax.tree_util.Partial(fn)
 
@@ -450,15 +519,25 @@ class DiffusionTrainer:
         if not self.is_main_process:
             return
 
+        params, ema = self.state.params, self.state.ema_params
+        if self.pp > 1:
+            # checkpoints always use the standard layout — PP and non-PP
+            # runs load each other's files
+            from ..parallel.pipeline_parallel import from_pp_tree
+
+            params = from_pp_tree(params, self.model.depth)
+            ema = from_pp_tree(ema, self.model.depth) if ema is not None \
+                else None
+
         def write(path):
             ckpt_lib.save_checkpoint(
                 path,
                 epoch=epoch,
-                params=self.state.params,
+                params=params,
                 opt_state=self.state.opt_state,
                 best_loss=self.best_loss,
                 config=self.config,
-                ema_params=self.state.ema_params,
+                ema_params=ema,
                 extra={"global_step": self.global_step},
                 format=self.config.get("checkpoint_format", "pickle"),
             )
@@ -478,6 +557,26 @@ class DiffusionTrainer:
         ema = payload.get("ema_model_state_dict")
         if ema is None and self.use_ema:
             ema = jax.tree_util.tree_map(np.copy, params)
+        if self.pp > 1:
+            from ..parallel.pipeline_parallel import to_pp_tree
+
+            params = to_pp_tree(params, self.model.depth)
+            ema = to_pp_tree(ema, self.model.depth) if ema is not None \
+                else None
+        # checkpoints always store the STANDARD param layout, so params/EMA
+        # interchange freely between PP and non-PP runs — but optimizer
+        # moments mirror the in-memory layout; reinitialize them when the
+        # layout changed (e.g. resuming a DP checkpoint under PP).
+        if jax.tree_util.tree_structure(opt_state) != (
+            jax.tree_util.tree_structure(self.state.opt_state)
+        ):
+            print(
+                "Optimizer state layout differs from this run's "
+                "(pipeline_parallel changed?) — reinitializing optimizer."
+            )
+            opt_state = self.optimizer.init(
+                jax.tree_util.tree_map(jnp.asarray, params)
+            )
         state = TrainState(
             params=params,
             opt_state=opt_state,

@@ -58,7 +58,8 @@ def make_trainer(tmp_path, model, conditional=True, **overrides):
     loader = DataLoader(ds, batch_size=16, seed=0, prefetch=0)
     diffusion = DDPM(10, beta_schedule="cosine")
     return DiffusionTrainer(model, diffusion, loader, config=cfg,
-                            tracker=NullTracker())
+                            tracker=NullTracker(),
+                            resume_path=cfg.get("resume_path"))
 
 
 def test_dit_trains(tmp_path):
@@ -116,3 +117,68 @@ def test_dim_trainer_tp_with_bf16(tmp_path):
                 depth=1, state_size=4, num_classes=10, dtype=jnp.bfloat16)
     trainer = make_trainer(tmp_path, model, tensor_parallel=2)
     assert math.isfinite(trainer.train_epoch(1))
+
+
+def test_dit_trainer_pipeline_parallel(tmp_path):
+    """`pipeline_parallel: 2` on the 8-device CPU mesh: the trainer builds
+    the 4x2 (data, stage) mesh, holds PP-layout state, trains a DiT, and
+    matches the data-parallel-only trainer's losses exactly (dropout off,
+    sharding-invariant threefry streams). Also: in-training sampling runs
+    through the pipeline and the saved checkpoint uses the STANDARD param
+    layout (loadable by non-PP runs)."""
+    import numpy as np
+
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        load_checkpoint,
+    )
+
+    def dit():
+        return DiT(img_size=SIZE, patch_size=4, in_channels=3,
+                   hidden_size=32, depth=2, num_heads=4, num_classes=10,
+                   dropout=0.0)
+
+    common = dict(dropout_rng_impl="threefry", sample_interval=1,
+                  sample_start_epoch=1, save_interval=1)
+    pp_tr = make_trainer(tmp_path / "pp", dit(), pipeline_parallel=2,
+                         **common)
+    assert pp_tr.mesh.axis_names == ("data", "stage")
+    assert pp_tr.mesh.devices.shape == (4, 2)
+    assert set(pp_tr.state.params) == {"blocks", "rest"}
+    pp_losses = [pp_tr.train_epoch(e) for e in (1, 2, 3)]
+
+    dp_tr = make_trainer(tmp_path / "dp", dit(), **common)
+    dp_losses = [dp_tr.train_epoch(e) for e in (1, 2, 3)]
+    assert all(math.isfinite(l) for l in pp_losses)
+    np.testing.assert_allclose(pp_losses, dp_losses, rtol=2e-5)
+
+    # pipeline sampling path
+    samples = pp_tr.sample_images(epoch=1, num_samples=8)
+    assert samples.shape == (8, SIZE[0], SIZE[1], 3)
+
+    # checkpoint written in the standard layout
+    pp_tr.save_checkpoint(epoch=3)
+    payload = load_checkpoint(tmp_path / "pp" / "ckpt" / "current_model.ckpt")
+    assert "DiTBlock_0" in payload["model_state_dict"]
+    assert "blocks" not in payload["model_state_dict"]
+
+    # ...and a fresh PP trainer resumes from it (params re-stacked, and the
+    # optimizer state — saved in PP layout — restores structurally)
+    resumed = make_trainer(
+        tmp_path / "pp2", dit(), pipeline_parallel=2,
+        resume_path=str(tmp_path / "pp" / "ckpt" / "current_model.ckpt"),
+        **common,
+    )
+    assert resumed.start_epoch == 4
+
+
+def test_pipeline_parallel_rejects_bad_configs(tmp_path):
+    model = DiT(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+                depth=2, num_heads=4, num_classes=10)
+    with pytest.raises(ValueError, match="cannot be combined"):
+        make_trainer(tmp_path, model, pipeline_parallel=2, tensor_parallel=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_trainer(tmp_path, model, pipeline_parallel=3)
+    dim = DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+              depth=2, state_size=4, num_classes=10)
+    with pytest.raises(ValueError, match="DiT backbone"):
+        make_trainer(tmp_path, dim, pipeline_parallel=2)
