@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -38,6 +39,11 @@ class SelfAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: Optional[Dtype] = None
+    # Sequence parallelism (parallel/sequence_parallel.py): when set to a
+    # mesh axis name and called inside shard_map, x holds this device's
+    # token shard; Q stays local while K/V are all-gathered over the axis
+    # (one tiled all-gather each per block, riding ICI). No param change.
+    kv_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -47,6 +53,9 @@ class SelfAttention(nn.Module):
             kernel_init=init.xavier_uniform, bias_init=init.zeros
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.kv_axis is not None:
+            k = jax.lax.all_gather(k, self.kv_axis, axis=1, tiled=True)
+            v = jax.lax.all_gather(v, self.kv_axis, axis=1, tiled=True)
         rng = self.make_rng("dropout") if (train and self.dropout > 0) else None
         out = multihead_attention(
             q,
@@ -95,6 +104,7 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout: float = 0.1
     dtype: Optional[Dtype] = None
+    kv_axis: Optional[str] = None  # see SelfAttention.kv_axis
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
@@ -104,7 +114,8 @@ class DiTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
                          dtype=self.dtype)(x)
         h = modulate(h, shift_msa, scale_msa)
-        h = SelfAttention(self.num_heads, self.dropout, self.dtype)(h, train)
+        h = SelfAttention(self.num_heads, self.dropout, self.dtype,
+                          self.kv_axis)(h, train)
         x = x + gate_msa[:, None, :] * h
 
         h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,

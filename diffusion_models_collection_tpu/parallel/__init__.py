@@ -24,6 +24,10 @@ from .pipeline_parallel import (
     stack_block_params,
     unstack_block_params,
 )
+from .sequence_parallel import (
+    data_seq_mesh,
+    make_sequence_parallel_apply,
+)
 
 __all__ = [
     "data_parallel_mesh",
@@ -38,4 +42,6 @@ __all__ = [
     "shard_dit_params_pp",
     "stack_block_params",
     "unstack_block_params",
+    "data_seq_mesh",
+    "make_sequence_parallel_apply",
 ]

@@ -1,0 +1,150 @@
+"""Sequence parallelism for the DiT backbone over a (data, seq) mesh.
+
+The reference has no sequence dimension to shard (SURVEY.md §2.3) — this
+is an extension, built the TPU way: the patch-token axis is split over a
+'seq' mesh axis inside one `shard_map`ped SPMD program. Everything
+token-local (LayerNorm, adaLN modulation, the MLP — where the (B, L, 4D)
+activation lives) computes on L/S tokens per device; attention keeps Q
+local and all-gathers K/V over ICI (`lax.all_gather(..., tiled=True)`,
+two per block — the Megatron-SP/ring-attention trade made XLA-friendly:
+no per-step ppermute schedule, one collective the compiler can overlap).
+The backward is pure autodiff: all_gather transposes to psum_scatter,
+and shard_map's transpose inserts the psum over 'seq' that sums the
+per-shard parameter cotangents — replicated params need no layout change,
+so checkpoints/EMA/optimizer state are byte-identical to non-SP runs.
+
+Memory/FLOP scaling per device: MLP + QKV/out projections and the L×L
+score matrix all shrink by S; only the tiny prologue (patchify, pos-embed,
+conditioning embed) is computed redundantly on each seq shard.
+
+Scope: forward + autodiff backward, exact equivalence with the unsharded
+model when dropout is off (with dropout the mask streams are per-shard by
+construction — still valid iid Bernoulli). DiM sequence parallelism would
+need a distributed selective scan (cross-device carry combine); separate
+work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from jax.experimental.shard_map import shard_map
+
+DATA_AXIS = "data"
+SEQ_AXIS = "seq"
+
+
+def data_seq_mesh(dp: int, sp: int, devices=None) -> Mesh:
+    """2-D mesh: dp x sp over the first dp*sp devices."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: dp * sp]).reshape(dp, sp)
+    return Mesh(devices, (DATA_AXIS, SEQ_AXIS))
+
+
+def make_sequence_parallel_apply(model, mesh: Mesh):
+    """Build `apply(params, x, t, y, dropout_rng=None, train=False) -> eps`.
+
+    `model` is the DiT Module (for its submodule definitions / config);
+    `params` is the STANDARD DiT param tree, replicated on the mesh.
+    num_patches must divide by the 'seq' axis size.
+    """
+    from ..models.dit import DiTBlock, FinalLayer
+    from ..models.layers import (
+        LabelEmbedder,
+        PatchEmbed,
+        TimestepEmbedder,
+        unpatchify,
+    )
+
+    sp = mesh.shape[SEQ_AXIS]
+    img_h, img_w = model._hw()
+    h_tok = img_h // model.patch_size
+    w_tok = img_w // model.patch_size
+    num_patches = h_tok * w_tok
+    assert num_patches % sp == 0, (
+        f"{num_patches} patch tokens not divisible by sequence_parallel={sp}"
+    )
+    l_loc = num_patches // sp
+    depth = model.depth
+
+    block = DiTBlock(model.hidden_size, model.num_heads, model.mlp_ratio,
+                     model.dropout, model.dtype, kv_axis=SEQ_AXIS)
+    patch_embed = PatchEmbed(model.patch_size, model.hidden_size, model.dtype)
+    t_embed = TimestepEmbedder(model.hidden_size, dtype=model.dtype)
+    y_embed = (
+        LabelEmbedder(model.num_classes, model.hidden_size, model.dtype)
+        if model.num_classes is not None else None
+    )
+    final = FinalLayer(model.hidden_size, model.patch_size, model.in_channels,
+                       model.dtype)
+
+    def _apply_block(blk_params, tok, c, rngs, train):
+        return block.apply({"params": blk_params}, tok, c, train, rngs=rngs)
+
+    if model.remat:
+        # same HBM/FLOP trade as the non-SP remat path (models/dit.py)
+        _apply_block = jax.checkpoint(_apply_block, static_argnums=(4,))
+
+    def sp_fn(params, x, t, y, dropout_rng, *, train):
+        """Runs INSIDE shard_map: x/t/y are the LOCAL data shard; params
+        are replicated; this device owns tokens [idx*l_loc, (idx+1)*l_loc)."""
+        idx = jax.lax.axis_index(SEQ_AXIS)
+
+        # ---- redundant prologue (tiny next to the block matmuls) -------
+        tokens = patch_embed.apply({"params": params["PatchEmbed_0"]}, x)
+        tokens = tokens + params["pos_embed"].astype(tokens.dtype)
+        c = t_embed.apply({"params": params["TimestepEmbedder_0"]}, t)
+        if y_embed is not None and y is not None:
+            c = c + y_embed.apply({"params": params["LabelEmbedder_0"]}, y)
+
+        tok = jax.lax.dynamic_slice_in_dim(tokens, idx * l_loc, l_loc, axis=1)
+
+        for i in range(depth):
+            rngs = None
+            if train and model.dropout > 0:
+                # independent stream per (layer, seq shard)
+                rngs = {"dropout": jax.random.fold_in(
+                    jax.random.fold_in(dropout_rng, i), idx)}
+            tok = _apply_block(params[f"DiTBlock_{i}"], tok, c, rngs, train)
+
+        out = final.apply({"params": params["FinalLayer_0"]}, tok, c)
+        out = out.astype(jnp.float32)
+        out = jax.lax.all_gather(out, SEQ_AXIS, axis=1, tiled=True)
+        eps = unpatchify(out, h_tok, w_tok, model.patch_size,
+                         model.in_channels)
+        return eps.astype(jnp.float32)
+
+    # one shard_map wrapper per static train flag (specs are positional)
+    _wrappers = {}
+
+    def _get(train: bool):
+        if train not in _wrappers:
+            _wrappers[train] = shard_map(
+                functools.partial(sp_fn, train=train),
+                mesh=mesh,
+                in_specs=(
+                    P(),            # params replicated
+                    P(DATA_AXIS),   # x
+                    P(DATA_AXIS),   # t
+                    P(DATA_AXIS),   # y
+                    P(),            # rng (replicated; folded per shard)
+                ),
+                out_specs=P(DATA_AXIS),
+                check_rep=False,
+            )
+        return _wrappers[train]
+
+    def apply_fn(params, x, t, y, dropout_rng=None, train=False):
+        if y is None:
+            y = jnp.zeros((x.shape[0],), jnp.int32)
+        if dropout_rng is None:
+            dropout_rng = jax.random.PRNGKey(0)  # unused unless train
+        return _get(bool(train))(params, x, t, y, dropout_rng)
+
+    return apply_fn

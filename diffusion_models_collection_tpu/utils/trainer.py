@@ -142,12 +142,17 @@ class DiffusionTrainer:
         # mesh axis (parallel/pipeline_parallel.py). Mutually exclusive
         # with tensor_parallel (a 3-D dp x pp x tp mesh is out of scope).
         self.pp = int(cfg.get("pipeline_parallel", 1) or 1)
+        # Sequence parallelism (extension): `sequence_parallel: S` splits
+        # the DiT patch-token axis over a 'seq' mesh axis (Q local, K/V
+        # all-gathered per block — parallel/sequence_parallel.py). Params
+        # stay replicated in the standard layout.
+        self.sp = int(cfg.get("sequence_parallel", 1) or 1)
+        if sum(x > 1 for x in (self.tp, self.pp, self.sp)) > 1:
+            raise ValueError(
+                "tensor_parallel, pipeline_parallel and sequence_parallel "
+                "cannot be combined (pick one model-sharding strategy)"
+            )
         if self.pp > 1:
-            if self.tp > 1:
-                raise ValueError(
-                    "pipeline_parallel and tensor_parallel cannot be "
-                    "combined (pick one model-sharding strategy)"
-                )
             if type(model).__name__ != "DiT":
                 raise ValueError(
                     "pipeline_parallel currently supports the DiT backbone "
@@ -158,6 +163,19 @@ class DiffusionTrainer:
                     f"DiT depth {model.depth} not divisible by "
                     f"pipeline_parallel={self.pp}"
                 )
+        if self.sp > 1:
+            if type(model).__name__ != "DiT":
+                raise ValueError(
+                    "sequence_parallel currently supports the DiT backbone "
+                    f"only (got {type(model).__name__})"
+                )
+            img_h, img_w = model._hw()
+            n_tok = (img_h // model.patch_size) * (img_w // model.patch_size)
+            if n_tok % self.sp:
+                raise ValueError(
+                    f"{n_tok} patch tokens not divisible by "
+                    f"sequence_parallel={self.sp}"
+                )
         if mesh is not None:
             self.mesh = mesh
             if self.tp > 1 and "model" not in mesh.axis_names:
@@ -167,6 +185,10 @@ class DiffusionTrainer:
             if self.pp > 1 and "stage" not in mesh.axis_names:
                 raise ValueError(
                     "pipeline_parallel > 1 needs a mesh with a 'stage' axis"
+                )
+            if self.sp > 1 and "seq" not in mesh.axis_names:
+                raise ValueError(
+                    "sequence_parallel > 1 needs a mesh with a 'seq' axis"
                 )
         elif self.tp > 1:
             from ..parallel.tensor_parallel import data_model_mesh
@@ -188,6 +210,16 @@ class DiffusionTrainer:
                     f"{ndev} devices"
                 )
             self.mesh = data_stage_mesh(ndev // self.pp, self.pp)
+        elif self.sp > 1:
+            from ..parallel.sequence_parallel import data_seq_mesh
+
+            ndev = len(jax.devices())
+            if ndev % self.sp:
+                raise ValueError(
+                    f"sequence_parallel={self.sp} does not divide "
+                    f"{ndev} devices"
+                )
+            self.mesh = data_seq_mesh(ndev // self.sp, self.sp)
         else:
             self.mesh = pmesh.data_parallel_mesh()
         self.is_main_process = pmesh.process_index() == 0
@@ -217,6 +249,13 @@ class DiffusionTrainer:
                 model, self.mesh,
                 num_microbatches=cfg.get("pp_microbatches") or self.pp,
             )
+        self._sp_apply = None
+        if self.sp > 1:
+            from ..parallel.sequence_parallel import (
+                make_sequence_parallel_apply,
+            )
+
+            self._sp_apply = make_sequence_parallel_apply(model, self.mesh)
         if self.is_main_process:
             print(f"Model parameters: {count_parameters(self.params):,}")
 
@@ -301,6 +340,7 @@ class DiffusionTrainer:
         is_multisteps = isinstance(optimizer, optax.MultiSteps)
         dropout_rng_impl = self.dropout_rng_impl
         pp_apply = self._pp_apply
+        sp_apply = self._sp_apply
 
         def _dropout_key(raw):
             """Re-key the dropout stream on the configured PRNG impl."""
@@ -337,6 +377,12 @@ class DiffusionTrainer:
                     def model_fn(x, tt, yy):
                         return pp_apply(
                             params["blocks"], params["rest"], x, tt, yy,
+                            dropout_rng=dropout_rng, train=True,
+                        )
+                elif sp_apply is not None:
+                    def model_fn(x, tt, yy):
+                        return sp_apply(
+                            params, x, tt, yy,
                             dropout_rng=dropout_rng, train=True,
                         )
                 else:
@@ -467,6 +513,11 @@ class DiffusionTrainer:
                 return pp_apply(
                     params["blocks"], params["rest"], x, t, y, train=False
                 )
+        elif self._sp_apply is not None:
+            sp_apply = self._sp_apply
+
+            def fn(x, t, y):
+                return sp_apply(params, x, t, y, train=False)
         else:
             def fn(x, t, y):
                 return self.model.apply(

@@ -1,0 +1,119 @@
+"""Sequence parallelism (extension — SURVEY.md §2.3 lists none in the
+reference): DiT patch tokens sharded over a 'seq' mesh axis, Q local,
+K/V all-gathered per block. Equivalence vs the unsharded DiT on the
+8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from diffusion_models_collection_tpu.models import DiT
+from diffusion_models_collection_tpu.parallel import (
+    data_seq_mesh,
+    make_sequence_parallel_apply,
+)
+from diffusion_models_collection_tpu.parallel import mesh as pmesh
+
+
+def _setup(dropout=0.0, remat=False):
+    model = DiT(img_size=(8, 8), patch_size=2, in_channels=3, hidden_size=32,
+                depth=2, num_heads=4, num_classes=10, dropout=dropout,
+                remat=remat)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    t = jnp.arange(8) % 10
+    y = (jnp.arange(8) % 10) + 1
+    params = model.init(jax.random.PRNGKey(1), x, t, y)["params"]
+    return model, params, x, t, y
+
+
+def _place(mesh, params, *batch):
+    sharding = NamedSharding(mesh, P("data"))
+    return (pmesh.replicate(mesh, params),
+            *(jax.device_put(a, sharding) for a in batch))
+
+
+@pytest.mark.parametrize("dp,sp", [(1, 2), (2, 4), (1, 8)])
+def test_sequence_parallel_forward_matches_unsharded(dp, sp):
+    model, params, x, t, y = _setup()
+    ref = model.apply({"params": params}, x, t, y, train=False)
+    mesh = data_seq_mesh(dp, sp)
+    apply_fn = make_sequence_parallel_apply(model, mesh)
+    pr, xs, ts, ys = _place(mesh, params, x, t, y)
+    out = apply_fn(pr, xs, ts, ys, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sequence_parallel_grads_match_unsharded():
+    """shard_map's transpose psums the per-token-shard parameter
+    cotangents — grads of the replicated params equal the unsharded
+    model's grads."""
+    model, params, x, t, y = _setup()
+    tgt = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    mesh = data_seq_mesh(2, 4)
+    apply_fn = make_sequence_parallel_apply(model, mesh)
+    pr, xs, ts, ys, tgts = _place(mesh, params, x, t, y, tgt)
+
+    g_sp = jax.jit(jax.grad(
+        lambda p: jnp.mean((apply_fn(p, xs, ts, ys) - tgts) ** 2)
+    ))(pr)
+    g_ref = jax.grad(
+        lambda p: jnp.mean(
+            (model.apply({"params": p}, x, t, y, train=False) - tgt) ** 2
+        )
+    )(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        ),
+        g_sp, g_ref,
+    )
+
+
+def test_sequence_parallel_remat_matches():
+    """remat=True recomputes block activations in the backward without
+    changing the result."""
+    model, params, x, t, y = _setup(remat=True)
+    ref = model.apply({"params": params}, x, t, y, train=False)
+    mesh = data_seq_mesh(2, 4)
+    apply_fn = make_sequence_parallel_apply(model, mesh)
+    pr, xs, ts, ys = _place(mesh, params, x, t, y)
+    out = apply_fn(pr, xs, ts, ys, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    g = jax.jit(jax.grad(
+        lambda p: jnp.mean(apply_fn(p, xs, ts, ys) ** 2)
+    ))(pr)
+    assert all(
+        bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g)
+    )
+
+
+def test_sequence_parallel_dropout_train_runs():
+    """With dropout on, masks are per-shard streams (no exact-parity
+    claim) — the train path must still produce finite outputs/grads."""
+    model, params, x, t, y = _setup(dropout=0.3)
+    mesh = data_seq_mesh(2, 4)
+    apply_fn = make_sequence_parallel_apply(model, mesh)
+    pr, xs, ts, ys = _place(mesh, params, x, t, y)
+    rng = jax.random.PRNGKey(7)
+    out = apply_fn(pr, xs, ts, ys, dropout_rng=rng, train=True)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    g = jax.jit(jax.grad(
+        lambda p: jnp.mean(
+            apply_fn(p, xs, ts, ys, dropout_rng=rng, train=True) ** 2
+        )
+    ))(pr)
+    assert all(
+        bool(jnp.all(jnp.isfinite(l))) for l in jax.tree_util.tree_leaves(g)
+    )
+
+
+def test_sequence_parallel_rejects_indivisible_tokens():
+    model = DiT(img_size=(6, 6), patch_size=2, in_channels=3, hidden_size=32,
+                depth=2, num_heads=4, num_classes=10)  # 9 tokens
+    mesh = data_seq_mesh(1, 2)
+    with pytest.raises(AssertionError, match="not divisible"):
+        make_sequence_parallel_apply(model, mesh)

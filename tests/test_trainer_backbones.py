@@ -171,6 +171,37 @@ def test_dit_trainer_pipeline_parallel(tmp_path):
     assert resumed.start_epoch == 4
 
 
+def test_dit_trainer_sequence_parallel(tmp_path):
+    """`sequence_parallel: 2` on the 8-device CPU mesh: the trainer builds
+    the 4x2 (data, seq) mesh, keeps the STANDARD (replicated) param
+    layout, trains a DiT, and matches the data-parallel-only trainer's
+    losses exactly (dropout off, sharding-invariant threefry streams).
+    In-training sampling runs through the SP apply."""
+    import numpy as np
+
+    def dit():
+        return DiT(img_size=SIZE, patch_size=4, in_channels=3,
+                   hidden_size=32, depth=2, num_heads=4, num_classes=10,
+                   dropout=0.0)
+
+    common = dict(dropout_rng_impl="threefry", sample_interval=1,
+                  sample_start_epoch=1)
+    sp_tr = make_trainer(tmp_path / "sp", dit(), sequence_parallel=2,
+                         **common)
+    assert sp_tr.mesh.axis_names == ("data", "seq")
+    assert sp_tr.mesh.devices.shape == (4, 2)
+    assert "DiTBlock_0" in sp_tr.state.params  # standard layout
+    sp_losses = [sp_tr.train_epoch(e) for e in (1, 2, 3)]
+
+    dp_tr = make_trainer(tmp_path / "dp", dit(), **common)
+    dp_losses = [dp_tr.train_epoch(e) for e in (1, 2, 3)]
+    assert all(math.isfinite(l) for l in sp_losses)
+    np.testing.assert_allclose(sp_losses, dp_losses, rtol=2e-5)
+
+    samples = sp_tr.sample_images(epoch=1, num_samples=8)
+    assert samples.shape == (8, SIZE[0], SIZE[1], 3)
+
+
 def test_pipeline_parallel_rejects_bad_configs(tmp_path):
     model = DiT(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
                 depth=2, num_heads=4, num_classes=10)
@@ -182,3 +213,20 @@ def test_pipeline_parallel_rejects_bad_configs(tmp_path):
               depth=2, state_size=4, num_classes=10)
     with pytest.raises(ValueError, match="DiT backbone"):
         make_trainer(tmp_path, dim, pipeline_parallel=2)
+
+
+def test_sequence_parallel_rejects_bad_configs(tmp_path):
+    model = DiT(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+                depth=2, num_heads=4, num_classes=10)
+    with pytest.raises(ValueError, match="cannot be combined"):
+        make_trainer(tmp_path, model, sequence_parallel=2, tensor_parallel=2)
+    with pytest.raises(ValueError, match="cannot be combined"):
+        make_trainer(tmp_path, model, sequence_parallel=2,
+                     pipeline_parallel=2)
+    with pytest.raises(ValueError, match="not divisible"):
+        # SIZE/4 -> 4x4 = 16 tokens; 3 does not divide 16
+        make_trainer(tmp_path, model, sequence_parallel=3)
+    dim = DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+              depth=2, state_size=4, num_classes=10)
+    with pytest.raises(ValueError, match="DiT backbone"):
+        make_trainer(tmp_path, dim, sequence_parallel=2)
