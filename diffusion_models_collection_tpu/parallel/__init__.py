@@ -28,6 +28,12 @@ from .sequence_parallel import (
     data_seq_mesh,
     make_sequence_parallel_apply,
 )
+from .fsdp import (
+    fsdp_shardings,
+    fsdp_spec,
+    shard_state_for_fsdp,
+    sharded_fraction,
+)
 
 __all__ = [
     "data_parallel_mesh",
@@ -44,4 +50,8 @@ __all__ = [
     "unstack_block_params",
     "data_seq_mesh",
     "make_sequence_parallel_apply",
+    "fsdp_shardings",
+    "fsdp_spec",
+    "shard_state_for_fsdp",
+    "sharded_fraction",
 ]

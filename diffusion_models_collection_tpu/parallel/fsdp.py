@@ -1,0 +1,99 @@
+"""FSDP / ZeRO-style state sharding over the data-parallel mesh axis.
+
+The reference has no analog (SURVEY.md §2.3 lists DDP only — every rank
+holds a full model + optimizer copy). This is the TPU-idiomatic version
+of ZeRO-3/FSDP: parameters, Adam moments and the EMA tree are *stored*
+sharded over the existing 'data' mesh axis, cutting per-device state
+memory by the DP degree. There is no wrapper module and no hand-written
+communication schedule — each leaf gets a `NamedSharding` that splits
+its largest divisible dimension over 'data', and XLA's SPMD partitioner
+derives the rest: parameters are all-gathered over ICI right before use
+in the forward/backward, gradients are reduce-scattered to the shard
+that owns them, and the optimizer update + EMA lerp run on 1/N of every
+tensor per device. That is exactly the ZeRO dataflow, produced entirely
+by sharding propagation.
+
+The sharding rule is a pure function of the leaf's *shape*, so params,
+Adam mu/nu and EMA (all shaped like the param) land on identical
+shardings with no tree bookkeeping, and checkpoint loads re-place
+deterministically. Leaves smaller than `min_size` elements (norm scales,
+biases, embedding tables of tiny models) stay replicated — sharding them
+would trade a few KB of HBM for extra collectives.
+
+Checkpoints are unaffected: save gathers to host (np.asarray on a
+fully-addressable sharded array), so FSDP and non-FSDP runs interchange
+files byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+
+# Below this many elements a leaf stays replicated: the all-gather +
+# reduce-scatter latency for a tiny tensor exceeds the memory it saves.
+DEFAULT_MIN_SIZE = 2 ** 15
+
+
+def fsdp_spec(shape, n_shards: int, min_size: int = DEFAULT_MIN_SIZE,
+              axis_name: str = DATA_AXIS) -> P:
+    """PartitionSpec for one leaf: shard the largest dimension divisible
+    by `n_shards`; replicate scalars, small leaves and indivisible shapes.
+
+    Ties break toward the LAST dimension (features/lanes — keeps the
+    sublane-major dims intact for the TPU tiled layout).
+    """
+    if n_shards <= 1 or not shape or int(np.prod(shape)) < min_size:
+        return P()
+    best = None
+    for dim, extent in enumerate(shape):
+        if extent % n_shards == 0 and extent >= n_shards:
+            if best is None or extent >= shape[best]:
+                best = dim
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis_name
+    return P(*spec)
+
+
+def fsdp_shardings(mesh: Mesh, tree,
+                   min_size: int = DEFAULT_MIN_SIZE):
+    """A pytree of NamedShardings mirroring `tree` (shape-based rule)."""
+    n = mesh.shape[DATA_AXIS]
+
+    def one(x):
+        shape = getattr(x, "shape", ())
+        return NamedSharding(mesh, fsdp_spec(shape, n, min_size))
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+def shard_state_for_fsdp(mesh: Mesh, state,
+                         min_size: int = DEFAULT_MIN_SIZE):
+    """Place a TrainState (params/opt_state/ema) sharded per `fsdp_spec`."""
+    shardings = fsdp_shardings(mesh, state, min_size)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), state, shardings
+    )
+
+
+def sharded_fraction(tree) -> float:
+    """Fraction of `tree`'s elements living on sharded (non-replicated)
+    arrays — diagnostics for tests/logs."""
+    total = 0
+    sharded = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        n = int(np.prod(getattr(leaf, "shape", ()) or (1,)))
+        total += n
+        sharding = getattr(leaf, "sharding", None)
+        if isinstance(sharding, NamedSharding) and any(
+            s is not None for s in sharding.spec
+        ):
+            sharded += n
+    return sharded / total if total else 0.0

@@ -152,6 +152,19 @@ class DiffusionTrainer:
                 "tensor_parallel, pipeline_parallel and sequence_parallel "
                 "cannot be combined (pick one model-sharding strategy)"
             )
+        # FSDP / ZeRO (extension): `fsdp: true` stores params, Adam
+        # moments and EMA sharded over the 'data' axis (parallel/fsdp.py)
+        # — XLA all-gathers weights before use and reduce-scatters grads,
+        # cutting per-device state memory by the DP degree. Orthogonal to
+        # the model-sharding strategies above, which own their layouts.
+        self.fsdp = bool(cfg.get("fsdp", False))
+        if self.fsdp and (self.tp > 1 or self.pp > 1 or self.sp > 1):
+            raise ValueError(
+                "fsdp cannot be combined with tensor_parallel, "
+                "pipeline_parallel or sequence_parallel (those strategies "
+                "define their own parameter layouts)"
+            )
+        self.fsdp_min_size = cfg.get("fsdp_min_size")
         if self.pp > 1:
             if type(model).__name__ != "DiT":
                 raise ValueError(
@@ -286,6 +299,14 @@ class DiffusionTrainer:
             params=self.params, opt_state=opt_state, ema_params=ema_params
         )
         self.state = self._place_state(self.state)
+        if self.fsdp and self.is_main_process:
+            from ..parallel.fsdp import sharded_fraction
+
+            print(
+                f"FSDP: {sharded_fraction(self.state.params):.0%} of "
+                f"parameter elements sharded over "
+                f"{self.mesh.shape[pmesh.DATA_AXIS]} devices"
+            )
 
         self.best_loss = float("inf")
         self.start_epoch = 1
@@ -313,8 +334,8 @@ class DiffusionTrainer:
         self.profile_dir = cfg.get("profile_dir")
 
     def _place_state(self, state: "TrainState") -> "TrainState":
-        """Replicate (DP), Megatron-shard (DP x TP), or stage-shard
-        (DP x PP) the train state."""
+        """Replicate (DP), Megatron-shard (DP x TP), stage-shard (DP x PP)
+        or ZeRO-shard (FSDP) the train state."""
         if self.tp > 1:
             from ..parallel.tensor_parallel import shard_state_for_tp
 
@@ -323,6 +344,13 @@ class DiffusionTrainer:
             from ..parallel.pipeline_parallel import shard_state_for_pp
 
             return shard_state_for_pp(self.mesh, state)
+        if self.fsdp:
+            from ..parallel import fsdp as fsdp_lib
+
+            kw = {}
+            if self.fsdp_min_size is not None:
+                kw["min_size"] = int(self.fsdp_min_size)
+            return fsdp_lib.shard_state_for_fsdp(self.mesh, state, **kw)
         return pmesh.replicate(self.mesh, state)
 
     # ---------------------------------------------------------------- step
@@ -428,6 +456,22 @@ class DiffusionTrainer:
                 loss,
             )
 
+        if self.fsdp:
+            # Pin the updated state to the input layout: without explicit
+            # out_shardings XLA may choose replicated outputs, which both
+            # defeats the memory saving and breaks the donation match.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            state_sh = jax.tree_util.tree_map(
+                lambda x: x.sharding, self.state
+            )
+            return jax.jit(
+                train_step,
+                donate_argnums=(0,),
+                out_shardings=(
+                    state_sh, NamedSharding(self.mesh, PartitionSpec())
+                ),
+            )
         return jax.jit(train_step, donate_argnums=(0,))
 
     # --------------------------------------------------------------- epoch
