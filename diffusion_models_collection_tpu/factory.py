@@ -189,6 +189,32 @@ def eval_model_fn(model, params):
     return jax.tree_util.Partial(fn)
 
 
+def dp_sampling_sharding(batch_size: int):
+    """Batch sharding for data-parallel CLI sampling, or None.
+
+    The reference's sample/evaluate CLIs are single-GPU
+    (sample.py:129-210); here, when several devices are visible to one
+    process (a pod-slice host), the per-batch work shards over a 'data'
+    mesh instead of running replicated — the whole jitted trajectory
+    becomes an SPMD program via input shardings alone. Returns None when
+    it doesn't apply (one device, multi-process, or indivisible batch).
+    """
+    ndev = jax.device_count()
+    if jax.process_count() != 1 or ndev <= 1 or batch_size % ndev:
+        return None
+    return pmesh.batch_sharding(pmesh.data_parallel_mesh())
+
+
+def sharded_init_noise(rng, shape, sharding):
+    """The exact noise the sampler's `_initial_image` would draw (same
+    key split), placed sharded — with JAX's partitionable threefry the
+    per-step in-scan noise is sharding-invariant, so DP trajectories are
+    identical to single-device ones."""
+    init_rng = jax.random.split(rng)[1]
+    noise = jax.random.normal(init_rng, tuple(shape), jnp.float32)
+    return jax.device_put(noise, sharding)
+
+
 def load_model_for_inference(checkpoint: dict, config: dict, use_ema: bool):
     """Rebuild model + params from a checkpoint payload (parity:
     sample.py:116-126: --use_ema picks the EMA weights when present)."""

@@ -26,10 +26,12 @@ apply_platform_env()
 
 from diffusion_models_collection_tpu.datasets import DataLoader
 from diffusion_models_collection_tpu.factory import (
+    dp_sampling_sharding,
     eval_model_fn,
     get_dataset,
     get_diffusion,
     load_model_for_inference,
+    sharded_init_noise,
 )
 from diffusion_models_collection_tpu.metrics import calculate_all_metrics
 from diffusion_models_collection_tpu.utils.checkpoint import load_checkpoint
@@ -131,6 +133,12 @@ def main():
     shape = (args.batch_size, h, w, in_ch)  # one compiled shape
     num_batches = (args.num_samples + args.batch_size - 1) // args.batch_size
 
+    # Multi-device host: shard each generation batch over a 'data' mesh
+    # (beyond the single-GPU reference evaluate.py) — same trajectories.
+    dp_sharding = dp_sampling_sharding(args.batch_size)
+    if dp_sharding is not None:
+        print(f"Generating data-parallel over {jax.device_count()} devices")
+
     fake_images = []
     for i in range(num_batches):
         start = i * args.batch_size
@@ -147,15 +155,23 @@ def main():
         else:
             batch_labels = None
 
+        init_noise = None
+        if dp_sharding is not None:
+            init_noise = sharded_init_noise(batch_rng, shape, dp_sharding)
+            if batch_labels is not None:
+                batch_labels = jax.device_put(batch_labels, dp_sharding)
+
         print(f"Generating batch {i + 1}/{num_batches}...")
         if args.cfg_scale > 0 and conditional:
             samples = diffusion.sample_with_cfg(
                 model_fn, shape, batch_labels, batch_rng,
-                cfg_scale=args.cfg_scale, progress=True,
+                cfg_scale=args.cfg_scale, init_noise=init_noise,
+                progress=True,
             )
         else:
             samples = diffusion.sample(
-                model_fn, shape, batch_rng, y=batch_labels, progress=True
+                model_fn, shape, batch_rng, y=batch_labels,
+                init_noise=init_noise, progress=True,
             )
         samples = np.asarray(samples)[: end - start]
         fake_images.append((samples + 1) / 2)

@@ -24,9 +24,11 @@ from diffusion_models_collection_tpu.platform_setup import apply_platform_env
 apply_platform_env()
 
 from diffusion_models_collection_tpu.factory import (
+    dp_sampling_sharding,
     eval_model_fn,
     get_diffusion,
     load_model_for_inference,
+    sharded_init_noise,
 )
 from diffusion_models_collection_tpu.utils.checkpoint import load_checkpoint
 from diffusion_models_collection_tpu.utils.helpers import (
@@ -149,6 +151,14 @@ def main():
     in_ch = config["model_params"]["in_channels"]
     shape = (args.batch_size, h, w, in_ch)  # ONE compiled shape for all batches
 
+    # On a multi-device host, shard each batch over a 'data' mesh — the
+    # jitted trajectory becomes an SPMD program (beyond the single-GPU
+    # reference sample.py); trajectories identical to single-device runs.
+    dp_sharding = dp_sampling_sharding(args.batch_size)
+    if dp_sharding is not None:
+        print(f"Sampling data-parallel over {jax.device_count()} devices "
+              f"({args.batch_size // jax.device_count()} samples/device)")
+
     num_batches = (args.num_samples + args.batch_size - 1) // args.batch_size
     all_samples, all_intermediates = [], []
     for i in range(num_batches):
@@ -168,19 +178,26 @@ def main():
         else:
             batch_labels = None
 
+        init_noise = None
+        if dp_sharding is not None:
+            init_noise = sharded_init_noise(batch_rng, shape, dp_sharding)
+            if batch_labels is not None:
+                batch_labels = jax.device_put(batch_labels, dp_sharding)
+
         if args.cfg_scale > 0 and conditional:
             print(f"Sampling batch {i + 1}/{num_batches} with CFG scale "
                   f"{args.cfg_scale}...")
             samples = diffusion.sample_with_cfg(
                 model_fn, shape, batch_labels, batch_rng,
                 cfg_scale=args.cfg_scale, return_all_timesteps=return_all,
-                progress=True,
+                init_noise=init_noise, progress=True,
             )
         else:
             print(f"Sampling batch {i + 1}/{num_batches}...")
             samples = diffusion.sample(
                 model_fn, shape, batch_rng, y=batch_labels,
-                return_all_timesteps=return_all, progress=True,
+                return_all_timesteps=return_all, init_noise=init_noise,
+                progress=True,
             )
 
         samples = np.asarray(samples)

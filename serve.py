@@ -40,9 +40,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from diffusion_models_collection_tpu.factory import (
+    dp_sampling_sharding,
     eval_model_fn,
     get_diffusion,
     load_model_for_inference,
+    sharded_init_noise,
 )
 from diffusion_models_collection_tpu.utils.checkpoint import load_checkpoint
 from diffusion_models_collection_tpu.utils.helpers import (
@@ -108,6 +110,13 @@ class SamplerService:
         h, w = self.image_hw
         shape = (self.batch_size, h, w, self.channels)
         rng = jax.random.PRNGKey(int(seed))
+        # multi-device host: shard the fixed serving batch over a 'data'
+        # mesh (same trajectories; see factory.dp_sampling_sharding)
+        dp_sharding = dp_sampling_sharding(self.batch_size)
+        init_noise = (
+            sharded_init_noise(rng, shape, dp_sharding)
+            if dp_sharding is not None else None
+        )
 
         if self.conditional:
             if labels is None:
@@ -126,12 +135,16 @@ class SamplerService:
                 )
             y = np.zeros((self.batch_size,), np.int32)
             y[:num_samples] = np.asarray(labels) + 1  # +1 shift, 0 = null
+            y = jnp.asarray(y)
+            if dp_sharding is not None:
+                y = jax.device_put(y, dp_sharding)
             with self._lock:
                 out = self.diffusion.sample_with_cfg(
-                    self._model_fn, shape, jnp.asarray(y), rng,
+                    self._model_fn, shape, y, rng,
                     cfg_scale=float(
                         self.default_cfg if cfg_scale is None else cfg_scale
                     ),
+                    init_noise=init_noise,
                 )
                 # materialize INSIDE the lock: dispatch is async, so the
                 # device is still running until this host transfer completes
@@ -143,7 +156,8 @@ class SamplerService:
                     "not supported"
                 )
             with self._lock:
-                out = self.diffusion.sample(self._model_fn, shape, rng)
+                out = self.diffusion.sample(self._model_fn, shape, rng,
+                                            init_noise=init_noise)
                 out = np.asarray(out[:num_samples])
         return np.clip((out + 1.0) / 2.0, 0.0, 1.0).astype(np.float32)
 
