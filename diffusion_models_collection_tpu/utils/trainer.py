@@ -585,6 +585,24 @@ class DiffusionTrainer:
                 epoch, num_samples, shape, nrow, model_fn, sample_rng
             )
 
+    def _dp_sampling_inputs(self, shape, sample_rng, labels):
+        """Shard in-training sampling over the 'data' axis when the state
+        layout is replicated-or-FSDP (TP/PP/SP own their layouts) and the
+        batch divides — otherwise every device computes the full grid
+        redundantly. Single-process only (multi-host sampling stays
+        replicated so rank 0 can materialize the grid)."""
+        if self.tp > 1 or self.pp > 1 or self.sp > 1:
+            return None, labels
+        from ..factory import dp_sampling_sharding, sharded_init_noise
+
+        sharding = dp_sampling_sharding(shape[0])
+        if sharding is None:
+            return None, labels
+        noise = sharded_init_noise(sample_rng, shape, sharding)
+        if labels is not None:
+            labels = jax.device_put(labels, sharding)
+        return noise, labels
+
     def _sample_images_inner(self, epoch, num_samples, shape, nrow, model_fn,
                              sample_rng):
         if self.conditional and self.num_classes:
@@ -595,11 +613,17 @@ class DiffusionTrainer:
             )
             if self.is_main_process:
                 print(f"Sampling with labels: {np.asarray(labels)}")
+            init_noise, labels = self._dp_sampling_inputs(
+                shape, sample_rng, labels
+            )
             samples = self.diffusion.sample_with_cfg(
-                model_fn, shape, labels, sample_rng, cfg_scale=self.cfg_scale
+                model_fn, shape, labels, sample_rng,
+                cfg_scale=self.cfg_scale, init_noise=init_noise,
             )
         else:
-            samples = self.diffusion.sample(model_fn, shape, sample_rng)
+            init_noise, _ = self._dp_sampling_inputs(shape, sample_rng, None)
+            samples = self.diffusion.sample(model_fn, shape, sample_rng,
+                                            init_noise=init_noise)
 
         samples = np.clip((np.asarray(samples) + 1) / 2, 0, 1)
         if self.is_main_process:

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
 
-from diffusion_models_collection_tpu.models import DiM, DiT
+from diffusion_models_collection_tpu.models import DiM, DiT, UNet
 from diffusion_models_collection_tpu.parallel import (
     fsdp_spec,
     sharded_fraction,
@@ -44,7 +44,11 @@ def _dit():
     _dit,
     lambda: DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
                 depth=2, state_size=4, num_classes=10, dropout=0.0),
-], ids=["dit", "dim"])
+    lambda: UNet(image_size=SIZE, in_channels=3, model_channels=32,
+                 out_channels=3, num_res_blocks=1,
+                 attention_resolutions=(4,), channel_mult=(1, 2),
+                 num_classes=10, dropout=0.0),
+], ids=["dit", "dim", "unet"])
 def test_fsdp_matches_data_parallel(tmp_path, model_ctor):
     """fsdp: true trains on the 8-device mesh with sharded state and
     reproduces the plain-DP trainer's losses exactly (dropout off,
