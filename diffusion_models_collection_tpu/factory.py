@@ -199,10 +199,7 @@ def dp_sampling_sharding(batch_size: int):
     becomes an SPMD program via input shardings alone. Returns None when
     it doesn't apply (one device, multi-process, or indivisible batch).
     """
-    ndev = jax.device_count()
-    if jax.process_count() != 1 or ndev <= 1 or batch_size % ndev:
-        return None
-    return pmesh.batch_sharding(pmesh.data_parallel_mesh())
+    return pmesh.dp_batch_sharding(batch_size)
 
 
 def sharded_init_noise(rng, shape, sharding):

@@ -295,5 +295,14 @@ class InceptionFeatures:
         self._run = _run
 
     def __call__(self, images01: jnp.ndarray):
-        """images01: (B, H, W, C) in [0, 1] -> (features_2048, logits_1000)."""
+        """images01: (B, H, W, C) in [0, 1] -> (features_2048, logits_1000).
+
+        On a multi-device host the batch shards over a 'data' mesh (the
+        jit propagates it — per-image features are identical either way),
+        so 10k-image FID extraction scales with the pod slice."""
+        from ..parallel import mesh as pmesh
+
+        sharding = pmesh.dp_batch_sharding(len(images01))
+        if sharding is not None:
+            images01 = jax.device_put(jnp.asarray(images01), sharding)
         return self._run(self.params, images01)

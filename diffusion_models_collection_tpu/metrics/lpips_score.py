@@ -194,9 +194,16 @@ class LPIPSScore:
         assert len(images1) == len(images2), "Number of images must match"
         n = len(images1)
         dists = []
+        from ..parallel import mesh as pmesh
+
         for start in range(0, n, batch_size):
             b1 = jnp.asarray(images1[start : start + batch_size]) * 2 - 1
             b2 = jnp.asarray(images2[start : start + batch_size]) * 2 - 1
+            # multi-device host: shard the pair batch over a 'data' mesh
+            sharding = pmesh.dp_batch_sharding(len(b1))
+            if sharding is not None:
+                b1 = jax.device_put(b1, sharding)
+                b2 = jax.device_put(b2, sharding)
             dists.append(np.asarray(self._distance(self.params, self.lins, b1, b2)))
         return float(np.mean(np.concatenate(dists)))
 

@@ -58,6 +58,18 @@ def replicate(mesh: Mesh, tree):
     )
 
 
+def dp_batch_sharding(batch_size: int) -> Optional[NamedSharding]:
+    """Batch sharding over all visible devices for single-process tools
+    (CLI sampling, metric feature extraction), or None when it doesn't
+    apply (one device, multi-process, or indivisible batch). Placing a
+    batch with this sharding turns any jitted per-batch computation into
+    an SPMD program via input shardings alone."""
+    ndev = jax.device_count()
+    if jax.process_count() != 1 or ndev <= 1 or batch_size % ndev:
+        return None
+    return batch_sharding(data_parallel_mesh())
+
+
 def process_index() -> int:
     """This host's rank (replaces rank==0 gating, trainer.py:54)."""
     return jax.process_index()

@@ -116,6 +116,35 @@ def test_inception_v3_shapes():
     assert logits.shape == (1, 1000)
 
 
+def test_dp_sharded_feature_extraction_matches_unsharded():
+    """On the 8-device mesh a divisible batch shards over 'data' inside
+    InceptionFeatures.__call__ / compute_lpips; per-image results are
+    identical to the unsharded (indivisible-batch) path."""
+    from diffusion_models_collection_tpu.metrics.inception import (
+        InceptionFeatures,
+    )
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((8, 32, 32, 3)).astype(np.float32)
+
+    inception = InceptionFeatures()
+    feats8, logits8 = inception(jnp.asarray(imgs))  # batch 8: sharded
+    assert not feats8.sharding.is_fully_replicated  # the DP path fired
+    f4a, l4a = inception(jnp.asarray(imgs[:4]))  # batch 4: unsharded
+    f4b, l4b = inception(jnp.asarray(imgs[4:]))
+    np.testing.assert_allclose(np.asarray(feats8),
+                               np.concatenate([f4a, f4b]), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logits8),
+                               np.concatenate([l4a, l4b]), rtol=2e-5,
+                               atol=2e-5)
+
+    lp = LPIPSScore()
+    d_sharded = lp.compute_lpips(imgs, imgs[::-1], batch_size=8)
+    d_unsharded = lp.compute_lpips(imgs, imgs[::-1], batch_size=4)
+    assert d_sharded == pytest.approx(d_unsharded, rel=2e-5)
+
+
 def test_newton_schulz_trace_sqrtm_matches_scipy():
     """On-device trace(sqrtm) vs scipy for an SPD product matrix."""
     from scipy import linalg
