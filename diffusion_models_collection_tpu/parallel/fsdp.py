@@ -62,6 +62,28 @@ def fsdp_spec(shape, n_shards: int, min_size: int = DEFAULT_MIN_SIZE,
     return P(*spec)
 
 
+def extend_spec_with_data(shape, spec: P, n_shards: int,
+                          min_size: int = DEFAULT_MIN_SIZE,
+                          axis_name: str = DATA_AXIS) -> P:
+    """Hybrid ZeRO x model-parallel: add `axis_name` sharding to the
+    largest still-unsharded dimension of an existing PartitionSpec (e.g.
+    a Megatron TP spec), so state memory also divides by the DP degree.
+    Returns `spec` unchanged when no dimension qualifies."""
+    if n_shards <= 1 or not shape or int(np.prod(shape)) < min_size:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best = None
+    for dim, extent in enumerate(shape):
+        if entries[dim] is None and extent % n_shards == 0 \
+                and extent >= n_shards:
+            if best is None or extent >= shape[best]:
+                best = dim
+    if best is None:
+        return spec
+    entries[best] = axis_name
+    return P(*entries)
+
+
 def fsdp_shardings(mesh: Mesh, tree,
                    min_size: int = DEFAULT_MIN_SIZE):
     """A pytree of NamedShardings mirroring `tree` (shape-based rule)."""
@@ -81,6 +103,33 @@ def shard_state_for_fsdp(mesh: Mesh, state,
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), state, shardings
     )
+
+
+def place_opt_state_like_params(opt_state, params, param_shardings,
+                                replicated: NamedSharding):
+    """Place an optax state tree: subtrees whose structure equals the
+    param tree's (Adam mu/nu, weight-decay masks, ...) inherit the param
+    shardings leaf-for-leaf; every other leaf (step counts, scalars)
+    replicates. This is how moment memory joins the ZeRO sharding without
+    any per-optimizer bookkeeping."""
+    params_struct = jax.tree_util.tree_structure(params)
+
+    def is_params_like(node):
+        try:
+            return jax.tree_util.tree_structure(node) == params_struct
+        except Exception:
+            return False
+
+    def place(node):
+        if is_params_like(node):
+            return jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, s), node, param_shardings
+            )
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, replicated), node
+        )
+
+    return jax.tree_util.tree_map(place, opt_state, is_leaf=is_params_like)
 
 
 def sharded_fraction(tree) -> float:

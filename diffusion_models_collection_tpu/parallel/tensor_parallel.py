@@ -77,16 +77,34 @@ def _spec_for_path(path_keys, leaf) -> P:
     return P()
 
 
-def shard_model_params(mesh: Mesh, params):
+def tp_shardings(mesh: Mesh, params, zero: bool = False,
+                 zero_min_size: int = None):
+    """NamedSharding pytree for a DiT/DiM param tree: Megatron TP specs,
+    optionally extended with 'data'-axis ZeRO sharding on the largest
+    still-free dimension of each leaf (hybrid FSDP x TP — parallel/fsdp.py)."""
+    from .fsdp import DEFAULT_MIN_SIZE, extend_spec_with_data
+
+    min_size = DEFAULT_MIN_SIZE if zero_min_size is None else zero_min_size
+    dp = mesh.shape[DATA_AXIS]
+
+    def one(path, leaf):
+        spec = _spec_for_path(path, leaf)
+        if zero:
+            spec = extend_spec_with_data(leaf.shape, spec, dp, min_size)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_model_params(mesh: Mesh, params, zero: bool = False,
+                       zero_min_size: int = None):
     """Place a DiT/DiM param pytree on the mesh with Megatron TP
     shardings (UNet params simply land replicated — its conv backbone is
     DP-scaled; see docs/benchmarks.md)."""
-
-    def place(path, leaf):
-        spec = _spec_for_path(path, leaf)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-
-    return jax.tree_util.tree_map_with_path(place, params)
+    shardings = tp_shardings(mesh, params, zero, zero_min_size)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, shardings
+    )
 
 
 # Back-compat name (the rules are shared).
@@ -94,22 +112,37 @@ shard_dit_params = shard_model_params
 shard_dim_params = shard_model_params
 
 
-def shard_state_for_tp(mesh: Mesh, state):
+def shard_state_for_tp(mesh: Mesh, state, zero: bool = False,
+                       zero_min_size: int = None):
     """Shard a TrainState's params/EMA with the Megatron TP rules.
 
-    Optimizer moments are left for jit to lay out: inside the train step
-    gradients carry the param shardings, so XLA keeps Adam's mu/nu
-    co-sharded with their params without explicit placement here.
+    `zero=True` (hybrid FSDP x TP) additionally shards each leaf's
+    largest TP-free dimension over 'data', including the Adam moments
+    (placed leaf-for-leaf like their params), so state memory divides by
+    dp x tp. Without it, optimizer moments are left for jit to lay out:
+    inside the train step gradients carry the param shardings, so XLA
+    keeps Adam's mu/nu co-sharded with their params without explicit
+    placement here.
     """
     from ..utils.trainer import TrainState
 
-    params = shard_model_params(mesh, state.params)
+    params = shard_model_params(mesh, state.params, zero, zero_min_size)
     ema = (
-        shard_model_params(mesh, state.ema_params)
+        shard_model_params(mesh, state.ema_params, zero, zero_min_size)
         if state.ema_params is not None
         else None
     )
-    opt_state = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), state.opt_state
-    )
+    if zero:
+        from .fsdp import place_opt_state_like_params
+
+        opt_state = place_opt_state_like_params(
+            state.opt_state, state.params,
+            tp_shardings(mesh, state.params, zero, zero_min_size),
+            NamedSharding(mesh, P()),
+        )
+    else:
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P())),
+            state.opt_state,
+        )
     return TrainState(params=params, opt_state=opt_state, ema_params=ema)

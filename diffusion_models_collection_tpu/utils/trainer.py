@@ -155,14 +155,16 @@ class DiffusionTrainer:
         # FSDP / ZeRO (extension): `fsdp: true` stores params, Adam
         # moments and EMA sharded over the 'data' axis (parallel/fsdp.py)
         # — XLA all-gathers weights before use and reduce-scatters grads,
-        # cutting per-device state memory by the DP degree. Orthogonal to
-        # the model-sharding strategies above, which own their layouts.
+        # cutting per-device state memory by the DP degree. Composes with
+        # tensor_parallel (hybrid ZeRO x Megatron: each leaf's largest
+        # TP-free dim shards over 'data' on top of its TP spec); PP/SP
+        # own their layouts via shard_map in_specs and stay exclusive.
         self.fsdp = bool(cfg.get("fsdp", False))
-        if self.fsdp and (self.tp > 1 or self.pp > 1 or self.sp > 1):
+        if self.fsdp and (self.pp > 1 or self.sp > 1):
             raise ValueError(
-                "fsdp cannot be combined with tensor_parallel, "
-                "pipeline_parallel or sequence_parallel (those strategies "
-                "define their own parameter layouts)"
+                "fsdp cannot be combined with pipeline_parallel or "
+                "sequence_parallel (those strategies define their own "
+                "parameter layouts); fsdp + tensor_parallel is supported"
             )
         self.fsdp_min_size = cfg.get("fsdp_min_size")
         if self.pp > 1:
@@ -339,7 +341,10 @@ class DiffusionTrainer:
         if self.tp > 1:
             from ..parallel.tensor_parallel import shard_state_for_tp
 
-            return shard_state_for_tp(self.mesh, state)
+            kw = {}
+            if self.fsdp_min_size is not None:
+                kw["zero_min_size"] = int(self.fsdp_min_size)
+            return shard_state_for_tp(self.mesh, state, zero=self.fsdp, **kw)
         if self.pp > 1:
             from ..parallel.pipeline_parallel import shard_state_for_pp
 

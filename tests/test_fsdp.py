@@ -109,6 +109,48 @@ def test_fsdp_checkpoint_interchange(tmp_path):
 
 def test_fsdp_rejects_model_sharding_combos(tmp_path):
     model = _dit()
-    for key in ("tensor_parallel", "pipeline_parallel", "sequence_parallel"):
+    for key in ("pipeline_parallel", "sequence_parallel"):
         with pytest.raises(ValueError, match="fsdp cannot be combined"):
             make_trainer(tmp_path, model, fsdp=True, **{key: 2})
+
+
+def test_hybrid_fsdp_tensor_parallel_matches_dp(tmp_path):
+    """`fsdp: true` + `tensor_parallel: 2` (hybrid ZeRO x Megatron): the
+    QKV kernel shards over BOTH mesh axes ('data' on its TP-free input
+    dim, 'model' on its output dim), Adam moments follow their params,
+    and losses still match the plain-DP trainer exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    common = dict(dropout_rng_impl="threefry", sample_interval=1,
+                  sample_start_epoch=1)
+    hy_tr = make_trainer(tmp_path / "hybrid", _dit(), fsdp=True,
+                         fsdp_min_size=512, tensor_parallel=2, **common)
+    assert hy_tr.mesh.axis_names == ("data", "model")
+    assert hy_tr.mesh.devices.shape == (4, 2)
+    qkv = hy_tr.state.params["DiTBlock_0"]["SelfAttention_0"]["Dense_0"][
+        "kernel"]
+    assert qkv.sharding.spec == P("data", "model"), qkv.sharding.spec
+    # Adam mu/nu for the same leaf carry the same hybrid sharding
+    params_struct = jax.tree_util.tree_structure(hy_tr.state.params)
+    mu_like = [
+        n for n in jax.tree_util.tree_leaves(
+            hy_tr.state.opt_state,
+            is_leaf=lambda n: jax.tree_util.tree_structure(n)
+            == params_struct,
+        )
+        if jax.tree_util.tree_structure(n) == params_struct
+        and not isinstance(n, jax.Array)
+    ]
+    assert mu_like, "no params-structured subtree found in opt_state"
+    mu_leaf = mu_like[0]["DiTBlock_0"]["SelfAttention_0"]["Dense_0"]["kernel"]
+    assert mu_leaf.sharding.spec == P("data", "model")
+
+    hy_losses = [hy_tr.train_epoch(e) for e in (1, 2, 3)]
+
+    dp_tr = make_trainer(tmp_path / "dp", _dit(), **common)
+    dp_losses = [dp_tr.train_epoch(e) for e in (1, 2, 3)]
+    assert all(math.isfinite(l) for l in hy_losses)
+    np.testing.assert_allclose(hy_losses, dp_losses, rtol=2e-5)
+
+    samples = hy_tr.sample_images(epoch=1, num_samples=8)
+    assert samples.shape == (8, SIZE[0], SIZE[1], 3)
