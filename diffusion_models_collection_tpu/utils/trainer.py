@@ -554,6 +554,19 @@ class DiffusionTrainer:
             self.state.ema_params is not None
         ):
             params = self.state.ema_params
+        if jax.process_count() > 1 and any(
+            self._needs_collective_gather(l)
+            for l in jax.tree_util.tree_leaves(params)
+        ):
+            # multihost FSDP: sampler scans embed params as jit-closure
+            # constants, which cannot span processes — replicate first
+            # (collective; every process runs sample_images).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            params = jax.jit(
+                lambda t: t,
+                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+            )(params)
 
         if self._pp_apply is not None:
             pp_apply = self._pp_apply
@@ -638,12 +651,62 @@ class DiffusionTrainer:
         return samples
 
     # ---------------------------------------------------------- checkpoints
+    @staticmethod
+    def _needs_collective_gather(leaf) -> bool:
+        """True when this host's addressable shards do NOT cover the
+        array (e.g. FSDP's 'data' axis spans processes), so materializing
+        it requires a cross-host collective. Intra-process sharding with
+        cross-process replication (multihost TP) is coverable and returns
+        False."""
+        if not isinstance(leaf, jax.Array):
+            return False
+        if leaf.is_fully_addressable or leaf.is_fully_replicated:
+            return False
+
+        def key(idx):
+            return tuple((s.start, s.stop) for s in idx)
+
+        idx_map = leaf.sharding.devices_indices_map(leaf.shape)
+        covered = {
+            key(idx_map[d]) for d in leaf.sharding.addressable_devices
+        }
+        return not {key(i) for i in idx_map.values()} <= covered
+
+    def _gather_for_save(self):
+        """(params, opt_state, ema) materializable on this host. Runs
+        BEFORE the rank-0 save gate: when state shards span processes,
+        EVERY process participates in the replicating reshard (a jitted
+        identity with replicated out_shardings — XLA's all-gather over
+        DCN/ICI); single-process or host-coverable state passes through
+        untouched."""
+        trees = (self.state.params, self.state.opt_state,
+                 self.state.ema_params)
+        if jax.process_count() == 1:
+            return trees
+
+        def needs(tree):
+            return tree is not None and any(
+                self._needs_collective_gather(l)
+                for l in jax.tree_util.tree_leaves(tree)
+            )
+
+        if not any(needs(t) for t in trees):
+            return trees
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicate = jax.jit(
+            lambda t: t,
+            out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+        )
+        return tuple(
+            replicate(t) if needs(t) else t for t in trees
+        )
+
     def save_checkpoint(self, epoch: int, is_best: bool = False):
         """Parity: trainer.py:328-365 (current/best/periodic files)."""
+        params, opt_state, ema = self._gather_for_save()
         if not self.is_main_process:
             return
-
-        params, ema = self.state.params, self.state.ema_params
         if self.pp > 1:
             # checkpoints always use the standard layout — PP and non-PP
             # runs load each other's files
@@ -658,7 +721,7 @@ class DiffusionTrainer:
                 path,
                 epoch=epoch,
                 params=params,
-                opt_state=self.state.opt_state,
+                opt_state=opt_state,
                 best_loss=self.best_loss,
                 config=self.config,
                 ema_params=ema,

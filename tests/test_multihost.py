@@ -87,6 +87,15 @@ WORKER = textwrap.dedent(
         # each process's local devices together)
         assert trainer.mesh.axis_names == ("data", "model")
         assert trainer.mesh.devices.shape == (2, 2)
+    if config.get("fsdp"):
+        from diffusion_models_collection_tpu.parallel import sharded_fraction
+        assert sharded_fraction(trainer.state.params) > 0.5
+        # ZeRO shards span BOTH hosts -> checkpointing must gather
+        # collectively (trainer._gather_for_save before the rank-0 gate)
+        assert any(
+            trainer._needs_collective_gather(l)
+            for l in jax.tree_util.tree_leaves(trainer.state.params)
+        )
     trainer.train()  # full loop: train epoch + checkpoint + sampling
 
     with open(os.path.join(out_dir, f"rank{pid}.json"), "w") as f:
@@ -142,6 +151,50 @@ def test_two_process_training(tmp_path):
     # rank-0-only artifacts
     assert (tmp_path / "ckpt" / "current_model.ckpt").exists()
     assert (tmp_path / "samples" / "epoch_0001.png").exists()
+
+
+def test_two_process_fsdp(tmp_path):
+    """FSDP across a REAL 2-process cluster: the ZeRO 'data' axis spans
+    both hosts, so no single rank can materialize the state — the
+    checkpoint path's collective gather (every process participates
+    before the rank-0 write gate) must produce a standard-layout file
+    that loads anywhere."""
+    overrides = {
+        "model_type": "dit",
+        "model_params": {"in_channels": 3, "patch_size": 4,
+                         "hidden_size": 32, "depth": 2, "num_heads": 4},
+        "fsdp": True,
+        "fsdp_min_size": 512,
+    }
+    procs = _run_cluster(tmp_path, overrides)
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"rank failed:\n{out[-3000:]}"
+    r0 = json.loads((tmp_path / "rank0.json").read_text())
+    r1 = json.loads((tmp_path / "rank1.json").read_text())
+    assert r0["best_loss"] == pytest.approx(r1["best_loss"], rel=1e-6)
+    # the gathered checkpoint is standard-layout and loads in-process
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        load_checkpoint,
+    )
+
+    payload = load_checkpoint(tmp_path / "ckpt" / "current_model.ckpt")
+    params = payload["model_state_dict"]
+    assert "DiTBlock_0" in params
+    import numpy as np
+
+    qkv = np.asarray(
+        params["DiTBlock_0"]["SelfAttention_0"]["Dense_0"]["kernel"]
+    )
+    assert qkv.shape == (32, 96) and np.isfinite(qkv).all()
 
 
 def test_two_process_tensor_parallel(tmp_path):
