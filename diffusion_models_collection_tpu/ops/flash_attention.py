@@ -218,6 +218,11 @@ def flash_attention(
     meet kernel constraints (caller falls back to the XLA path). Safe
     under jax.grad — the backward is the Pallas flash backward."""
     batch, heads, seq_len, head_dim = q.shape
+    if k.shape[2] != seq_len:
+        # cross-length attention (sequence parallelism gathers K/V to the
+        # full length while Q stays local) — the kernel assumes square
+        # L x L scores; let the XLA path handle it
+        return None
     if not supported(seq_len, head_dim):
         return None
     qf = q.reshape(batch * heads, seq_len, head_dim)

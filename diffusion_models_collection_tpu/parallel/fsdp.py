@@ -46,20 +46,11 @@ def fsdp_spec(shape, n_shards: int, min_size: int = DEFAULT_MIN_SIZE,
     by `n_shards`; replicate scalars, small leaves and indivisible shapes.
 
     Ties break toward the LAST dimension (features/lanes — keeps the
-    sublane-major dims intact for the TPU tiled layout).
+    sublane-major dims intact for the TPU tiled layout). This is the
+    empty-spec case of `extend_spec_with_data` (one rule, two entry
+    points — hybrid FSDP x TP extends a Megatron spec the same way).
     """
-    if n_shards <= 1 or not shape or int(np.prod(shape)) < min_size:
-        return P()
-    best = None
-    for dim, extent in enumerate(shape):
-        if extent % n_shards == 0 and extent >= n_shards:
-            if best is None or extent >= shape[best]:
-                best = dim
-    if best is None:
-        return P()
-    spec = [None] * len(shape)
-    spec[best] = axis_name
-    return P(*spec)
+    return extend_spec_with_data(shape, P(), n_shards, min_size, axis_name)
 
 
 def extend_spec_with_data(shape, spec: P, n_shards: int,
@@ -132,17 +123,24 @@ def place_opt_state_like_params(opt_state, params, param_shardings,
     return jax.tree_util.tree_map(place, opt_state, is_leaf=is_params_like)
 
 
-def sharded_fraction(tree) -> float:
+def sharded_fraction(tree, axis: Optional[str] = None) -> float:
     """Fraction of `tree`'s elements living on sharded (non-replicated)
-    arrays — diagnostics for tests/logs."""
+    arrays — diagnostics for tests/logs. With `axis` set, counts only
+    leaves sharded over THAT mesh axis (e.g. axis='data' reports true
+    ZeRO coverage in a hybrid FSDP x TP run, where 'model'-only leaves
+    would otherwise inflate the number)."""
     total = 0
     sharded = 0
     for leaf in jax.tree_util.tree_leaves(tree):
         n = int(np.prod(getattr(leaf, "shape", ()) or (1,)))
         total += n
         sharding = getattr(leaf, "sharding", None)
-        if isinstance(sharding, NamedSharding) and any(
-            s is not None for s in sharding.spec
-        ):
+        if not isinstance(sharding, NamedSharding):
+            continue
+        names = {
+            s for entry in sharding.spec if entry is not None
+            for s in (entry if isinstance(entry, tuple) else (entry,))
+        }
+        if (axis in names) if axis is not None else bool(names):
             sharded += n
     return sharded / total if total else 0.0

@@ -58,16 +58,23 @@ def replicate(mesh: Mesh, tree):
     )
 
 
+_DP_SHARDING_CACHE: dict = {}
+
+
 def dp_batch_sharding(batch_size: int) -> Optional[NamedSharding]:
     """Batch sharding over all visible devices for single-process tools
     (CLI sampling, metric feature extraction), or None when it doesn't
     apply (one device, multi-process, or indivisible batch). Placing a
     batch with this sharding turns any jitted per-batch computation into
-    an SPMD program via input shardings alone."""
+    an SPMD program via input shardings alone. Cached — callers sit in
+    per-batch loops (metrics run this thousands of times per eval)."""
     ndev = jax.device_count()
     if jax.process_count() != 1 or ndev <= 1 or batch_size % ndev:
         return None
-    return batch_sharding(data_parallel_mesh())
+    key = ndev  # the device set is fixed within a process
+    if key not in _DP_SHARDING_CACHE:
+        _DP_SHARDING_CACHE[key] = batch_sharding(data_parallel_mesh())
+    return _DP_SHARDING_CACHE[key]
 
 
 def process_index() -> int:

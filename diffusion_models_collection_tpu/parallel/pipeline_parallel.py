@@ -179,7 +179,7 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]
         (x_out, _), _ = jax.lax.scan(body, (x_mb, layer0), (my_blocks,))
         return x_out
 
-    def pipe_fn(stacked, rest, x, t, y, dropout_rng, *, train):
+    def pipe_fn(stacked, rest, x, t, y, dropout_rng, *, train, use_labels):
         """Runs INSIDE shard_map: x/t/y are the LOCAL data shard; stacked
         is the LOCAL (depth/pp, ...) block stack."""
         stage = jax.lax.axis_index(STAGE_AXIS)
@@ -190,7 +190,10 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]
         tokens = patch_embed.apply({"params": rest["PatchEmbed_0"]}, x)
         tokens = tokens + rest["pos_embed"].astype(tokens.dtype)
         c = t_embed.apply({"params": rest["TimestepEmbedder_0"]}, t)
-        if y_embed is not None and y is not None:
+        # use_labels is STATIC: y=None at the call site must skip the
+        # label embedding (models/dit.py semantics) — the zeros
+        # placeholder must not inject the null-class embedding.
+        if y_embed is not None and use_labels:
             c = c + y_embed.apply({"params": rest["LabelEmbedder_0"]}, y)
 
         num_patches = tokens.shape[1]
@@ -247,13 +250,15 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]
                          model.in_channels)
         return eps.astype(jnp.float32)
 
-    # one shard_map wrapper per static train flag (specs are positional)
+    # one shard_map wrapper per static (train, use_labels) combination
     _wrappers = {}
 
-    def _get(train: bool):
-        if train not in _wrappers:
-            _wrappers[train] = shard_map(
-                functools.partial(pipe_fn, train=train),
+    def _get(train: bool, use_labels: bool):
+        key = (train, use_labels)
+        if key not in _wrappers:
+            _wrappers[key] = shard_map(
+                functools.partial(pipe_fn, train=train,
+                                  use_labels=use_labels),
                 mesh=mesh,
                 in_specs=(
                     P(STAGE_AXIS),  # stacked blocks (spec broadcasts tree)
@@ -266,13 +271,15 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]
                 out_specs=P(DATA_AXIS),
                 check_rep=False,
             )
-        return _wrappers[train]
+        return _wrappers[key]
 
     def apply_fn(stacked, rest, x, t, y, dropout_rng=None, train=False):
+        use_labels = y is not None
         if y is None:
-            y = jnp.zeros((x.shape[0],), jnp.int32)
+            y = jnp.zeros((x.shape[0],), jnp.int32)  # placeholder, unused
         if dropout_rng is None:
             dropout_rng = jax.random.PRNGKey(0)  # unused unless train
-        return _get(bool(train))(stacked, rest, x, t, y, dropout_rng)
+        return _get(bool(train), use_labels)(stacked, rest, x, t, y,
+                                             dropout_rng)
 
     return apply_fn

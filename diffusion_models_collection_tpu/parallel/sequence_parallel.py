@@ -91,7 +91,7 @@ def make_sequence_parallel_apply(model, mesh: Mesh):
         # same HBM/FLOP trade as the non-SP remat path (models/dit.py)
         _apply_block = jax.checkpoint(_apply_block, static_argnums=(4,))
 
-    def sp_fn(params, x, t, y, dropout_rng, *, train):
+    def sp_fn(params, x, t, y, dropout_rng, *, train, use_labels):
         """Runs INSIDE shard_map: x/t/y are the LOCAL data shard; params
         are replicated; this device owns tokens [idx*l_loc, (idx+1)*l_loc)."""
         idx = jax.lax.axis_index(SEQ_AXIS)
@@ -100,7 +100,11 @@ def make_sequence_parallel_apply(model, mesh: Mesh):
         tokens = patch_embed.apply({"params": params["PatchEmbed_0"]}, x)
         tokens = tokens + params["pos_embed"].astype(tokens.dtype)
         c = t_embed.apply({"params": params["TimestepEmbedder_0"]}, t)
-        if y_embed is not None and y is not None:
+        # use_labels is STATIC: y=None at the call site means "skip the
+        # label embedding entirely" (matching models/dit.py's
+        # `y is not None` check) — the zeros placeholder array that rides
+        # through shard_map must not inject the null-class embedding.
+        if y_embed is not None and use_labels:
             c = c + y_embed.apply({"params": params["LabelEmbedder_0"]}, y)
 
         tok = jax.lax.dynamic_slice_in_dim(tokens, idx * l_loc, l_loc, axis=1)
@@ -120,13 +124,15 @@ def make_sequence_parallel_apply(model, mesh: Mesh):
                          model.in_channels)
         return eps.astype(jnp.float32)
 
-    # one shard_map wrapper per static train flag (specs are positional)
+    # one shard_map wrapper per static (train, use_labels) combination
+    # (specs are positional; use_labels gates the label embedding)
     _wrappers = {}
 
-    def _get(train: bool):
-        if train not in _wrappers:
-            _wrappers[train] = shard_map(
-                functools.partial(sp_fn, train=train),
+    def _get(train: bool, use_labels: bool):
+        key = (train, use_labels)
+        if key not in _wrappers:
+            _wrappers[key] = shard_map(
+                functools.partial(sp_fn, train=train, use_labels=use_labels),
                 mesh=mesh,
                 in_specs=(
                     P(),            # params replicated
@@ -138,13 +144,14 @@ def make_sequence_parallel_apply(model, mesh: Mesh):
                 out_specs=P(DATA_AXIS),
                 check_rep=False,
             )
-        return _wrappers[train]
+        return _wrappers[key]
 
     def apply_fn(params, x, t, y, dropout_rng=None, train=False):
+        use_labels = y is not None
         if y is None:
-            y = jnp.zeros((x.shape[0],), jnp.int32)
+            y = jnp.zeros((x.shape[0],), jnp.int32)  # placeholder, unused
         if dropout_rng is None:
             dropout_rng = jax.random.PRNGKey(0)  # unused unless train
-        return _get(bool(train))(params, x, t, y, dropout_rng)
+        return _get(bool(train), use_labels)(params, x, t, y, dropout_rng)
 
     return apply_fn

@@ -239,6 +239,28 @@ class DiffusionTrainer:
             self.mesh = pmesh.data_parallel_mesh()
         self.is_main_process = pmesh.process_index() == 0
         self.world_size = self.mesh.devices.size
+        if self.pp > 1 or self.sp > 1:
+            # shard_map's in_specs P('data') needs exact divisibility —
+            # validate up front instead of crashing mid-run with a
+            # low-level sharding error (plain DP tolerates uneven batches
+            # because it uses jit, not shard_map).
+            which = "pipeline_parallel" if self.pp > 1 else \
+                "sequence_parallel"
+            dp_size = self.mesh.shape[pmesh.DATA_AXIS]
+            global_batch = (
+                getattr(train_loader, "batch_size", 0) or 0
+            ) * pmesh.process_count()
+            if global_batch and global_batch % dp_size:
+                raise ValueError(
+                    f"global batch size {global_batch} not divisible by "
+                    f"the data-axis size {dp_size} required by {which}"
+                )
+            if self.num_samples % dp_size:
+                raise ValueError(
+                    f"num_samples {self.num_samples} not divisible by the "
+                    f"data-axis size {dp_size} required by {which} "
+                    "(in-training sample grids run through shard_map)"
+                )
 
         if self.is_main_process:
             self.save_dir.mkdir(parents=True, exist_ok=True)
@@ -304,15 +326,19 @@ class DiffusionTrainer:
         if self.fsdp and self.is_main_process:
             from ..parallel.fsdp import sharded_fraction
 
+            # axis='data' so hybrid FSDPxTP runs report true ZeRO
+            # coverage, not TP's 'model'-axis sharding
             print(
-                f"FSDP: {sharded_fraction(self.state.params):.0%} of "
-                f"parameter elements sharded over "
+                f"FSDP: "
+                f"{sharded_fraction(self.state.params, pmesh.DATA_AXIS):.0%}"
+                f" of parameter elements sharded over "
                 f"{self.mesh.shape[pmesh.DATA_AXIS]} devices"
             )
 
         self.best_loss = float("inf")
         self.start_epoch = 1
         self.global_step = 0
+        self._replicate_jit = None  # lazy; see _replicator()
 
         self._train_step = self._build_train_step()
         if self.tp > 1:
@@ -560,13 +586,9 @@ class DiffusionTrainer:
         ):
             # multihost FSDP: sampler scans embed params as jit-closure
             # constants, which cannot span processes — replicate first
-            # (collective; every process runs sample_images).
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            params = jax.jit(
-                lambda t: t,
-                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
-            )(params)
+            # (collective; every process runs sample_images; the cached
+            # replicator avoids a retrace per epoch).
+            params = self._replicator()(params)
 
         if self._pp_apply is not None:
             pp_apply = self._pp_apply
@@ -672,34 +694,46 @@ class DiffusionTrainer:
         }
         return not {key(i) for i in idx_map.values()} <= covered
 
+    def _replicator(self):
+        """ONE cached jitted identity with replicated out_shardings (the
+        XLA all-gather over DCN/ICI); per-shape compiles are cached inside
+        the jit object, so repeated saves/samples don't retrace."""
+        if self._replicate_jit is None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._replicate_jit = jax.jit(
+                lambda t: t,
+                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+            )
+        return self._replicate_jit
+
     def _gather_for_save(self):
         """(params, opt_state, ema) materializable on this host. Runs
         BEFORE the rank-0 save gate: when state shards span processes,
-        EVERY process participates in the replicating reshard (a jitted
-        identity with replicated out_shardings — XLA's all-gather over
-        DCN/ICI); single-process or host-coverable state passes through
+        EVERY process participates in the replicating reshard. Gathering
+        goes leaf-at-a-time straight to host numpy, so the device-memory
+        peak is the sharded state plus ONE replicated leaf — never the
+        full replicated state (which is exactly what FSDP exists to
+        avoid). Single-process or host-coverable state passes through
         untouched."""
         trees = (self.state.params, self.state.opt_state,
                  self.state.ema_params)
         if jax.process_count() == 1:
             return trees
 
-        def needs(tree):
-            return tree is not None and any(
-                self._needs_collective_gather(l)
-                for l in jax.tree_util.tree_leaves(tree)
-            )
+        rep = None
 
-        if not any(needs(t) for t in trees):
-            return trees
-        from jax.sharding import NamedSharding, PartitionSpec
+        def gather_leaf(l):
+            nonlocal rep
+            if not self._needs_collective_gather(l):
+                return l
+            if rep is None:
+                rep = self._replicator()
+            return np.asarray(rep(l))
 
-        replicate = jax.jit(
-            lambda t: t,
-            out_shardings=NamedSharding(self.mesh, PartitionSpec()),
-        )
         return tuple(
-            replicate(t) if needs(t) else t for t in trees
+            jax.tree_util.tree_map(gather_leaf, t) if t is not None else None
+            for t in trees
         )
 
     def save_checkpoint(self, epoch: int, is_best: bool = False):

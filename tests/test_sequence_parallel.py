@@ -111,6 +111,32 @@ def test_sequence_parallel_dropout_train_runs():
     )
 
 
+def test_sequence_parallel_unconditional_matches_unsharded():
+    """y=None must SKIP the label embedding (models/dit.py semantics) —
+    the zeros placeholder that rides through shard_map must not inject
+    the null-class embedding (regression: round-2 review)."""
+    model, params, x, t, _ = _setup()
+    # adaLN-Zero final layer is zero-init → fresh params output zeros for
+    # ANY conditioning; perturb so label (non-)injection is observable
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(3), p.shape, p.dtype),
+        params)
+    ref = model.apply({"params": params}, x, t, None, train=False)
+    mesh = data_seq_mesh(2, 4)
+    apply_fn = make_sequence_parallel_apply(model, mesh)
+    pr, xs, ts = _place(mesh, params, x, t)
+    out = apply_fn(pr, xs, ts, None, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # and it genuinely differs from a REAL class (y=0 is the null row,
+    # masked to exact zero by LabelEmbedder — identical to y=None by design)
+    y1 = jnp.ones((8,), jnp.int32)
+    labeled = apply_fn(pr, xs, ts, jax.device_put(
+        y1, jax.sharding.NamedSharding(mesh, P("data"))), train=False)
+    assert not np.allclose(np.asarray(out), np.asarray(labeled))
+
+
 def test_sequence_parallel_rejects_indivisible_tokens():
     model = DiT(img_size=(6, 6), patch_size=2, in_channels=3, hidden_size=32,
                 depth=2, num_heads=4, num_classes=10)  # 9 tokens
