@@ -48,6 +48,9 @@ config = {
     # one-time parallel decode of all 200k JPEGs to a ~2.3 GB uint8 cache;
     # every epoch after that runs the fused native batch-assembly path
     'cache_decoded': True,
+    # decode 218x178 JPEGs at 1/2 DCT scale (libjpeg scaled IDCT) before
+    # the 64x64 resize — ~1.5x faster cache build; train-data only
+    'fast_jpeg_decode': True,
     'optimizer': 'adamw',
     'learning_rate': 2e-4,
     'weight_decay': 1e-4,

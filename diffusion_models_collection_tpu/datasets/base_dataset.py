@@ -213,8 +213,18 @@ class DiffusionDataset:
         return len(self.images)
 
     def raw_image(self, idx) -> np.ndarray:
-        """uint8 HWC image before transform."""
+        """uint8 HWC image before transform. JPEGs decode through the
+        native GIL-free libjpeg path (datasets/native.py) with PIL as the
+        fallback for other formats / failures."""
         if self._lazy_paths is not None:
+            from . import native
+
+            img = native.decode_image_file(
+                self._lazy_paths[idx],
+                min_hw=getattr(self, "_decode_min_hw", None),
+            )
+            if img is not None:
+                return img
             from PIL import Image
 
             return np.asarray(Image.open(self._lazy_paths[idx]).convert("RGB"))

@@ -84,6 +84,15 @@ class CustomImageDataset:
         return len(self.images)
 
     def raw_image(self, idx) -> np.ndarray:
+        """JPEGs decode through the native GIL-free libjpeg path
+        (datasets/native.py); other formats / failures fall back to PIL."""
+        from . import native
+
+        img = native.decode_image_file(
+            self.images[idx], min_hw=getattr(self, "_decode_min_hw", None)
+        )
+        if img is not None:
+            return img
         from PIL import Image
 
         return np.asarray(Image.open(self.images[idx]).convert("RGB"))

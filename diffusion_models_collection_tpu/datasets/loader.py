@@ -45,6 +45,12 @@ class DataLoader:
         from the fused native fast path. Costs N*H*W*3 bytes of host RAM
         (CelebA-64: ~2.3 GB) and one up-front decode pass; epochs after
         the first are array-speed. No effect on array-backed datasets.
+      fast_jpeg_decode: decode JPEGs at the coarsest DCT scale (1/2, 1/4,
+        1/8 straight out of the entropy decoder) that still covers the
+        transform's target size — the resize then only ever downscales.
+        Pixel values differ slightly from a full decode (the scaled IDCT
+        is its own resampling filter), so this is opt-in: fine for
+        training augmentation throughput, off for bit-parity evaluation.
     """
 
     def __init__(
@@ -60,6 +66,7 @@ class DataLoader:
         prefetch: int = 2,
         num_workers: Optional[int] = None,
         cache_decoded: bool = False,
+        fast_jpeg_decode: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -95,6 +102,9 @@ class DataLoader:
             self._fast_size = transform.image_size
         elif isinstance(transform, ImageTransform):
             # lazy file-backed dataset (CelebA / custom folder)
+            if fast_jpeg_decode:
+                # raw_image consults this hint for DCT-scaled decode
+                dataset._decode_min_hw = tuple(transform.image_size)
             if num_workers is None:
                 num_workers = min(8, os.cpu_count() or 1)
             if cache_decoded:

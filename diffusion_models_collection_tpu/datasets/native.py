@@ -31,6 +31,19 @@ _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 
 
+_ABI_VERSION = 2
+
+
+def _build_and_open() -> ctypes.CDLL:
+    subprocess.run(
+        ["sh", str(_NATIVE_DIR / "build.sh")],
+        check=True,
+        capture_output=True,
+        timeout=120,
+    )
+    return ctypes.CDLL(str(_LIB_PATH))
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     with _lock:
@@ -39,16 +52,16 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         try:
             if not _LIB_PATH.exists():
-                subprocess.run(
-                    ["sh", str(_NATIVE_DIR / "build.sh")],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            lib = ctypes.CDLL(str(_LIB_PATH))
+                lib = _build_and_open()
+            else:
+                lib = ctypes.CDLL(str(_LIB_PATH))
             lib.dmc_native_abi_version.restype = ctypes.c_int
-            if lib.dmc_native_abi_version() != 1:
-                return None
+            if lib.dmc_native_abi_version() != _ABI_VERSION:
+                # stale .so from an older checkout — rebuild in place
+                lib = _build_and_open()
+                lib.dmc_native_abi_version.restype = ctypes.c_int
+                if lib.dmc_native_abi_version() != _ABI_VERSION:
+                    return None
             lib.dmc_gather_normalize.argtypes = [
                 _u8p, _i64p, ctypes.c_void_p, _f32p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -58,6 +71,17 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ]
             lib.dmc_denormalize_to_u8.argtypes = [_f32p, _u8p, ctypes.c_int64]
+            lib.dmc_jpeg_dims.restype = ctypes.c_int
+            lib.dmc_jpeg_dims.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.dmc_decode_jpeg_rgb.restype = ctypes.c_int
+            lib.dmc_decode_jpeg_rgb.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, _u8p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -107,6 +131,85 @@ def resize_bilinear_batch(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
     out = np.empty((n, dh, dw, c), dtype=np.uint8)
     lib.dmc_resize_bilinear(src, out, n, sh, sw, dh, dw, c)
     return out
+
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+
+
+def decode_jpeg(data: bytes, scale_denom: int = 1) -> Optional[np.ndarray]:
+    """Decode JPEG bytes to uint8 (H, W, 3) RGB via libjpeg directly —
+    the same decoder PIL wraps, minus the Image-object machinery and with
+    the GIL released for the whole decode (ctypes drops it around the C
+    call), so decode threads scale on multi-core hosts (reference analog:
+    torch DataLoader worker processes, train.py:107-128).
+
+    scale_denom in {1, 2, 4, 8} decodes at 1/denom resolution straight
+    out of the DCT (libjpeg scaled IDCT — same output as PIL's
+    `Image.draft`), skipping most of the decode work when the pipeline
+    resizes down anyway. Returns None when the native path can't handle
+    the input (no libjpeg at build time, corrupt stream, CMYK) — callers
+    fall back to PIL."""
+    lib = _load()
+    if lib is None or not data.startswith(_JPEG_MAGIC):
+        return None
+    full_hw = _probe_dims(lib, data)
+    if full_hw is None:
+        return None
+    return _decode(lib, data, full_hw, scale_denom)
+
+
+def _probe_dims(lib, data: bytes):
+    h = ctypes.c_int64()
+    w = ctypes.c_int64()
+    if lib.dmc_jpeg_dims(data, len(data), ctypes.byref(h),
+                         ctypes.byref(w)) != 0:
+        return None
+    if h.value <= 0 or w.value <= 0 or h.value * w.value > 10_000 ** 2:
+        return None
+    return (h.value, w.value)
+
+
+def _decode(lib, data: bytes, full_hw, scale_denom: int):
+    oh = -(-full_hw[0] // scale_denom)  # libjpeg: ceil(dim/denom)
+    ow = -(-full_hw[1] // scale_denom)
+    out = np.empty((oh, ow, 3), dtype=np.uint8)
+    if lib.dmc_decode_jpeg_rgb(data, len(data), out, oh, ow,
+                               scale_denom) != 0:
+        return None
+    return out
+
+
+def jpeg_scale_denom(full_hw, min_hw) -> int:
+    """Largest denom in {8, 4, 2, 1} whose scaled dims still cover
+    min_hw (so a following resize only ever downscales)."""
+    for denom in (8, 4, 2):
+        if (-(-full_hw[0] // denom) >= min_hw[0]
+                and -(-full_hw[1] // denom) >= min_hw[1]):
+            return denom
+    return 1
+
+
+def decode_image_file(path, min_hw=None) -> Optional[np.ndarray]:
+    """Native decode of an image file if it is a JPEG; None otherwise
+    (PNG/BMP/... and any failure fall back to the caller's PIL path).
+    min_hw (H, W) opts into DCT-scaled decode: the image is decoded at
+    the coarsest 1/denom scale that still covers min_hw."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(3)
+            if head != _JPEG_MAGIC:
+                return None
+            data = head + f.read()
+    except OSError:
+        return None
+    lib = _load()
+    if lib is None:
+        return None
+    full_hw = _probe_dims(lib, data)
+    if full_hw is None:
+        return None
+    denom = jpeg_scale_denom(full_hw, min_hw) if min_hw is not None else 1
+    return _decode(lib, data, full_hw, denom)
 
 
 def denormalize_to_u8(x: np.ndarray) -> np.ndarray:

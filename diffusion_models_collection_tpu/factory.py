@@ -150,6 +150,9 @@ def get_dataloader(config: dict, dataset, train: bool = True, seed: int = 0):
         # decoded-uint8 cache (reference analog: DataLoader num_workers)
         num_workers=config.get("num_workers"),
         cache_decoded=config.get("cache_decoded", False),
+        # train only: DCT-scaled JPEG decode trades exact pixel parity
+        # for decode throughput — never applied to evaluation data
+        fast_jpeg_decode=train and config.get("fast_jpeg_decode", False),
     )
 
 

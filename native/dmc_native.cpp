@@ -183,6 +183,125 @@ void dmc_denormalize_to_u8(const float* src, uint8_t* dst, int64_t n) {
     });
 }
 
-int dmc_native_abi_version() { return 1; }
+#ifdef DMC_HAVE_JPEG
+
+}  // extern "C" (jpeglib.h must be included at file scope)
+
+#include <csetjmp>
+#include <cstdio>
+#include <jpeglib.h>
+
+namespace {
+
+// libjpeg's default error handler calls exit(); route fatal errors to a
+// longjmp so corrupt files surface as return codes (Python falls back to
+// PIL), and silence warning spew entirely.
+struct DmcJpegErr {
+    jpeg_error_mgr mgr;
+    jmp_buf jump;
+};
+
+void dmc_jpeg_error_exit(j_common_ptr cinfo) {
+    longjmp(reinterpret_cast<DmcJpegErr*>(cinfo->err)->jump, 1);
+}
+
+void dmc_jpeg_emit_message(j_common_ptr, int) {}
+
+}  // namespace
+
+extern "C" {
+
+// Probe a JPEG header for output dimensions (RGB output implied, 3
+// channels). Returns 0 ok, -1 parse failure.
+int dmc_jpeg_dims(const uint8_t* data, int64_t len, int64_t* h, int64_t* w) {
+    jpeg_decompress_struct cinfo;
+    DmcJpegErr err;
+    cinfo.err = jpeg_std_error(&err.mgr);
+    err.mgr.error_exit = dmc_jpeg_error_exit;
+    err.mgr.emit_message = dmc_jpeg_emit_message;
+    if (setjmp(err.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    *h = cinfo.image_height;
+    *w = cinfo.image_width;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Decode a JPEG to tightly-packed RGB into dst (h*w*3 bytes; full-res
+// dims from dmc_jpeg_dims). `denom` in {1,2,4,8} selects libjpeg DCT
+// scaling (decode directly at 1/denom resolution — skips most of the
+// IDCT work; h/w must be ceil(full/denom)). Grayscale/YCbCr sources
+// convert to RGB in-decoder — the same libjpeg(-turbo) path PIL's
+// `convert("RGB")` takes, minus the Image-object machinery, and with no
+// GIL held. Returns 0 ok, -1 corrupt, -2 unsupported source colorspace
+// (CMYK/YCCK -> PIL fallback), -3 dims mismatch, -4 bad denom.
+int dmc_decode_jpeg_rgb(const uint8_t* data, int64_t len, uint8_t* dst,
+                        int64_t h, int64_t w, int denom) {
+    if (denom != 1 && denom != 2 && denom != 4 && denom != 8) return -4;
+    jpeg_decompress_struct cinfo;
+    DmcJpegErr err;
+    cinfo.err = jpeg_std_error(&err.mgr);
+    err.mgr.error_exit = dmc_jpeg_error_exit;
+    err.mgr.emit_message = dmc_jpeg_emit_message;
+    if (setjmp(err.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -1;
+    }
+    if (cinfo.jpeg_color_space == JCS_CMYK ||
+        cinfo.jpeg_color_space == JCS_YCCK) {
+        jpeg_destroy_decompress(&cinfo);
+        return -2;
+    }
+    cinfo.out_color_space = JCS_RGB;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = static_cast<unsigned>(denom);
+    jpeg_start_decompress(&cinfo);
+    if (static_cast<int64_t>(cinfo.output_height) != h ||
+        static_cast<int64_t>(cinfo.output_width) != w ||
+        cinfo.output_components != 3) {
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return -3;
+    }
+    const int64_t stride = w * 3;
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = dst + cinfo.output_scanline * stride;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+#else  // !DMC_HAVE_JPEG: stubs so the ABI is stable without libjpeg
+
+extern "C" {
+
+int dmc_jpeg_dims(const uint8_t*, int64_t, int64_t*, int64_t*) {
+    return -10;
+}
+
+int dmc_decode_jpeg_rgb(const uint8_t*, int64_t, uint8_t*, int64_t,
+                        int64_t, int) {
+    return -10;
+}
+
+#endif
+
+int dmc_native_abi_version() { return 2; }
 
 }  // extern "C"

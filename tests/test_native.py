@@ -63,6 +63,146 @@ def test_denormalize_roundtrip():
     np.testing.assert_array_equal(back, u8)
 
 
+def _jpeg_bytes(arr, mode=None, quality=95):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode=mode).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_decode_jpeg_matches_pil():
+    """Native libjpeg decode is the SAME decoder PIL wraps — bit-exact."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(218, 178, 3), dtype=np.uint8)
+    data = _jpeg_bytes(img)
+    ours = native.decode_jpeg(data)
+    if ours is None:
+        pytest.skip("native library built without libjpeg")
+    expected = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert ours.shape == expected.shape
+    assert np.abs(ours.astype(int) - expected.astype(int)).max() <= 1
+
+
+def test_decode_jpeg_grayscale_converts_to_rgb():
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, size=(32, 24), dtype=np.uint8)
+    data = _jpeg_bytes(g, mode="L")
+    ours = native.decode_jpeg(data)
+    if ours is None:
+        pytest.skip("native library built without libjpeg")
+    expected = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert ours.shape == (32, 24, 3)
+    assert np.abs(ours.astype(int) - expected.astype(int)).max() <= 1
+
+
+def test_decode_jpeg_dct_scaled_matches_pil_draft():
+    """DCT-scaled decode is the same libjpeg scaled-IDCT path as PIL's
+    Image.draft — bit-exact at every denom."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(28, 23, 3), dtype=np.uint8)
+    img = np.asarray(Image.fromarray(base).resize((178, 218), Image.BILINEAR))
+    data = _jpeg_bytes(img, quality=90)
+    if native.decode_jpeg(data) is None:
+        pytest.skip("native library built without libjpeg")
+    for denom in (2, 4, 8):
+        ours = native.decode_jpeg(data, scale_denom=denom)
+        im = Image.open(io.BytesIO(data))
+        im.draft("RGB", (178 // denom, 218 // denom))
+        expected = np.asarray(im.convert("RGB"))
+        assert ours.shape == expected.shape
+        assert np.abs(ours.astype(int) - expected.astype(int)).max() <= 1
+
+
+def test_jpeg_scale_denom_covers_target():
+    assert native.jpeg_scale_denom((218, 178), (64, 64)) == 2
+    assert native.jpeg_scale_denom((218, 178), (218, 178)) == 1
+    assert native.jpeg_scale_denom((1024, 1024), (64, 64)) == 8
+    assert native.jpeg_scale_denom((100, 100), (13, 13)) == 8  # ceil(100/8)=13
+    assert native.jpeg_scale_denom((100, 100), (14, 14)) == 4
+
+
+def test_loader_fast_jpeg_decode_flag(tmp_path):
+    """fast_jpeg_decode decodes at reduced DCT scale; output shapes and
+    ranges match the exact path, pixels stay close (both are antialiased
+    resamplings of the same image)."""
+    from PIL import Image
+
+    from diffusion_models_collection_tpu.datasets import (
+        CustomImageDataset,
+        ImageTransform,
+    )
+
+    rng = np.random.default_rng(8)
+    for i in range(8):
+        base = rng.integers(0, 256, size=(28, 23, 3), dtype=np.uint8)
+        img = np.asarray(
+            Image.fromarray(base).resize((178, 218), Image.BILINEAR)
+        )
+        (tmp_path / f"{i}.jpg").write_bytes(_jpeg_bytes(img, quality=92))
+
+    def batch(fast):
+        ds = CustomImageDataset(
+            str(tmp_path), conditional=False,
+            transform=ImageTransform((64, 64), train=False),
+        )
+        loader = DataLoader(ds, batch_size=8, shuffle=False, drop_last=False,
+                            prefetch=0, num_workers=1, fast_jpeg_decode=fast)
+        return next(iter(loader))[0]
+
+    exact = batch(False)
+    fast = batch(True)
+    if not native.available():
+        pytest.skip("native library unavailable")
+    assert fast.shape == exact.shape == (8, 64, 64, 3)
+    # mean abs difference on [-1,1] images stays small
+    assert np.abs(fast - exact).mean() < 0.03
+
+
+def test_decode_jpeg_rejects_garbage_and_non_jpeg():
+    assert native.decode_jpeg(b"\xff\xd8\xff" + b"not a real jpeg") is None
+    assert native.decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_decode_image_file_and_dataset_raw_image(tmp_path):
+    """CustomImageDataset.raw_image takes the native path for JPEG files
+    and matches a forced-PIL decode; PNGs fall back to PIL."""
+    from PIL import Image
+
+    from diffusion_models_collection_tpu.datasets import CustomImageDataset
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(40, 30, 3), dtype=np.uint8)
+    (tmp_path / "a.jpg").write_bytes(_jpeg_bytes(img))
+    Image.fromarray(img).save(tmp_path / "b.png")
+
+    nat = native.decode_image_file(tmp_path / "a.jpg")
+    pil = np.asarray(Image.open(tmp_path / "a.jpg").convert("RGB"))
+    if nat is not None:
+        np.testing.assert_array_equal(nat, pil)
+    assert native.decode_image_file(tmp_path / "b.png") is None  # PIL path
+
+    ds = CustomImageDataset(str(tmp_path), conditional=False)
+    decoded = {a.tobytes(): a for a in (ds.raw_image(i) for i in range(2))}
+    assert pil.tobytes() in decoded  # JPEG decode reachable through ds
+    for a in decoded.values():
+        assert a.shape[2] == 3 and a.dtype == np.uint8
+
+
 def test_loader_fast_path_matches_slow_path():
     """The fused native batch assembly must produce exactly the per-item
     Python path's output (same transform, same flip stream)."""

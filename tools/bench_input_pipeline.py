@@ -34,7 +34,11 @@ def make_tree(root: Path, n: int):
     img_dir.mkdir(parents=True)
     rng = np.random.default_rng(0)
     lines = []
-    arr = rng.integers(0, 255, size=(218, 178, 3), dtype=np.uint8)
+    # photo-like content (smooth gradients, not uint8 noise): decode cost
+    # of a noise JPEG is all entropy decoding, which misrepresents real
+    # CelebA photos where the DCT/IDCT side matters
+    base = rng.integers(0, 255, size=(28, 23, 3), dtype=np.uint8)
+    arr = np.asarray(Image.fromarray(base).resize((178, 218), Image.BILINEAR))
     for i in range(n):
         name = f"{i + 1:06d}.jpg"
         # shift pixels per image so JPEG sizes vary realistically
@@ -75,8 +79,21 @@ def main():
             )
             return DataLoader(ds, batch_size=args.batch, seed=0, **kw)
 
+        # PIL-forced baseline (what the pipeline does without libjpeg)
+        from diffusion_models_collection_tpu.datasets import native as nat
+
+        orig_decode = nat.decode_image_file
+        nat.decode_image_file = lambda p, min_hw=None: None
+        try:
+            results["pil_serial_imgs_per_s"] = round(
+                epoch_rate(loader(num_workers=0), args.n), 1)
+        finally:
+            nat.decode_image_file = orig_decode
         results["serial_imgs_per_s"] = round(
             epoch_rate(loader(num_workers=0), args.n), 1)
+        results["fast_jpeg_imgs_per_s"] = round(
+            epoch_rate(loader(num_workers=0, fast_jpeg_decode=True),
+                       args.n), 1)
         results[f"pool{args.workers}_imgs_per_s"] = round(
             epoch_rate(loader(num_workers=args.workers), args.n), 1)
         t0 = time.perf_counter()
