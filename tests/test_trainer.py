@@ -333,3 +333,25 @@ def test_legacy_dim_checkpoint_migration(tmp_path):
     payload = load_checkpoint(tmp_path / "legacy.ckpt")
     out = model.apply({"params": payload["model_state_dict"]}, x, t, y)
     np.testing.assert_array_equal(np.asarray(ref_out), np.asarray(out))
+
+
+# ------------------------------------------- shard_map divisibility guards
+_DIT_PARAMS = {"img_size": (8, 8), "patch_size": 2, "in_channels": 3,
+               "hidden_size": 16, "depth": 2, "num_heads": 4}
+
+
+def test_sp_rejects_indivisible_global_batch(tmp_path):
+    """sequence_parallel runs through shard_map: the global batch must be
+    divisible by the data-axis size — validated at construction, not as a
+    mid-run low-level sharding crash (8 devices, sp=2 -> data axis 4)."""
+    with pytest.raises(ValueError, match="not divisible"):
+        make_trainer(tmp_path, model_type="dit", model_params=_DIT_PARAMS,
+                     batch_size=14, sequence_parallel=2)
+
+
+def test_pp_rejects_indivisible_num_samples(tmp_path):
+    """In-training sample grids also ride shard_map under PP/SP — an
+    indivisible num_samples fails up front with a pointed message."""
+    with pytest.raises(ValueError, match="num_samples"):
+        make_trainer(tmp_path, model_type="dit", model_params=_DIT_PARAMS,
+                     batch_size=16, num_samples=6, pipeline_parallel=2)
