@@ -212,17 +212,18 @@ class DiffusionDataset:
             return len(self._lazy_paths)
         return len(self.images)
 
-    def raw_image(self, idx) -> np.ndarray:
+    def raw_image(self, idx, min_hw=None) -> np.ndarray:
         """uint8 HWC image before transform. JPEGs decode through the
         native GIL-free libjpeg path (datasets/native.py) with PIL as the
-        fallback for other formats / failures."""
+        fallback for other formats / failures. `min_hw` opts into
+        DCT-scaled decode (decode at the coarsest 1/denom scale covering
+        min_hw) — passed per call by the loader that owns the decode
+        policy, never stored on the (shareable) dataset."""
         if self._lazy_paths is not None:
             from . import native
 
-            img = native.decode_image_file(
-                self._lazy_paths[idx],
-                min_hw=getattr(self, "_decode_min_hw", None),
-            )
+            img = native.decode_image_file(self._lazy_paths[idx],
+                                           min_hw=min_hw)
             if img is not None:
                 return img
             from PIL import Image
@@ -230,13 +231,17 @@ class DiffusionDataset:
             return np.asarray(Image.open(self._lazy_paths[idx]).convert("RGB"))
         return self.images[idx]
 
-    def __getitem__(self, idx):
-        img = self.raw_image(idx)
+    def item(self, idx, decode_min_hw=None):
+        """__getitem__ with an explicit decode hint (loader fast path)."""
+        img = self.raw_image(idx, min_hw=decode_min_hw)
         if self.transform is not None:
             img = self.transform(img)
         if self.conditional:
             return img, int(self.labels[idx])
         return img
+
+    def __getitem__(self, idx):
+        return self.item(idx)
 
     @staticmethod
     def get_default_transform(image_size, dataset_name="cifar10", train=True):

@@ -83,27 +83,31 @@ class CustomImageDataset:
     def __len__(self):
         return len(self.images)
 
-    def raw_image(self, idx) -> np.ndarray:
+    def raw_image(self, idx, min_hw=None) -> np.ndarray:
         """JPEGs decode through the native GIL-free libjpeg path
-        (datasets/native.py); other formats / failures fall back to PIL."""
+        (datasets/native.py); other formats / failures fall back to PIL.
+        `min_hw` opts into DCT-scaled decode — a per-call hint from the
+        loader that owns the decode policy (never dataset state)."""
         from . import native
 
-        img = native.decode_image_file(
-            self.images[idx], min_hw=getattr(self, "_decode_min_hw", None)
-        )
+        img = native.decode_image_file(self.images[idx], min_hw=min_hw)
         if img is not None:
             return img
         from PIL import Image
 
         return np.asarray(Image.open(self.images[idx]).convert("RGB"))
 
-    def __getitem__(self, idx):
-        img = self.raw_image(idx)
+    def item(self, idx, decode_min_hw=None):
+        """__getitem__ with an explicit decode hint (loader fast path)."""
+        img = self.raw_image(idx, min_hw=decode_min_hw)
         if self.transform is not None:
             img = self.transform(img)
         if self.conditional:
             return img, int(self.labels[idx])
         return img
+
+    def __getitem__(self, idx):
+        return self.item(idx)
 
     @property
     def num_classes(self) -> int:

@@ -92,6 +92,7 @@ class DataLoader:
         images = getattr(dataset, "images", None)
         self._fast_images = None
         self._pool = None
+        self._decode_min_hw = None
         if (
             isinstance(images, np.ndarray)
             and images.dtype == np.uint8
@@ -102,9 +103,11 @@ class DataLoader:
             self._fast_size = transform.image_size
         elif isinstance(transform, ImageTransform):
             # lazy file-backed dataset (CelebA / custom folder)
-            if fast_jpeg_decode:
-                # raw_image consults this hint for DCT-scaled decode
-                dataset._decode_min_hw = tuple(transform.image_size)
+            if fast_jpeg_decode and hasattr(dataset, "item"):
+                # the decode policy lives HERE, passed per call — storing
+                # it on the dataset would leak scaled decode into other
+                # loaders sharing the same dataset object
+                self._decode_min_hw = tuple(transform.image_size)
             if num_workers is None:
                 num_workers = min(8, os.cpu_count() or 1)
             if cache_decoded:
@@ -129,7 +132,10 @@ class DataLoader:
         from .transforms import center_crop, resize_image
 
         def decode(i):
-            img = self.dataset.raw_image(i)
+            if self._decode_min_hw is not None:
+                img = self.dataset.raw_image(i, min_hw=self._decode_min_hw)
+            else:
+                img = self.dataset.raw_image(i)
             img = resize_image(img, (h, w))
             out[i] = center_crop(img, (h, w))
 
@@ -186,12 +192,15 @@ class DataLoader:
                 return imgs, labels
             return imgs, None
 
-        if self._pool is not None:
-            items = list(self._pool.map(
-                self.dataset.__getitem__, [int(i) for i in indices]
-            ))
+        if self._decode_min_hw is not None:
+            hint = self._decode_min_hw
+            getter = lambda i: self.dataset.item(i, hint)  # noqa: E731
         else:
-            items = [self.dataset[int(i)] for i in indices]
+            getter = self.dataset.__getitem__
+        if self._pool is not None:
+            items = list(self._pool.map(getter, [int(i) for i in indices]))
+        else:
+            items = [getter(int(i)) for i in indices]
         has_label = isinstance(items[0], tuple)
         imgs = np.empty(
             (len(indices),)

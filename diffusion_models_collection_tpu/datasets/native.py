@@ -34,14 +34,30 @@ _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
 _ABI_VERSION = 2
 
 
-def _build_and_open() -> ctypes.CDLL:
+def _build() -> None:
     subprocess.run(
         ["sh", str(_NATIVE_DIR / "build.sh")],
         check=True,
         capture_output=True,
         timeout=120,
     )
-    return ctypes.CDLL(str(_LIB_PATH))
+
+
+def _open_fresh() -> ctypes.CDLL:
+    """dlopen the just-rebuilt library under a unique path: the dynamic
+    loader caches handles by pathname, so re-CDLL'ing the canonical path
+    after an in-place rebuild returns the STALE handle. A transient copy
+    (unlinked immediately — the mapping keeps it alive) sidesteps the
+    cache."""
+    import os
+    import shutil
+
+    tmp = _NATIVE_DIR / f".libdmc_native.{os.getpid()}.so"
+    shutil.copy2(_LIB_PATH, tmp)
+    try:
+        return ctypes.CDLL(str(tmp))
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -52,13 +68,14 @@ def _load() -> Optional[ctypes.CDLL]:
         _tried = True
         try:
             if not _LIB_PATH.exists():
-                lib = _build_and_open()
-            else:
-                lib = ctypes.CDLL(str(_LIB_PATH))
+                _build()
+            lib = ctypes.CDLL(str(_LIB_PATH))
             lib.dmc_native_abi_version.restype = ctypes.c_int
             if lib.dmc_native_abi_version() != _ABI_VERSION:
-                # stale .so from an older checkout — rebuild in place
-                lib = _build_and_open()
+                # stale .so from an older checkout — rebuild, then load
+                # the fresh binary under a unique name (see _open_fresh)
+                _build()
+                lib = _open_fresh()
                 lib.dmc_native_abi_version.restype = ctypes.c_int
                 if lib.dmc_native_abi_version() != _ABI_VERSION:
                     return None
@@ -194,6 +211,9 @@ def decode_image_file(path, min_hw=None) -> Optional[np.ndarray]:
     (PNG/BMP/... and any failure fall back to the caller's PIL path).
     min_hw (H, W) opts into DCT-scaled decode: the image is decoded at
     the coarsest 1/denom scale that still covers min_hw."""
+    lib = _load()
+    if lib is None:
+        return None  # before reading the file — PIL will read it anyway
     try:
         with open(path, "rb") as f:
             head = f.read(3)
@@ -201,9 +221,6 @@ def decode_image_file(path, min_hw=None) -> Optional[np.ndarray]:
                 return None
             data = head + f.read()
     except OSError:
-        return None
-    lib = _load()
-    if lib is None:
         return None
     full_hw = _probe_dims(lib, data)
     if full_hw is None:

@@ -288,8 +288,7 @@ int dmc_decode_jpeg_rgb(const uint8_t* data, int64_t len, uint8_t* dst,
 }
 
 #else  // !DMC_HAVE_JPEG: stubs so the ABI is stable without libjpeg
-
-extern "C" {
+// (still inside the extern "C" block opened at the top of the file)
 
 int dmc_jpeg_dims(const uint8_t*, int64_t, int64_t*, int64_t*) {
     return -10;

@@ -172,6 +172,23 @@ def test_loader_fast_jpeg_decode_flag(tmp_path):
     # mean abs difference on [-1,1] images stays small
     assert np.abs(fast - exact).mean() < 0.03
 
+    # decode policy must NOT leak through a SHARED dataset: a fast loader
+    # and an exact loader on the same dataset object stay independent
+    # (regression: round-2 review — the hint used to be dataset state)
+    ds = CustomImageDataset(
+        str(tmp_path), conditional=False,
+        transform=ImageTransform((64, 64), train=False),
+    )
+    fast_loader = DataLoader(ds, batch_size=8, shuffle=False, drop_last=False,
+                             prefetch=0, num_workers=1, fast_jpeg_decode=True)
+    exact_loader = DataLoader(ds, batch_size=8, shuffle=False,
+                              drop_last=False, prefetch=0, num_workers=1)
+    shared_fast = next(iter(fast_loader))[0]
+    shared_exact = next(iter(exact_loader))[0]
+    np.testing.assert_allclose(shared_exact, exact, atol=1e-6)
+    np.testing.assert_allclose(shared_fast, fast, atol=1e-6)
+    assert not np.allclose(shared_fast, shared_exact)
+
 
 def test_decode_jpeg_rejects_garbage_and_non_jpeg():
     assert native.decode_jpeg(b"\xff\xd8\xff" + b"not a real jpeg") is None

@@ -104,3 +104,29 @@ def test_pipeline_train_step_decreases_loss():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert min(losses[1:]) < losses[0], losses
+
+
+def test_pipeline_unconditional_matches_unpipelined():
+    """y=None must SKIP the label embedding (models/dit.py semantics) —
+    the zeros placeholder that rides through shard_map must not inject
+    the null-class embedding (regression: round-2 review; PP counterpart
+    of the SP test)."""
+    model, params, x, t, _ = _setup()
+    # adaLN-Zero final layer is zero-init -> fresh params output zeros for
+    # ANY conditioning; perturb so label (non-)injection is observable
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(3), p.shape, p.dtype),
+        params)
+    ref = model.apply({"params": params}, x, t, None, train=False)
+    mesh = data_stage_mesh(2, 4)
+    stacked, rest = shard_dit_params_pp(mesh, params, model.depth)
+    apply_fn = make_pipeline_apply(model, mesh, num_microbatches=4)
+    out = apply_fn(stacked, rest, x, t, None, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # and it genuinely differs from a REAL class (y=0 is the null row,
+    # masked to exact zero by LabelEmbedder — identical to y=None)
+    labeled = apply_fn(stacked, rest, x, t, jnp.ones((8,), jnp.int32),
+                       train=False)
+    assert not np.allclose(np.asarray(out), np.asarray(labeled))
