@@ -227,10 +227,15 @@ def _torch_key_to_path(key: str):
 
 
 def load_torchvision_weights(path) -> dict:
-    """Convert a torchvision inception_v3 .pth state dict to our param tree."""
-    import torch
+    """Convert torchvision inception_v3 weights to our param tree. Accepts
+    the original .pth state dict (needs torch) or a converted .npz of the
+    same keys (e.g. from tools/make_metric_goldens.py — no torch needed)."""
+    if Path(path).suffix == ".npz":
+        state = dict(np.load(path))
+    else:
+        import torch
 
-    state = torch.load(path, map_location="cpu", weights_only=True)
+        state = torch.load(path, map_location="cpu", weights_only=True)
     return convert_torchvision_state(state)
 
 
@@ -304,5 +309,7 @@ class InceptionFeatures:
 
         sharding = pmesh.dp_batch_sharding(len(images01))
         if sharding is not None:
-            images01 = jax.device_put(jnp.asarray(images01), sharding)
+            # device_put takes numpy directly — jnp.asarray first would
+            # commit to the default device and copy twice per batch
+            images01 = jax.device_put(images01, sharding)
         return self._run(self.params, images01)

@@ -197,13 +197,18 @@ class LPIPSScore:
         from ..parallel import mesh as pmesh
 
         for start in range(0, n, batch_size):
-            b1 = jnp.asarray(images1[start : start + batch_size]) * 2 - 1
-            b2 = jnp.asarray(images2[start : start + batch_size]) * 2 - 1
-            # multi-device host: shard the pair batch over a 'data' mesh
+            b1 = images1[start : start + batch_size]
+            b2 = images2[start : start + batch_size]
+            # multi-device host: shard the pair batch over a 'data' mesh —
+            # device_put the HOST slices directly (a jnp.asarray first
+            # would commit to one device and copy twice), normalize on
+            # device where it fuses into the jit
             sharding = pmesh.dp_batch_sharding(len(b1))
             if sharding is not None:
                 b1 = jax.device_put(b1, sharding)
                 b2 = jax.device_put(b2, sharding)
+            b1 = jnp.asarray(b1) * 2 - 1
+            b2 = jnp.asarray(b2) * 2 - 1
             dists.append(np.asarray(self._distance(self.params, self.lins, b1, b2)))
         return float(np.mean(np.concatenate(dists)))
 

@@ -45,11 +45,17 @@ _LANE = 128
 _BWD_MAX_SEQ = 1024
 
 
+_BLOCK = 256  # q/k block edge; _flash_core uses min(_BLOCK, L)
+
+
 def supported(seq_len: int, head_dim: int) -> bool:
-    """Shape gate shared by fwd/bwd; callers fall back to XLA otherwise."""
+    """Shape gate shared by fwd/bwd; callers fall back to XLA otherwise.
+    The grid tiles L by min(_BLOCK, L), so L must divide evenly — L=384
+    would silently drop rows 256-383 and normalize over 256 keys."""
     return (
         seq_len >= _MIN_SEQ_LEN
         and seq_len % _LANE == 0
+        and (seq_len <= _BLOCK or seq_len % _BLOCK == 0)
         and head_dim % 8 == 0
         and head_dim <= 256
     )
@@ -190,13 +196,13 @@ def _bwd_jnp(q, k, v, o, do, lse):
 @jax.custom_vjp
 def _flash_core(q, k, v):
     """(BH, L, D) flash attention; differentiable via the flash backward."""
-    block = min(256, q.shape[1])
+    block = min(_BLOCK, q.shape[1])
     o, _ = _flash_fwd_bh(q, k, v, block, block)
     return o
 
 
 def _flash_core_fwd(q, k, v):
-    block = min(256, q.shape[1])
+    block = min(_BLOCK, q.shape[1])
     o, lse = _flash_fwd_bh(q, k, v, block, block)
     return o, (q, k, v, o, lse)
 

@@ -183,6 +183,11 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]
         """Runs INSIDE shard_map: x/t/y are the LOCAL data shard; stacked
         is the LOCAL (depth/pp, ...) block stack."""
         stage = jax.lax.axis_index(STAGE_AXIS)
+        # distinct dropout stream per data shard — without this fold every
+        # dp rank applies byte-identical masks to DIFFERENT examples
+        # (correlated regularization noise the unsharded model never has)
+        dropout_rng = jax.random.fold_in(
+            dropout_rng, jax.lax.axis_index(DATA_AXIS))
         b_local = x.shape[0]
         mb = b_local // M
 

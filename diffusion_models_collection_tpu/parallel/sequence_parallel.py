@@ -95,6 +95,11 @@ def make_sequence_parallel_apply(model, mesh: Mesh):
         """Runs INSIDE shard_map: x/t/y are the LOCAL data shard; params
         are replicated; this device owns tokens [idx*l_loc, (idx+1)*l_loc)."""
         idx = jax.lax.axis_index(SEQ_AXIS)
+        # distinct dropout stream per data shard — without this fold every
+        # dp rank applies byte-identical masks to DIFFERENT examples
+        # (correlated regularization noise the unsharded model never has)
+        dropout_rng = jax.random.fold_in(
+            dropout_rng, jax.lax.axis_index(DATA_AXIS))
 
         # ---- redundant prologue (tiny next to the block matmuls) -------
         tokens = patch_embed.apply({"params": params["PatchEmbed_0"]}, x)

@@ -59,12 +59,15 @@ class _RestrictedUnpickler(pickle.Unpickler):
         ):
             return getattr(importlib.import_module(module), name)
         if module.split(".")[0] in _STATE_ROOTS:
+            import collections.abc
+
             obj = getattr(importlib.import_module(module), name)
             # classes only, and only value-like ones: namedtuple states
-            # (optax), dict-likes (flax FrozenDict), scalar dtypes
-            # (ml_dtypes.bfloat16). Functions stay unreachable.
+            # (optax), dict-likes (flax FrozenDict subclasses Mapping,
+            # NOT dict), scalar dtypes (ml_dtypes.bfloat16). Functions
+            # stay unreachable.
             if isinstance(obj, type) and issubclass(
-                obj, (tuple, dict, np.generic)
+                obj, (tuple, dict, collections.abc.Mapping, np.generic)
             ):
                 return obj
         raise pickle.UnpicklingError(

@@ -559,8 +559,12 @@ class DiffusionTrainer:
             return None
         if self.progress != "force" and not sys.stderr.isatty():
             return None
-        from tqdm import tqdm
-
+        try:
+            from tqdm import tqdm
+        except ImportError:
+            # progress is cosmetic — a minimal install (pyproject declares
+            # jax/flax/optax/numpy/pillow/scipy only) must still train
+            return None
         try:
             total = len(self.train_loader)
         except TypeError:

@@ -188,3 +188,33 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         params["dense"]["kernel"],
     )
     assert "ema_model_state_dict" in payload
+
+
+def test_checkpoint_load_accepts_frozendict_pickle(tmp_path):
+    """flax FrozenDict subclasses Mapping, NOT dict — the restricted
+    unpickler must still admit it (regression: round-2 review; legacy
+    checkpoints saved params as FrozenDict)."""
+    import pickle
+
+    import numpy as np
+    from flax.core.frozen_dict import FrozenDict
+
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        load_checkpoint,
+    )
+
+    payload = {
+        "epoch": 1,
+        "model_state_dict": FrozenDict(
+            {"Dense_0": {"kernel": np.ones((2, 2), np.float32)}}
+        ),
+        "best_loss": 0.5,
+        "config": {},
+    }
+    path = tmp_path / "legacy_frozen.ckpt"
+    path.write_bytes(pickle.dumps(payload))
+    loaded = load_checkpoint(path)  # restricted unpickler, no opt-out
+    np.testing.assert_array_equal(
+        np.asarray(loaded["model_state_dict"]["Dense_0"]["kernel"]),
+        np.ones((2, 2), np.float32),
+    )

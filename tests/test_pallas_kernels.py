@@ -79,6 +79,14 @@ def test_flash_attention_shape_gate():
     rng = jax.random.PRNGKey(0)
     q, k, v = jax.random.normal(rng, (3, 1, 2, 64, 128))  # too short
     assert fa.flash_attention(q, k, v) is None
+    # L=384 is 128-aligned but NOT divisible by the 256 block: the grid
+    # would drop rows 256-383 and normalize over 256 keys — must fall
+    # back to XLA, never compute silently wrong attention (regression:
+    # round-2 review)
+    assert not fa.supported(384, 64)
+    q, k, v = jax.random.normal(rng, (3, 1, 2, 384, 64))
+    assert fa.flash_attention(q, k, v) is None
+    assert fa.supported(512, 64)  # multiples of the block stay eligible
 
 
 def test_fused_group_norm_silu_parity():

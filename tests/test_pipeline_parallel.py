@@ -130,3 +130,23 @@ def test_pipeline_unconditional_matches_unpipelined():
     labeled = apply_fn(stacked, rest, x, t, jnp.ones((8,), jnp.int32),
                        train=False)
     assert not np.allclose(np.asarray(out), np.asarray(labeled))
+
+
+def test_pipeline_dropout_decorrelated_across_data_shards():
+    """Data shards must draw DISTINCT dropout masks (regression: round-2
+    review — the rng was only folded per tick/layer, so dp ranks applied
+    byte-identical masks to different examples)."""
+    model, params, x, t, y = _setup(dropout=0.3)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(3), p.shape, p.dtype),
+        params)
+    x = jnp.concatenate([x[:4], x[:4]])
+    t = jnp.concatenate([t[:4], t[:4]])
+    y = jnp.concatenate([y[:4], y[:4]])
+    mesh = data_stage_mesh(2, 4)
+    stacked, rest = shard_dit_params_pp(mesh, params, model.depth)
+    apply_fn = make_pipeline_apply(model, mesh, num_microbatches=2)
+    out = np.asarray(apply_fn(stacked, rest, x, t, y,
+                              dropout_rng=jax.random.PRNGKey(7), train=True))
+    assert not np.allclose(out[:4], out[4:])

@@ -143,3 +143,25 @@ def test_sequence_parallel_rejects_indivisible_tokens():
     mesh = data_seq_mesh(1, 2)
     with pytest.raises(AssertionError, match="not divisible"):
         make_sequence_parallel_apply(model, mesh)
+
+
+def test_sequence_parallel_dropout_decorrelated_across_data_shards():
+    """Data shards must draw DISTINCT dropout masks (regression: round-2
+    review — the rng was only folded per layer/seq index, so dp ranks
+    applied byte-identical masks to different examples). Feed identical
+    inputs to both dp shards: identical masks would make their outputs
+    bit-equal."""
+    model, params, x, t, y = _setup(dropout=0.3)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(3), p.shape, p.dtype),
+        params)
+    x = jnp.concatenate([x[:4], x[:4]])
+    t = jnp.concatenate([t[:4], t[:4]])
+    y = jnp.concatenate([y[:4], y[:4]])
+    mesh = data_seq_mesh(2, 4)
+    apply_fn = make_sequence_parallel_apply(model, mesh)
+    pr, xs, ts, ys = _place(mesh, params, x, t, y)
+    out = np.asarray(apply_fn(pr, xs, ts, ys,
+                              dropout_rng=jax.random.PRNGKey(7), train=True))
+    assert not np.allclose(out[:4], out[4:])
