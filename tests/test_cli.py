@@ -212,6 +212,27 @@ def test_evaluate_cli(workdir):
     assert "Results saved" in out
 
 
+def test_evaluate_cli_fast_sampler(workdir):
+    """Extension: --sampling_method ddim evaluates with the accelerated
+    sampler (the reference protocol stays the DDPM-1000 default)."""
+    out_json = workdir / "metrics_ddim.json"
+    out = run(
+        [
+            str(REPO / "evaluate.py"),
+            "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+            "--num_samples", "16",
+            "--batch_size", "8",
+            "--sampling_method", "ddim",
+            "--num_inference_steps", "4",
+            "--output", str(out_json),
+        ],
+        cwd=str(workdir),
+    )
+    metrics = json.loads(out_json.read_text())
+    assert set(metrics) == {"FID", "IS_mean", "IS_std", "LPIPS_diversity"}
+    assert "evaluating with ddim sampling" in out
+
+
 @pytest.mark.parametrize("dataset,image_size", [("cifar10", (16, 16)),
                                                 ("mnist", (16, 16))])
 def test_train_cli_on_real_format_fixtures(tmp_path, dataset, image_size):
