@@ -197,6 +197,37 @@ def test_dim_export_loads_into_reference():
                             params, x, t, y))
 
 
+def test_export_tool_subprocess(tmp_path):
+    """tools/export_torch.py end to end: our .ckpt in, reference .pth out,
+    reimportable."""
+    import subprocess
+    import sys as _sys
+
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    kw = dict(img_size=(H, W), patch_size=4, in_channels=C, hidden_size=32,
+              depth=1, num_heads=4, num_classes=10)
+    params = _init(DiT(**kw))
+    config = _config("dit", kw, True)
+    ours = tmp_path / "model.ckpt"
+    save_checkpoint(ours, epoch=3, params=params, opt_state={},
+                    best_loss=0.5, config=config)
+    out = tmp_path / "model.pth"
+    repo = Path(__file__).resolve().parents[1]
+    res = subprocess.run(
+        [_sys.executable, str(repo / "tools" / "export_torch.py"),
+         "--checkpoint", str(ours), "--output", str(out)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr
+    payload = load_checkpoint(out)
+    assert payload["epoch"] == 3
+    _assert_trees_equal(params, payload["model_state_dict"])
+
+
 def test_export_cli_full_cycle(tmp_path):
     """ours -> torch .pth -> ours again through the real files: the tool's
     save_reference_checkpoint output reimports via load_checkpoint."""
