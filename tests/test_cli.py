@@ -269,6 +269,50 @@ def test_train_cli_on_real_format_fixtures(tmp_path, dataset, image_size):
     assert (tmp_path / "ckpt" / "current_model.ckpt").exists()
 
 
+def test_train_cli_custom_jpeg_folder(tmp_path):
+    """Train through the CLI on a custom JPEG folder with fast_jpeg_decode:
+    the native libjpeg (DCT-scaled) decode path runs end to end under the
+    real entry point, not only unit tests."""
+    import importlib.util
+
+    import numpy as np
+    from PIL import Image
+
+    data = tmp_path / "imgs"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(32):
+        base = rng.integers(0, 256, size=(14, 12, 3), dtype=np.uint8)
+        img = Image.fromarray(base).resize((89, 109), Image.BILINEAR)
+        img.save(data / f"{i}.jpg", quality=90)
+
+    spec = importlib.util.spec_from_file_location(
+        "smoke", REPO / "configs" / "synthetic_smoke.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg = dict(mod.config)
+    cfg.update(
+        dataset="custom",
+        data_root=str(data),
+        conditional=False,
+        image_size=(16, 16),
+        epochs=1,
+        batch_size=16,
+        num_workers=1,
+        fast_jpeg_decode=True,
+        save_dir=str(tmp_path / "ckpt"),
+        sample_dir=str(tmp_path / "gen"),
+    )
+    cfg["model_params"] = dict(cfg["model_params"])
+    cfg["model_params"]["image_size"] = (16, 16)
+    cfg_path = tmp_path / "custom_jpeg.py"
+    cfg_path.write_text(f"config = {cfg!r}\n")
+    out = run([str(REPO / "train.py"), "--config", str(cfg_path)],
+              cwd=str(tmp_path))
+    assert "Training completed!" in out
+    assert (tmp_path / "ckpt" / "current_model.ckpt").exists()
+
+
 def test_train_cli_sequence_parallel(tmp_path):
     """`sequence_parallel: 2` straight through `python train.py` on the
     8-device CPU mesh: the trainer builds the 4x2 (data, seq) mesh and
