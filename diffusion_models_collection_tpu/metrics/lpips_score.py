@@ -164,8 +164,10 @@ class LPIPSScore:
 
         @jax.jit
         def _distance(params, lins, x1, x2):
-            # x in [-1, 1]; lpips ScalingLayer
+            # x in [0, 1]; scaled to [-1, 1] here so the op fuses into
+            # the jit instead of dispatching eagerly per batch
             def prep(x):
+                x = x * 2.0 - 1.0  # lpips ScalingLayer expects [-1, 1]
                 if x.shape[-1] == 1:
                     x = jnp.repeat(x, 3, axis=-1)
                 # AlexNet's stride-4 stem + pools need >=16px inputs (the
@@ -201,14 +203,12 @@ class LPIPSScore:
             b2 = images2[start : start + batch_size]
             # multi-device host: shard the pair batch over a 'data' mesh —
             # device_put the HOST slices directly (a jnp.asarray first
-            # would commit to one device and copy twice), normalize on
-            # device where it fuses into the jit
+            # would commit to one device and copy twice); the [0,1]->[-1,1]
+            # scaling happens inside the jitted _distance
             sharding = pmesh.dp_batch_sharding(len(b1))
             if sharding is not None:
                 b1 = jax.device_put(b1, sharding)
                 b2 = jax.device_put(b2, sharding)
-            b1 = jnp.asarray(b1) * 2 - 1
-            b2 = jnp.asarray(b2) * 2 - 1
             dists.append(np.asarray(self._distance(self.params, self.lins, b1, b2)))
         return float(np.mean(np.concatenate(dists)))
 

@@ -59,16 +59,16 @@ class _RestrictedUnpickler(pickle.Unpickler):
         ):
             return getattr(importlib.import_module(module), name)
         if module.split(".")[0] in _STATE_ROOTS:
-            import collections.abc
-
             obj = getattr(importlib.import_module(module), name)
             # classes only, and only value-like ones: namedtuple states
-            # (optax), dict-likes (flax FrozenDict subclasses Mapping,
-            # NOT dict), scalar dtypes (ml_dtypes.bfloat16). Functions
-            # stay unreachable.
+            # (optax), scalar dtypes (ml_dtypes.bfloat16). flax FrozenDict
+            # subclasses Mapping, NOT dict — allowed by exact name rather
+            # than widening to every Mapping in these namespaces.
             if isinstance(obj, type) and issubclass(
-                obj, (tuple, dict, collections.abc.Mapping, np.generic)
+                obj, (tuple, dict, np.generic)
             ):
+                return obj
+            if (module, name) == ("flax.core.frozen_dict", "FrozenDict"):
                 return obj
         raise pickle.UnpicklingError(
             f"checkpoint references disallowed global {module}.{name}; "
@@ -156,8 +156,13 @@ def migrate_legacy_params(params):
     the input unchanged when no legacy Mamba blocks are present.
     """
 
+    import collections.abc
+
     def fix(node):
-        if not isinstance(node, dict):
+        # Mapping, not dict: legacy checkpoints saved params as flax
+        # FrozenDict (a Mapping subclass) — recursing only into dicts
+        # would silently skip migration and normalization for them
+        if not isinstance(node, collections.abc.Mapping):
             return node
         node = {k: fix(v) for k, v in node.items()}
         if "A_log" in node and "Dense_0" in node and "conv" not in node:

@@ -103,6 +103,12 @@ def main():
     # reference parity: evaluation defaults to DDPM full-step sampling
     # (evaluate.py:47-58); --sampling_method ddim/dpm++ is an extension
     if args.num_inference_steps is not None:
+        if args.sampling_method == "ddpm":
+            raise SystemExit(
+                "--num_inference_steps has no effect with the default DDPM "
+                "eval protocol (always full-step) — pass --sampling_method "
+                "ddim or dpm++ to use it"
+            )
         config["num_inference_steps"] = args.num_inference_steps
     diffusion = get_diffusion(config, sampling_method=args.sampling_method)
     if args.sampling_method != "ddpm":

@@ -218,3 +218,39 @@ def test_checkpoint_load_accepts_frozendict_pickle(tmp_path):
         np.asarray(loaded["model_state_dict"]["Dense_0"]["kernel"]),
         np.ones((2, 2), np.float32),
     )
+
+
+def test_legacy_mamba_migration_through_frozendict():
+    """migrate_legacy_params must recurse through Mapping (flax
+    FrozenDict), not only dict — a FrozenDict legacy checkpoint would
+    otherwise load but skip the Mamba layout migration silently
+    (regression: round-2 review)."""
+    import numpy as np
+    from flax.core.frozen_dict import FrozenDict
+
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        migrate_legacy_params,
+    )
+
+    legacy = FrozenDict({
+        "DiMBlock_0": {"MambaBlock_0": {"Mamba_0": {
+            "A_log": np.zeros((4, 2), np.float32),
+            "D": np.zeros((4,), np.float32),
+            "Dense_0": {"kernel": np.arange(16, dtype=np.float32)
+                        .reshape(2, 8)},
+            "Conv_0": {"kernel": np.zeros((3, 1, 4), np.float32),
+                       "bias": np.zeros((4,), np.float32)},
+            "Dense_1": {"kernel": np.zeros((4, 6), np.float32)},
+            "Dense_2": {"kernel": np.zeros((2, 4), np.float32),
+                        "bias": np.zeros((4,), np.float32)},
+            "Dense_3": {"kernel": np.zeros((4, 2), np.float32)},
+        }}},
+    })
+    out = migrate_legacy_params(legacy)
+    mamba = out["DiMBlock_0"]["MambaBlock_0"]["Mamba_0"]
+    assert "in_proj_x" in mamba and "in_proj_z" in mamba
+    assert "conv" in mamba and "Dense_0" not in mamba
+    np.testing.assert_array_equal(
+        mamba["in_proj_x"]["kernel"],
+        np.arange(16, dtype=np.float32).reshape(2, 8)[:, :4],
+    )

@@ -166,8 +166,10 @@ def test_loader_fast_jpeg_decode_flag(tmp_path):
 
     exact = batch(False)
     fast = batch(True)
-    if not native.available():
-        pytest.skip("native library unavailable")
+    # a no-libjpeg native build keeps available()==True but decodes via
+    # PIL — fast and exact are then identical and the test is vacuous
+    if native.decode_jpeg(_jpeg_bytes(img)) is None:
+        pytest.skip("native library lacks libjpeg decode")
     assert fast.shape == exact.shape == (8, 64, 64, 3)
     # mean abs difference on [-1,1] images stays small
     assert np.abs(fast - exact).mean() < 0.03
