@@ -25,6 +25,13 @@ def _model_fn():
     x = jnp.zeros((1, 8, 8, 3))
     params = model.init(jax.random.PRNGKey(1), x, jnp.zeros((1,), jnp.int32),
                         jnp.zeros((1,), jnp.int32))["params"]
+    # adaLN-Zero: fresh DiT predicts eps=0, which would reduce trajectory
+    # parity to noise-handling only — perturb so the model term matters
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(99), p.shape, p.dtype),
+        params,
+    )
     return eval_model_fn(model, params)
 
 

@@ -25,6 +25,14 @@ def _setup(dropout=0.0, remat=False):
     t = jnp.arange(8) % 10
     y = (jnp.arange(8) % 10) + 1
     params = model.init(jax.random.PRNGKey(1), x, t, y)["params"]
+    # adaLN-Zero final layers are zero-init: a FRESH DiT outputs exactly
+    # 0 for any input, making output-parity assertions vacuous — perturb
+    # so every layer carries signal through the sharded paths
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(99), p.shape, p.dtype),
+        params,
+    )
     return model, params, x, t, y
 
 

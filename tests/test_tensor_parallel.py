@@ -13,6 +13,17 @@ from diffusion_models_collection_tpu.parallel.tensor_parallel import (
 )
 
 
+def _perturb(params, scale=0.02):
+    """adaLN-Zero final layers are zero-init: a FRESH DiT/DiM outputs
+    exactly 0 for any input, which would make forward-parity assertions
+    vacuous (zeros == zeros) — perturb so every layer carries signal."""
+    return jax.tree_util.tree_map(
+        lambda p: p + scale * jax.random.normal(
+            jax.random.PRNGKey(99), p.shape, p.dtype),
+        params,
+    )
+
+
 def _tiny_dit_and_params():
     model = DiT(img_size=(8, 8), patch_size=4, in_channels=3, hidden_size=64,
                 depth=2, num_heads=4, num_classes=10, dropout=0.0)
@@ -20,7 +31,7 @@ def _tiny_dit_and_params():
     t = jnp.zeros((4,), jnp.int32)
     y = jnp.zeros((4,), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), x, t, y)["params"]
-    return model, params
+    return model, _perturb(params)
 
 
 def test_mesh_shape():
@@ -95,7 +106,7 @@ def _tiny_dim_and_params():
     t = jnp.zeros((4,), jnp.int32)
     y = jnp.zeros((4,), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), x, t, y)["params"]
-    return model, params
+    return model, _perturb(params)
 
 
 def test_dim_tp_sharding_rules_applied():
