@@ -24,6 +24,10 @@ from .pipeline_parallel import (
     stack_block_params,
     unstack_block_params,
 )
+from .dim_sequence_parallel import (
+    distributed_selective_scan,
+    make_dim_sequence_parallel_apply,
+)
 from .sequence_parallel import (
     data_seq_mesh,
     make_sequence_parallel_apply,
@@ -50,6 +54,8 @@ __all__ = [
     "unstack_block_params",
     "data_seq_mesh",
     "make_sequence_parallel_apply",
+    "make_dim_sequence_parallel_apply",
+    "distributed_selective_scan",
     "fsdp_shardings",
     "fsdp_spec",
     "shard_state_for_fsdp",

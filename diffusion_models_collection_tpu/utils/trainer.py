@@ -179,10 +179,16 @@ class DiffusionTrainer:
                     f"pipeline_parallel={self.pp}"
                 )
         if self.sp > 1:
-            if type(model).__name__ != "DiT":
+            name = type(model).__name__
+            if name not in ("DiT", "DiM"):
                 raise ValueError(
-                    "sequence_parallel currently supports the DiT backbone "
-                    f"only (got {type(model).__name__})"
+                    "sequence_parallel supports the DiT and DiM backbones "
+                    f"(got {name})"
+                )
+            if name == "DiM" and model.use_attention_fallback:
+                raise ValueError(
+                    "sequence_parallel for DiM runs the Mamba mixer — the "
+                    "attention fallback has no distributed path"
                 )
             img_h, img_w = model._hw()
             n_tok = (img_h // model.patch_size) * (img_w // model.patch_size)
@@ -190,6 +196,11 @@ class DiffusionTrainer:
                 raise ValueError(
                     f"{n_tok} patch tokens not divisible by "
                     f"sequence_parallel={self.sp}"
+                )
+            if name == "DiM" and n_tok // self.sp < 3:
+                raise ValueError(
+                    f"{n_tok // self.sp} local tokens per shard < the "
+                    "causal-conv halo (3) — lower sequence_parallel"
                 )
         if mesh is not None:
             self.mesh = mesh
@@ -288,11 +299,16 @@ class DiffusionTrainer:
             )
         self._sp_apply = None
         if self.sp > 1:
-            from ..parallel.sequence_parallel import (
-                make_sequence_parallel_apply,
-            )
+            if type(model).__name__ == "DiM":
+                from ..parallel.dim_sequence_parallel import (
+                    make_dim_sequence_parallel_apply as _make_sp,
+                )
+            else:
+                from ..parallel.sequence_parallel import (
+                    make_sequence_parallel_apply as _make_sp,
+                )
 
-            self._sp_apply = make_sequence_parallel_apply(model, self.mesh)
+            self._sp_apply = _make_sp(model, self.mesh)
         if self.is_main_process:
             print(f"Model parameters: {count_parameters(self.params):,}")
 

@@ -202,6 +202,37 @@ def test_dit_trainer_sequence_parallel(tmp_path):
     assert samples.shape == (8, SIZE[0], SIZE[1], 3)
 
 
+def test_dim_trainer_sequence_parallel(tmp_path):
+    """`sequence_parallel: 2` with the DiM backbone: the Mamba selective
+    scan runs DISTRIBUTED over the seq axis (local associative scans +
+    carried state summaries + halo'd causal conv) and the trainer matches
+    the data-parallel-only twin's losses exactly (dropout off)."""
+    import numpy as np
+
+    def dim():
+        # patch 2 -> 16 tokens: 8 local tokens per seq shard (>= the
+        # 3-token causal-conv halo the DiM SP path requires)
+        return DiM(img_size=SIZE, patch_size=2, in_channels=3,
+                   hidden_size=32, depth=2, state_size=4, num_classes=10,
+                   dropout=0.0)
+
+    common = dict(dropout_rng_impl="threefry", sample_interval=1,
+                  sample_start_epoch=1)
+    sp_tr = make_trainer(tmp_path / "sp", dim(), sequence_parallel=2,
+                         **common)
+    assert sp_tr.mesh.axis_names == ("data", "seq")
+    assert "DiMBlock_0" in sp_tr.state.params  # standard layout
+    sp_losses = [sp_tr.train_epoch(e) for e in (1, 2, 3)]
+
+    dp_tr = make_trainer(tmp_path / "dp", dim(), **common)
+    dp_losses = [dp_tr.train_epoch(e) for e in (1, 2, 3)]
+    assert all(math.isfinite(l) for l in sp_losses)
+    np.testing.assert_allclose(sp_losses, dp_losses, rtol=2e-5)
+
+    samples = sp_tr.sample_images(epoch=1, num_samples=8)
+    assert samples.shape == (8, SIZE[0], SIZE[1], 3)
+
+
 def test_pipeline_parallel_rejects_bad_configs(tmp_path):
     model = DiT(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
                 depth=2, num_heads=4, num_classes=10)
