@@ -21,8 +21,11 @@ Layout:
 
 Scope: forward + autodiff backward for training/inference at equivalence
 with the unpipelined model (exact when dropout is off; with dropout the
-mask stream differs by construction). DiM pipelining would need the same
-treatment of its Mamba mixer stack; out of scope this round.
+mask stream differs by construction). Works for BOTH transformer-style
+block stacks: DiT (DiTBlock / FinalLayer) and DiM (DiMBlock — the Mamba
+mixer scans run inside each stage unchanged — / DiMFinalLayer); the
+block/final modules and the param prefix are selected from the model
+class.
 """
 
 from __future__ import annotations
@@ -49,47 +52,54 @@ def data_stage_mesh(dp: int, pp: int, devices=None) -> Mesh:
     return Mesh(devices, (DATA_AXIS, STAGE_AXIS))
 
 
-def stack_block_params(params: dict, depth: int):
-    """Split a DiT param tree into (stacked_blocks, rest).
+def stack_block_params(params: dict, depth: int, prefix: str = "DiTBlock_"):
+    """Split a DiT/DiM param tree into (stacked_blocks, rest).
 
     stacked_blocks leaves have a leading (depth,) axis; rest holds the
     embedders / pos_embed / final layer unchanged.
     """
-    blocks = [params[f"DiTBlock_{i}"] for i in range(depth)]
+    blocks = [params[f"{prefix}{i}"] for i in range(depth)]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
-    rest = {k: v for k, v in params.items() if not k.startswith("DiTBlock_")}
+    rest = {k: v for k, v in params.items() if not k.startswith(prefix)}
     return stacked, rest
 
 
-def unstack_block_params(stacked: dict, rest: dict, depth: int) -> dict:
+def unstack_block_params(stacked: dict, rest: dict, depth: int,
+                         prefix: str = "DiTBlock_") -> dict:
     """Inverse of `stack_block_params` (checkpoints stay interchangeable)."""
     params = dict(rest)
     for i in range(depth):
-        params[f"DiTBlock_{i}"] = jax.tree_util.tree_map(
+        params[f"{prefix}{i}"] = jax.tree_util.tree_map(
             lambda x: x[i], stacked
         )
     return params
 
 
-def shard_dit_params_pp(mesh: Mesh, params: dict, depth: int):
+def block_prefix_for(model) -> str:
+    """Param prefix of the stackable block for a supported backbone."""
+    return {"DiT": "DiTBlock_", "DiM": "DiMBlock_"}[type(model).__name__]
+
+
+def shard_dit_params_pp(mesh: Mesh, params: dict, depth: int,
+                        prefix: str = "DiTBlock_"):
     """(stacked sharded over 'stage', rest replicated) on the mesh."""
-    tree = shard_pp_param_tree(mesh, to_pp_tree(params, depth))
+    tree = shard_pp_param_tree(mesh, to_pp_tree(params, depth, prefix))
     return tree["blocks"], tree["rest"]
 
 
 # ---- trainer integration: {"blocks": stacked, "rest": ...} param trees ----
 
-def to_pp_tree(params: dict, depth: int) -> dict:
-    """Standard DiT param tree -> the PP layout the trainer's TrainState
-    holds ({"blocks": (depth, ...) stacked, "rest": everything else})."""
-    stacked, rest = stack_block_params(params, depth)
+def to_pp_tree(params: dict, depth: int, prefix: str = "DiTBlock_") -> dict:
+    """Standard DiT/DiM param tree -> the PP layout the trainer's
+    TrainState holds ({"blocks": (depth, ...) stacked, "rest": rest})."""
+    stacked, rest = stack_block_params(params, depth, prefix)
     return {"blocks": stacked, "rest": rest}
 
 
-def from_pp_tree(tree: dict, depth: int) -> dict:
+def from_pp_tree(tree: dict, depth: int, prefix: str = "DiTBlock_") -> dict:
     """Inverse of `to_pp_tree` — used at checkpoint save so PP checkpoints
     stay byte-compatible with non-PP runs."""
-    return unstack_block_params(tree["blocks"], tree["rest"], depth)
+    return unstack_block_params(tree["blocks"], tree["rest"], depth, prefix)
 
 
 def shard_pp_param_tree(mesh: Mesh, tree: dict) -> dict:
@@ -133,7 +143,6 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]
     function is jit-compatible and differentiable; batch must be
     divisible by dp * M.
     """
-    from ..models.dit import DiTBlock, FinalLayer
     from ..models.layers import (
         LabelEmbedder,
         PatchEmbed,
@@ -150,16 +159,32 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]
     h_tok = img_h // model.patch_size
     w_tok = img_w // model.patch_size
 
-    block = DiTBlock(model.hidden_size, model.num_heads, model.mlp_ratio,
-                     model.dropout, model.dtype)
+    if type(model).__name__ == "DiM":
+        from ..models.dim import DiMBlock, DiMFinalLayer
+
+        assert not model.use_attention_fallback, (
+            "PP for DiM runs the Mamba mixer stack; the attention "
+            "fallback is not supported"
+        )
+        block = DiMBlock(model.hidden_size, model.state_size,
+                         model.mlp_ratio, model.dropout, False, model.dtype)
+        final = DiMFinalLayer(model.hidden_size, model.patch_size,
+                              model.in_channels, model.dtype)
+        final_key = "DiMFinalLayer_0"
+    else:
+        from ..models.dit import DiTBlock, FinalLayer
+
+        block = DiTBlock(model.hidden_size, model.num_heads, model.mlp_ratio,
+                         model.dropout, model.dtype)
+        final = FinalLayer(model.hidden_size, model.patch_size,
+                           model.in_channels, model.dtype)
+        final_key = "FinalLayer_0"
     patch_embed = PatchEmbed(model.patch_size, model.hidden_size, model.dtype)
     t_embed = TimestepEmbedder(model.hidden_size, dtype=model.dtype)
     y_embed = (
         LabelEmbedder(model.num_classes, model.hidden_size, model.dtype)
         if model.num_classes is not None else None
     )
-    final = FinalLayer(model.hidden_size, model.patch_size, model.in_channels,
-                       model.dtype)
 
     def _stage_blocks(my_blocks, x_mb, c_mb, base_rng, layer0, train):
         """Apply this stage's depth/pp blocks (scan over stacked params)."""
@@ -226,7 +251,7 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]
                                   train)
             # last stage finalizes microbatch mb_id once the pipeline is
             # full (tk >= pp - 1)
-            y_mb = final.apply({"params": rest["FinalLayer_0"]}, x_out,
+            y_mb = final.apply({"params": rest[final_key]}, x_out,
                                c_mb).astype(jnp.float32)
             is_last = stage == (pp - 1)
             valid = jnp.logical_and(is_last, tk >= pp - 1)

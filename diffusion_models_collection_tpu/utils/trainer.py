@@ -168,14 +168,20 @@ class DiffusionTrainer:
             )
         self.fsdp_min_size = cfg.get("fsdp_min_size")
         if self.pp > 1:
-            if type(model).__name__ != "DiT":
+            name = type(model).__name__
+            if name not in ("DiT", "DiM"):
                 raise ValueError(
-                    "pipeline_parallel currently supports the DiT backbone "
-                    f"only (got {type(model).__name__})"
+                    "pipeline_parallel supports the DiT and DiM backbones "
+                    f"(got {name})"
+                )
+            if name == "DiM" and model.use_attention_fallback:
+                raise ValueError(
+                    "pipeline_parallel for DiM runs the Mamba mixer stack — "
+                    "the attention fallback has no pipelined path"
                 )
             if model.depth % self.pp:
                 raise ValueError(
-                    f"DiT depth {model.depth} not divisible by "
+                    f"{name} depth {model.depth} not divisible by "
                     f"pipeline_parallel={self.pp}"
                 )
         if self.sp > 1:
@@ -292,7 +298,9 @@ class DiffusionTrainer:
 
             # TrainState holds the PP layout ({"blocks", "rest"});
             # checkpoints convert back to the standard tree on save.
-            self.params = pp_lib.to_pp_tree(self.params, model.depth)
+            self._pp_prefix = pp_lib.block_prefix_for(model)
+            self.params = pp_lib.to_pp_tree(self.params, model.depth,
+                                            self._pp_prefix)
             self._pp_apply = pp_lib.make_pipeline_apply(
                 model, self.mesh,
                 num_microbatches=cfg.get("pp_microbatches") or self.pp,
@@ -766,9 +774,11 @@ class DiffusionTrainer:
             # runs load each other's files
             from ..parallel.pipeline_parallel import from_pp_tree
 
-            params = from_pp_tree(params, self.model.depth)
-            ema = from_pp_tree(ema, self.model.depth) if ema is not None \
-                else None
+            params = from_pp_tree(params, self.model.depth, self._pp_prefix)
+            ema = (
+                from_pp_tree(ema, self.model.depth, self._pp_prefix)
+                if ema is not None else None
+            )
 
         def write(path):
             ckpt_lib.save_checkpoint(
@@ -801,9 +811,11 @@ class DiffusionTrainer:
         if self.pp > 1:
             from ..parallel.pipeline_parallel import to_pp_tree
 
-            params = to_pp_tree(params, self.model.depth)
-            ema = to_pp_tree(ema, self.model.depth) if ema is not None \
-                else None
+            params = to_pp_tree(params, self.model.depth, self._pp_prefix)
+            ema = (
+                to_pp_tree(ema, self.model.depth, self._pp_prefix)
+                if ema is not None else None
+            )
         # checkpoints always store the STANDARD param layout, so params/EMA
         # interchange freely between PP and non-PP runs — but optimizer
         # moments mirror the in-memory layout; reinitialize them when the

@@ -158,3 +158,69 @@ def test_pipeline_dropout_decorrelated_across_data_shards():
     out = np.asarray(apply_fn(stacked, rest, x, t, y,
                               dropout_rng=jax.random.PRNGKey(7), train=True))
     assert not np.allclose(out[:4], out[4:])
+
+
+# ------------------------------------------------------------------ DiM PP
+def _setup_dim(depth=4):
+    from diffusion_models_collection_tpu.models import DiM
+
+    model = DiM(img_size=(8, 8), patch_size=2, in_channels=3, hidden_size=32,
+                depth=depth, state_size=4, num_classes=10, dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 8, 3))
+    t = jnp.arange(8) % 10
+    y = (jnp.arange(8) % 10) + 1
+    params = model.init(jax.random.PRNGKey(1), x, t, y)["params"]
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(99), p.shape, p.dtype),
+        params)
+    return model, params, x, t, y
+
+
+def test_pipeline_dim_forward_matches_unpipelined():
+    """The DiM (Mamba) block stack pipelines through the same GPipe
+    schedule — the selective scans run inside each stage unchanged."""
+    model, params, x, t, y = _setup_dim()
+    ref = model.apply({"params": params}, x, t, y, train=False)
+    mesh = data_stage_mesh(2, 4)
+    stacked, rest = shard_dit_params_pp(mesh, params, model.depth,
+                                        prefix="DiMBlock_")
+    apply_fn = make_pipeline_apply(model, mesh, num_microbatches=4)
+    out = apply_fn(stacked, rest, x, t, y, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_dim_grads_match_unpipelined():
+    model, params, x, t, y = _setup_dim()
+    tgt = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    mesh = data_stage_mesh(2, 4)
+    stacked, rest = shard_dit_params_pp(mesh, params, model.depth,
+                                        prefix="DiMBlock_")
+    apply_fn = make_pipeline_apply(model, mesh)
+
+    g_pp = jax.grad(
+        lambda st: jnp.mean((apply_fn(st, rest, x, t, y) - tgt) ** 2)
+    )(stacked)
+    g_ref = jax.grad(
+        lambda p: jnp.mean(
+            (model.apply({"params": p}, x, t, y, train=False) - tgt) ** 2
+        )
+    )(params)
+    ref_stacked, _ = stack_block_params(g_ref, model.depth,
+                                        prefix="DiMBlock_")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5
+        ),
+        g_pp, ref_stacked,
+    )
+
+
+def test_pipeline_dim_rejects_attention_fallback():
+    from diffusion_models_collection_tpu.models import DiM
+
+    model = DiM(img_size=(8, 8), patch_size=2, in_channels=3, hidden_size=32,
+                depth=2, num_classes=10, use_attention_fallback=True)
+    with pytest.raises(AssertionError, match="fallback"):
+        make_pipeline_apply(model, data_stage_mesh(1, 2))

@@ -202,6 +202,44 @@ def test_dit_trainer_sequence_parallel(tmp_path):
     assert samples.shape == (8, SIZE[0], SIZE[1], 3)
 
 
+def test_dim_trainer_pipeline_parallel(tmp_path):
+    """`pipeline_parallel: 2` with the DiM backbone: the Mamba block stack
+    runs as a GPipe pipeline (scans inside each stage) and matches the
+    data-parallel-only twin's losses exactly; checkpoints stay in the
+    STANDARD DiMBlock_* layout."""
+    import numpy as np
+
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        load_checkpoint,
+    )
+
+    def dim():
+        return DiM(img_size=SIZE, patch_size=4, in_channels=3,
+                   hidden_size=32, depth=2, state_size=4, num_classes=10,
+                   dropout=0.0)
+
+    common = dict(dropout_rng_impl="threefry", sample_interval=1,
+                  sample_start_epoch=1, save_interval=1)
+    pp_tr = make_trainer(tmp_path / "pp", dim(), pipeline_parallel=2,
+                         **common)
+    assert pp_tr.mesh.axis_names == ("data", "stage")
+    assert set(pp_tr.state.params) == {"blocks", "rest"}
+    pp_losses = [pp_tr.train_epoch(e) for e in (1, 2, 3)]
+
+    dp_tr = make_trainer(tmp_path / "dp", dim(), **common)
+    dp_losses = [dp_tr.train_epoch(e) for e in (1, 2, 3)]
+    assert all(math.isfinite(l) for l in pp_losses)
+    np.testing.assert_allclose(pp_losses, dp_losses, rtol=2e-5)
+
+    samples = pp_tr.sample_images(epoch=1, num_samples=8)
+    assert samples.shape == (8, SIZE[0], SIZE[1], 3)
+
+    pp_tr.save_checkpoint(epoch=3)
+    payload = load_checkpoint(tmp_path / "pp" / "ckpt" / "current_model.ckpt")
+    assert "DiMBlock_0" in payload["model_state_dict"]
+    assert "blocks" not in payload["model_state_dict"]
+
+
 def test_dim_trainer_sequence_parallel(tmp_path):
     """`sequence_parallel: 2` with the DiM backbone: the Mamba selective
     scan runs DISTRIBUTED over the seq axis (local associative scans +
