@@ -137,15 +137,16 @@ class DiffusionTrainer:
         # shard by the Megatron rules (parallel/tensor_parallel.py) and
         # DiM's selective scan runs under its shard_map context.
         self.tp = int(cfg.get("tensor_parallel", 1) or 1)
-        # Pipeline parallelism (extension): `pipeline_parallel: S` runs the
-        # DiT block stack as a GPipe microbatch pipeline over a 'stage'
-        # mesh axis (parallel/pipeline_parallel.py). Mutually exclusive
-        # with tensor_parallel (a 3-D dp x pp x tp mesh is out of scope).
+        # Pipeline parallelism (extension): `pipeline_parallel: S` runs
+        # the DiT/DiM block stack as a GPipe microbatch pipeline over a
+        # 'stage' mesh axis (parallel/pipeline_parallel.py). Mutually
+        # exclusive with tensor_parallel (3-D dp x pp x tp out of scope).
         self.pp = int(cfg.get("pipeline_parallel", 1) or 1)
         # Sequence parallelism (extension): `sequence_parallel: S` splits
-        # the DiT patch-token axis over a 'seq' mesh axis (Q local, K/V
-        # all-gathered per block — parallel/sequence_parallel.py). Params
-        # stay replicated in the standard layout.
+        # the patch-token axis over a 'seq' mesh axis — DiT: Q local, K/V
+        # all-gathered per block (parallel/sequence_parallel.py); DiM: the
+        # selective scan runs distributed (parallel/dim_sequence_parallel
+        # .py). Params stay replicated in the standard layout.
         self.sp = int(cfg.get("sequence_parallel", 1) or 1)
         if sum(x > 1 for x in (self.tp, self.pp, self.sp)) > 1:
             raise ValueError(
