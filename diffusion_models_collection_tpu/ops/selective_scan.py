@@ -191,6 +191,24 @@ def _bwd_chunk_size(batch, d_inner, n_state,
 
 
 def _core_bwd(residuals, g):
+    """Dispatch for the analytic backward: Pallas kernels when eligible,
+    else `_analytic_bwd` (zero initial state / zero incoming adjoint)."""
+    x, dt, A, B, C, bound = residuals
+    from . import dispatch
+
+    if dispatch.pallas_enabled():
+        from . import selective_scan_pallas as ssp
+
+        if ssp.supported(x, A) and x.shape[1] % ssp._T_BLOCK == 0:
+            if bound is not None:
+                return ssp.selective_scan_bwd_from_ckpt_pallas(
+                    x, dt, A, B, C, g, bound
+                )
+            return ssp.selective_scan_bwd_pallas(x, dt, A, B, C, g)
+    return _analytic_bwd(x, dt, A, B, C, g)[:5]
+
+
+def _analytic_bwd(x, dt, A, B, C, g, h0=None, phi0=None):
     """Explicit analytic backward (recompute with boundary checkpoints).
 
     For the recurrence h_t = a_t h_{t-1} + b_t, y_t = C_t . h_t with
@@ -206,19 +224,13 @@ def _core_bwd(residuals, g):
     TPU compilation at production sizes. On TPU the same math runs as a
     Pallas kernel (ops/selective_scan_pallas.py:_scan_bwd_kernel) with the
     boundary checkpoints resident in VMEM.
+
+    Generalized for the distributed (sequence-parallel) scan: `h0` is the
+    incoming state h_{-1} (default zeros) and `phi0` the incoming adjoint
+    dL/dh_{L-1} from a downstream consumer of the FINAL state (default
+    zeros). Returns (dx, ddt, dA, dB, dC, dh0) — dh0 = a_0^T gamma_0, the
+    cotangent of the incoming state.
     """
-    x, dt, A, B, C, bound = residuals
-    from . import dispatch
-
-    if dispatch.pallas_enabled():
-        from . import selective_scan_pallas as ssp
-
-        if ssp.supported(x, A) and x.shape[1] % ssp._T_BLOCK == 0:
-            if bound is not None:
-                return ssp.selective_scan_bwd_from_ckpt_pallas(
-                    x, dt, A, B, C, g, bound
-                )
-            return ssp.selective_scan_bwd_pallas(x, dt, A, B, C, g)
     batch, length, d_inner = x.shape
     n_state = A.shape[1]
     K = _bwd_chunk_size(batch, d_inner, n_state)
@@ -250,7 +262,8 @@ def _core_bwd(residuals, g):
         h_end, _ = jax.lax.scan(step_fwd, h, inputs)
         return h_end, h  # emit the state entering this chunk
 
-    h0 = jnp.zeros((batch, d_inner, n_state), x.dtype)
+    if h0 is None:
+        h0 = jnp.zeros((batch, d_inner, n_state), x.dtype)
     _, h_starts = jax.lax.scan(chunk_fwd, h0, (dt_c, x_c, B_c))
 
     # ---- pass 2: reverse over chunks ------------------------------------
@@ -288,9 +301,10 @@ def _core_bwd(residuals, g):
         dx_k, ddt_k, dB_k, dC_k, dA_k = outs
         return (phi, dA_acc + dA_k.sum(0)), (dx_k, ddt_k, dB_k, dC_k)
 
-    phi0 = jnp.zeros((batch, d_inner, n_state), x.dtype)
+    if phi0 is None:
+        phi0 = jnp.zeros((batch, d_inner, n_state), x.dtype)
     dA0 = jnp.zeros_like(A)
-    (_, dA), (dx_c, ddt_c, dB_c, dC_c) = jax.lax.scan(
+    (dh0, dA), (dx_c, ddt_c, dB_c, dC_c) = jax.lax.scan(
         chunk_bwd, (phi0, dA0),
         (dt_c, x_c, B_c, C_c, g_c, h_starts),
         reverse=True,
@@ -309,10 +323,75 @@ def _core_bwd(residuals, g):
         dA,
         merge_chunks(dB_c),
         merge_chunks(dC_c),
+        dh0,
     )
 
 
 _selective_scan_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---- scan with an explicit initial/final state (distributed SP core) -------
+
+@jax.custom_vjp
+def selective_scan_with_state(x, dt, A, B, C, h_in):
+    """Selective scan with initial state h_in (batch, d_inner, d_state);
+    returns (y, h_out). The building block of the DISTRIBUTED scan
+    (parallel/dim_sequence_parallel.py): each sequence shard runs this
+    locally, and only the (B, D, N) state summaries cross devices.
+
+    Differentiable via the same analytic adjoint as the main scan
+    (chunked recompute, no autodiff through associative_scan combinators
+    — that route blows up TPU compilation at production sizes) with the
+    h_in/h_out cotangents threaded through the reverse recurrence.
+    """
+    return _scan_state_impl(x, dt, A, B, C, h_in)
+
+
+def _scan_state_impl(x, dt, A, B, C, h_in):
+    batch, length, d_inner = x.shape
+    d_state = A.shape[1]
+    dA = jnp.exp(dt[..., None] * A[None, None])
+    dBx = dt[..., None] * B[:, :, None, :] * x[..., None]
+    chunk = _auto_chunk(batch, length, d_inner, d_state)
+    if chunk is None:
+        a_cum, h_free = jax.lax.associative_scan(
+            _affine_combine, (dA, dBx), axis=1
+        )
+        h = h_free + a_cum * h_in[:, None]
+        return jnp.einsum("bldn,bln->bld", h, C), h[:, -1]
+    assert length % chunk == 0
+    n_chunks = length // chunk
+    dA_c = dA.reshape(batch, n_chunks, chunk, d_inner, d_state)
+    dBx_c = dBx.reshape(batch, n_chunks, chunk, d_inner, d_state)
+    C_c = C.reshape(batch, n_chunks, chunk, d_state)
+
+    def chunk_step(h_prev, inputs):
+        a, b, c = inputs
+        h = associative_affine_scan(a, b, axis=1)
+        a_cum = jnp.cumprod(a, axis=1)
+        h = h + a_cum * h_prev[:, None]
+        return h[:, -1], jnp.einsum("bldn,bln->bld", h, c)
+
+    h_out, y = jax.lax.scan(
+        chunk_step, h_in,
+        (dA_c.transpose(1, 0, 2, 3, 4), dBx_c.transpose(1, 0, 2, 3, 4),
+         C_c.transpose(1, 0, 2, 3)),
+    )
+    return y.transpose(1, 0, 2, 3).reshape(batch, length, d_inner), h_out
+
+
+def _sws_fwd(x, dt, A, B, C, h_in):
+    out = _scan_state_impl(x, dt, A, B, C, h_in)
+    return out, (x, dt, A, B, C, h_in)
+
+
+def _sws_bwd(residuals, g):
+    x, dt, A, B, C, h_in = residuals
+    g_y, g_hout = g
+    return _analytic_bwd(x, dt, A, B, C, g_y, h0=h_in, phi0=g_hout)
+
+
+selective_scan_with_state.defvjp(_sws_fwd, _sws_bwd)
 
 
 def selective_scan(

@@ -18,10 +18,13 @@ selective-scan recurrence runs DISTRIBUTED, the TPU way —
     incoming carry back in as  h_t += (prod a_{<=t}) * h_in.  Two
     collectives per mixer, both O(B*D*N) — independent of L.
 
-The backward is pure autodiff (all_gather transposes to psum_scatter,
-ppermute to the reverse ppermute, and shard_map's transpose psums the
-per-shard parameter cotangents). Params stay replicated — checkpoints,
-EMA and optimizer state are byte-identical to non-SP runs.
+The backward: the local scans carry the codebase's ANALYTIC adjoint
+(ops.selective_scan.selective_scan_with_state — custom VJP with chunked
+recompute, generalized with h_in/h_out cotangents), while the cross-
+shard glue (all_gather -> psum_scatter, ppermute -> reverse ppermute,
+the tiny S-length combine) is plain autodiff; shard_map's transpose
+psums the per-shard parameter cotangents. Params stay replicated —
+checkpoints, EMA and optimizer state are byte-identical to non-SP runs.
 
 Exactness: same math as ops.selective_scan's XLA path, just regrouped
 (floating-point association differs at shard boundaries — parity tests
@@ -31,18 +34,26 @@ associative formulation IS the distributed algorithm.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
-from jax.experimental.shard_map import shard_map
+from .sequence_parallel import (  # noqa: F401
+    DATA_AXIS,
+    SEQ_AXIS,
+    data_seq_mesh,
+    make_token_sharded_apply,
+)
+from ..ops.selective_scan import _affine_combine, selective_scan_with_state
 
-from .sequence_parallel import DATA_AXIS, SEQ_AXIS, data_seq_mesh  # noqa: F401
-from ..ops.selective_scan import _affine_combine
+# mamba_ssm parity: Mamba(d_conv=4) — models/dim.py hardcodes the same.
+# The halo exchange reads exactly d_conv-1 tokens from the left neighbor;
+# the trainer's pre-validation imports these so the bounds cannot drift.
+D_CONV = 4
+CONV_HALO = D_CONV - 1
 
 
 def distributed_selective_scan(x, dt, A, B, C, D=None, *, axis: str):
@@ -52,17 +63,27 @@ def distributed_selective_scan(x, dt, A, B, C, D=None, *, axis: str):
     ops.selective_scan.selective_scan_xla's contract with L = L/S local
     tokens. Cross-shard state flows through one all_gather of per-shard
     (decay_total, state_total) summaries plus an S-length combine.
-    """
-    # local affine pairs and local all-prefix solutions (h with h_in = 0)
-    dA = jnp.exp(dt[..., None] * A[None, None])              # (B, l, D, N)
-    dBx = dt[..., None] * B[:, :, None, :] * x[..., None]
-    a_cum, h_loc = jax.lax.associative_scan(
-        _affine_combine, (dA, dBx), axis=1
-    )
 
-    # cross-shard exclusive prefix of the per-shard totals
-    a_all = jax.lax.all_gather(a_cum[:, -1], axis)           # (S, B, D, N)
-    h_all = jax.lax.all_gather(h_loc[:, -1], axis)
+    The local scans are `selective_scan_with_state` — the custom-VJP
+    analytic adjoint with chunked recompute — so the backward neither
+    autodiffs through associative_scan combinators (TPU compile blowup at
+    production sizes) nor materializes unchunked (B, L/S, D, N)
+    residuals. Two local passes: one from a zero state for the per-shard
+    summary, one from the combined incoming carry for the outputs (the
+    first pass's y is dead code XLA eliminates).
+    """
+    batch, _, d_inner = x.shape
+    d_state = A.shape[1]
+    zero_state = jnp.zeros((batch, d_inner, d_state), x.dtype)
+
+    # per-shard totals: decay = prod_t exp(dt_t A) = exp(A * sum_t dt_t)
+    # (cheap and differentiable — no (B, l, D, N) prefix needed)
+    a_tot = jnp.exp(jnp.einsum("bld,dn->bdn", dt, A))
+    _, h_tot = selective_scan_with_state(x, dt, A, B, C, zero_state)
+
+    # cross-shard exclusive prefix of the summaries
+    a_all = jax.lax.all_gather(a_tot, axis)                  # (S, B, D, N)
+    h_all = jax.lax.all_gather(h_tot, axis)
     _, h_inc = jax.lax.associative_scan(
         _affine_combine, (a_all, h_all), axis=0
     )
@@ -73,11 +94,10 @@ def distributed_selective_scan(x, dt, A, B, C, D=None, *, axis: str):
         jax.lax.dynamic_index_in_dim(
             h_inc, jnp.maximum(idx - 1, 0), axis=0, keepdims=False
         ),
-        jnp.zeros_like(h_loc[:, -1]),
+        zero_state,
     )
 
-    h = h_loc + a_cum * h_in[:, None]
-    y = jnp.einsum("bldn,bln->bld", h, C)
+    y, _ = selective_scan_with_state(x, dt, A, B, C, h_in)
     if D is not None:
         y = y + x * D[None, None, :]
     return y
@@ -87,17 +107,13 @@ def make_dim_sequence_parallel_apply(model, mesh: Mesh):
     """Build `apply(params, x, t, y, dropout_rng=None, train=False) -> eps`
     for a DiM over a (data, seq) mesh. Same contract as
     sequence_parallel.make_sequence_parallel_apply; params are the
-    STANDARD DiM param tree, replicated on the mesh.
+    STANDARD DiM param tree, replicated on the mesh. The shared SP
+    scaffold (prologue, token slice, dropout streams, epilogue, wrapper
+    cache) lives in sequence_parallel.make_token_sharded_apply — only
+    the Mamba block body is defined here.
     """
     from ..models.dim import DiMFinalLayer, FeedForward
-    from ..models.layers import (
-        AdaLNModulation,
-        LabelEmbedder,
-        PatchEmbed,
-        TimestepEmbedder,
-        modulate,
-        unpatchify,
-    )
+    from ..models.layers import AdaLNModulation, modulate
 
     assert not model.use_attention_fallback, (
         "DiM sequence parallelism runs the Mamba mixer; the attention "
@@ -105,38 +121,27 @@ def make_dim_sequence_parallel_apply(model, mesh: Mesh):
     )
     sp = mesh.shape[SEQ_AXIS]
     img_h, img_w = model._hw()
-    h_tok = img_h // model.patch_size
-    w_tok = img_w // model.patch_size
-    num_patches = h_tok * w_tok
+    num_patches = (img_h // model.patch_size) * (img_w // model.patch_size)
     assert num_patches % sp == 0, (
         f"{num_patches} patch tokens not divisible by sequence_parallel={sp}"
     )
-    d_conv_halo = 3  # d_conv - 1 (mamba_ssm default d_conv=4)
-    assert num_patches // sp >= d_conv_halo, (
+    assert num_patches // sp >= CONV_HALO, (
         f"{num_patches // sp} local tokens per shard < the causal-conv "
-        f"halo ({d_conv_halo}) — the halo exchange reads the immediate "
+        f"halo ({CONV_HALO}) — the halo exchange reads the immediate "
         f"left neighbor only; lower sequence_parallel ({sp})"
     )
-    depth = model.depth
     hidden = model.hidden_size
     d_state = model.state_size
-    d_conv = 4           # models/dim.py Mamba default (mamba_ssm parity)
-    d_inner = 2 * hidden  # expand=2
+    d_inner = 2 * hidden  # expand=2 (models/dim.py Mamba default)
     dt_rank = math.ceil(hidden / 16)
     dtype = model.dtype
 
-    patch_embed = PatchEmbed(model.patch_size, hidden, dtype)
-    t_embed = TimestepEmbedder(hidden, dtype=dtype)
-    y_embed = (
-        LabelEmbedder(model.num_classes, hidden, dtype)
-        if model.num_classes is not None else None
-    )
     adaln3 = AdaLNModulation(hidden, 3, dtype=dtype)
     norm = nn.LayerNorm(epsilon=1e-6, dtype=dtype)
     ff = FeedForward(hidden, model.mlp_ratio, model.dropout, dtype)
     final = DiMFinalLayer(hidden, model.patch_size, model.in_channels, dtype)
     conv = nn.Conv(
-        d_inner, kernel_size=(d_conv,), padding="VALID",
+        d_inner, kernel_size=(D_CONV,), padding="VALID",
         feature_group_count=d_inner, dtype=dtype,
     )
 
@@ -156,7 +161,7 @@ def make_dim_sequence_parallel_apply(model, mesh: Mesh):
         # zero-padding supplies in the unsharded model; shard 0 receives
         # zeros from ppermute (no source sends to it) == causal padding
         halo = jax.lax.ppermute(
-            x[:, -(d_conv - 1):], SEQ_AXIS,
+            x[:, -CONV_HALO:], SEQ_AXIS,
             [(i, i + 1) for i in range(sp - 1)],
         )
         x = conv.apply({"params": p["conv"]},
@@ -194,63 +199,11 @@ def make_dim_sequence_parallel_apply(model, mesh: Mesh):
     if model.remat:
         _apply_block = jax.checkpoint(_apply_block, static_argnums=(4,))
 
-    def sp_fn(params, x, t, y, dropout_rng, *, train, use_labels):
-        """Runs INSIDE shard_map: x/t/y are the LOCAL data shard; params
-        replicated; this device owns tokens [idx*l_loc, (idx+1)*l_loc)."""
-        idx = jax.lax.axis_index(SEQ_AXIS)
-        # distinct dropout stream per data shard (see sequence_parallel.py)
-        dropout_rng = jax.random.fold_in(
-            dropout_rng, jax.lax.axis_index(DATA_AXIS))
+    def apply_blocks(params, tok, c, mk_rngs, train):
+        for i in range(model.depth):
+            tok = _apply_block(params[f"DiMBlock_{i}"], tok, c, mk_rngs(i),
+                               train)
+        return tok
 
-        tokens = patch_embed.apply({"params": params["PatchEmbed_0"]}, x)
-        tokens = tokens + params["pos_embed"].astype(tokens.dtype)
-        c = t_embed.apply({"params": params["TimestepEmbedder_0"]}, t)
-        if y_embed is not None and use_labels:
-            c = c + y_embed.apply({"params": params["LabelEmbedder_0"]}, y)
-
-        l_loc = num_patches // sp
-        tok = jax.lax.dynamic_slice_in_dim(tokens, idx * l_loc, l_loc, axis=1)
-
-        for i in range(depth):
-            rngs = None
-            if train and model.dropout > 0:
-                rngs = {"dropout": jax.random.fold_in(
-                    jax.random.fold_in(dropout_rng, i), idx)}
-            tok = _apply_block(params[f"DiMBlock_{i}"], tok, c, rngs, train)
-
-        out = final.apply({"params": params["DiMFinalLayer_0"]}, tok, c)
-        out = out.astype(jnp.float32)
-        out = jax.lax.all_gather(out, SEQ_AXIS, axis=1, tiled=True)
-        eps = unpatchify(out, h_tok, w_tok, model.patch_size,
-                         model.in_channels)
-        return eps.astype(jnp.float32)
-
-    _wrappers = {}
-
-    def _get(train: bool, use_labels: bool):
-        key = (train, use_labels)
-        if key not in _wrappers:
-            _wrappers[key] = shard_map(
-                functools.partial(sp_fn, train=train, use_labels=use_labels),
-                mesh=mesh,
-                in_specs=(
-                    P(),            # params replicated
-                    P(DATA_AXIS),   # x
-                    P(DATA_AXIS),   # t
-                    P(DATA_AXIS),   # y
-                    P(),            # rng (replicated; folded per shard)
-                ),
-                out_specs=P(DATA_AXIS),
-                check_rep=False,
-            )
-        return _wrappers[key]
-
-    def apply_fn(params, x, t, y, dropout_rng=None, train=False):
-        use_labels = y is not None
-        if y is None:
-            y = jnp.zeros((x.shape[0],), jnp.int32)  # placeholder, unused
-        if dropout_rng is None:
-            dropout_rng = jax.random.PRNGKey(0)  # unused unless train
-        return _get(bool(train), use_labels)(params, x, t, y, dropout_rng)
-
-    return apply_fn
+    return make_token_sharded_apply(model, mesh, apply_blocks, final,
+                                    "DiMFinalLayer_0")

@@ -47,14 +47,21 @@ def data_seq_mesh(dp: int, sp: int, devices=None) -> Mesh:
     return Mesh(devices, (DATA_AXIS, SEQ_AXIS))
 
 
-def make_sequence_parallel_apply(model, mesh: Mesh):
-    """Build `apply(params, x, t, y, dropout_rng=None, train=False) -> eps`.
+def make_token_sharded_apply(model, mesh: Mesh, apply_blocks, final,
+                             final_key: str):
+    """Shared SP scaffold for token-axis-sharded backbones (DiT / DiM).
 
-    `model` is the DiT Module (for its submodule definitions / config);
-    `params` is the STANDARD DiT param tree, replicated on the mesh.
-    num_patches must divide by the 'seq' axis size.
+    Owns everything both backbones share — the redundant prologue
+    (patchify, pos-embed, timestep/label conditioning), the per-shard
+    token slice, the per-(data shard, layer, seq shard) dropout streams,
+    the final layer + tiled all_gather + unpatchify epilogue, and the
+    per-(train, use_labels) shard_map wrapper cache. The null-label
+    gating and the dp dropout-decorrelation fold live HERE, once.
+
+    `apply_blocks(params, tok, c, mk_rngs, train)` runs the backbone's
+    block stack on the local tokens; `mk_rngs(layer)` yields the rngs
+    dict for that layer (or None when dropout is inactive).
     """
-    from ..models.dit import DiTBlock, FinalLayer
     from ..models.layers import (
         LabelEmbedder,
         PatchEmbed,
@@ -71,25 +78,13 @@ def make_sequence_parallel_apply(model, mesh: Mesh):
         f"{num_patches} patch tokens not divisible by sequence_parallel={sp}"
     )
     l_loc = num_patches // sp
-    depth = model.depth
 
-    block = DiTBlock(model.hidden_size, model.num_heads, model.mlp_ratio,
-                     model.dropout, model.dtype, kv_axis=SEQ_AXIS)
     patch_embed = PatchEmbed(model.patch_size, model.hidden_size, model.dtype)
     t_embed = TimestepEmbedder(model.hidden_size, dtype=model.dtype)
     y_embed = (
         LabelEmbedder(model.num_classes, model.hidden_size, model.dtype)
         if model.num_classes is not None else None
     )
-    final = FinalLayer(model.hidden_size, model.patch_size, model.in_channels,
-                       model.dtype)
-
-    def _apply_block(blk_params, tok, c, rngs, train):
-        return block.apply({"params": blk_params}, tok, c, train, rngs=rngs)
-
-    if model.remat:
-        # same HBM/FLOP trade as the non-SP remat path (models/dit.py)
-        _apply_block = jax.checkpoint(_apply_block, static_argnums=(4,))
 
     def sp_fn(params, x, t, y, dropout_rng, *, train, use_labels):
         """Runs INSIDE shard_map: x/t/y are the LOCAL data shard; params
@@ -114,15 +109,16 @@ def make_sequence_parallel_apply(model, mesh: Mesh):
 
         tok = jax.lax.dynamic_slice_in_dim(tokens, idx * l_loc, l_loc, axis=1)
 
-        for i in range(depth):
-            rngs = None
+        def mk_rngs(layer):
             if train and model.dropout > 0:
                 # independent stream per (layer, seq shard)
-                rngs = {"dropout": jax.random.fold_in(
-                    jax.random.fold_in(dropout_rng, i), idx)}
-            tok = _apply_block(params[f"DiTBlock_{i}"], tok, c, rngs, train)
+                return {"dropout": jax.random.fold_in(
+                    jax.random.fold_in(dropout_rng, layer), idx)}
+            return None
 
-        out = final.apply({"params": params["FinalLayer_0"]}, tok, c)
+        tok = apply_blocks(params, tok, c, mk_rngs, train)
+
+        out = final.apply({"params": params[final_key]}, tok, c)
         out = out.astype(jnp.float32)
         out = jax.lax.all_gather(out, SEQ_AXIS, axis=1, tiled=True)
         eps = unpatchify(out, h_tok, w_tok, model.patch_size,
@@ -160,3 +156,34 @@ def make_sequence_parallel_apply(model, mesh: Mesh):
         return _get(bool(train), use_labels)(params, x, t, y, dropout_rng)
 
     return apply_fn
+
+
+def make_sequence_parallel_apply(model, mesh: Mesh):
+    """Build `apply(params, x, t, y, dropout_rng=None, train=False) -> eps`.
+
+    `model` is the DiT Module (for its submodule definitions / config);
+    `params` is the STANDARD DiT param tree, replicated on the mesh.
+    num_patches must divide by the 'seq' axis size.
+    """
+    from ..models.dit import DiTBlock, FinalLayer
+
+    block = DiTBlock(model.hidden_size, model.num_heads, model.mlp_ratio,
+                     model.dropout, model.dtype, kv_axis=SEQ_AXIS)
+    final = FinalLayer(model.hidden_size, model.patch_size, model.in_channels,
+                       model.dtype)
+
+    def _apply_block(blk_params, tok, c, rngs, train):
+        return block.apply({"params": blk_params}, tok, c, train, rngs=rngs)
+
+    if model.remat:
+        # same HBM/FLOP trade as the non-SP remat path (models/dit.py)
+        _apply_block = jax.checkpoint(_apply_block, static_argnums=(4,))
+
+    def apply_blocks(params, tok, c, mk_rngs, train):
+        for i in range(model.depth):
+            tok = _apply_block(params[f"DiTBlock_{i}"], tok, c, mk_rngs(i),
+                               train)
+        return tok
+
+    return make_token_sharded_apply(model, mesh, apply_blocks, final,
+                                    "FinalLayer_0")

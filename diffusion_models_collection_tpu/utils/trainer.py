@@ -204,11 +204,15 @@ class DiffusionTrainer:
                     f"{n_tok} patch tokens not divisible by "
                     f"sequence_parallel={self.sp}"
                 )
-            if name == "DiM" and n_tok // self.sp < 3:
-                raise ValueError(
-                    f"{n_tok // self.sp} local tokens per shard < the "
-                    "causal-conv halo (3) — lower sequence_parallel"
-                )
+            if name == "DiM":
+                from ..parallel.dim_sequence_parallel import CONV_HALO
+
+                if n_tok // self.sp < CONV_HALO:
+                    raise ValueError(
+                        f"{n_tok // self.sp} local tokens per shard < the "
+                        f"causal-conv halo ({CONV_HALO}) — lower "
+                        "sequence_parallel"
+                    )
         if mesh is not None:
             self.mesh = mesh
             if self.tp > 1 and "model" not in mesh.axis_names:

@@ -212,3 +212,90 @@ def test_dim_sp_rejects_shards_smaller_than_conv_halo():
                 depth=1, num_classes=10)
     with pytest.raises(AssertionError, match="halo"):
         make_dim_sequence_parallel_apply(model, data_seq_mesh(1, 8))
+
+
+def test_scan_with_state_grads_match_autodiff_reference():
+    """selective_scan_with_state's analytic adjoint (generalized with
+    h_in input and h_out cotangent) == autodiff of an inline reference —
+    covers every cotangent incl. dh_in and the g_hout -> reverse-
+    recurrence initialization."""
+    from diffusion_models_collection_tpu.ops.selective_scan import (
+        _affine_combine,
+        selective_scan_with_state,
+    )
+
+    rng = np.random.default_rng(3)
+    batch, L, d_inner, n = 2, 6, 3, 2
+    x = jnp.asarray(rng.standard_normal((batch, L, d_inner)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.01, 0.2, (batch, L, d_inner)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (d_inner, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((batch, L, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((batch, L, n)), jnp.float32)
+    h_in = jnp.asarray(rng.standard_normal((batch, d_inner, n)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((batch, d_inner, n)), jnp.float32)
+
+    def ref(x, dt, A, B, C, h_in):
+        dA = jnp.exp(dt[..., None] * A[None, None])
+        dBx = dt[..., None] * B[:, :, None, :] * x[..., None]
+        a_cum, h_free = jax.lax.associative_scan(
+            _affine_combine, (dA, dBx), axis=1)
+        h = h_free + a_cum * h_in[:, None]
+        return jnp.einsum("bldn,bln->bld", h, C), h[:, -1]
+
+    def loss(f):
+        def inner(*args):
+            y, h_out = f(*args)
+            # exercise BOTH cotangents: y and the final state
+            return jnp.sum(y ** 2) + jnp.sum(h_out * w)
+        return inner
+
+    args = (x, dt, A, B, C, h_in)
+    y_ours, h_ours = selective_scan_with_state(*args)
+    y_ref, h_ref = ref(*args)
+    np.testing.assert_allclose(np.asarray(y_ours), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(h_ours), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-6)
+
+    g_ours = jax.grad(loss(selective_scan_with_state),
+                      argnums=tuple(range(6)))(*args)
+    g_ref = jax.grad(loss(ref), argnums=tuple(range(6)))(*args)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+
+
+def test_scan_with_state_chunked_path_matches():
+    """Force the chunked forward (tiny budget via long L) against the
+    unchunked formula."""
+    from diffusion_models_collection_tpu.ops.selective_scan import (
+        _scan_state_impl,
+        selective_scan_with_state,
+    )
+
+    rng = np.random.default_rng(4)
+    batch, L, d_inner, n = 1, 32, 4, 2
+    x = jnp.asarray(rng.standard_normal((batch, L, d_inner)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.01, 0.2, (batch, L, d_inner)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (d_inner, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((batch, L, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((batch, L, n)), jnp.float32)
+    h_in = jnp.asarray(rng.standard_normal((batch, d_inner, n)), jnp.float32)
+
+    y_ref, h_ref = selective_scan_with_state(x, dt, A, B, C, h_in)
+    import importlib
+
+    # the package exports a `selective_scan` FUNCTION that shadows the
+    # module attribute — fetch the module itself
+    ss = importlib.import_module(
+        "diffusion_models_collection_tpu.ops.selective_scan")
+    orig = ss._auto_chunk
+    ss._auto_chunk = lambda *a, **k: 8  # force 4 chunks
+    try:
+        y_c, h_c = _scan_state_impl(x, dt, A, B, C, h_in)
+    finally:
+        ss._auto_chunk = orig
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(h_c), np.asarray(h_ref),
+                               rtol=2e-5, atol=2e-6)

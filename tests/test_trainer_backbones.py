@@ -278,10 +278,17 @@ def test_pipeline_parallel_rejects_bad_configs(tmp_path):
         make_trainer(tmp_path, model, pipeline_parallel=2, tensor_parallel=2)
     with pytest.raises(ValueError, match="not divisible"):
         make_trainer(tmp_path, model, pipeline_parallel=3)
-    dim = DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
-              depth=2, state_size=4, num_classes=10)
-    with pytest.raises(ValueError, match="DiT backbone"):
-        make_trainer(tmp_path, dim, pipeline_parallel=2)
+    unet = __import__(
+        "diffusion_models_collection_tpu.models", fromlist=["UNet"]
+    ).UNet(image_size=SIZE, in_channels=3, model_channels=8, out_channels=3,
+           num_res_blocks=1, attention_resolutions=(), channel_mult=(1,))
+    with pytest.raises(ValueError, match="DiT and DiM"):
+        make_trainer(tmp_path, unet, pipeline_parallel=2)
+    fb = DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+             depth=2, state_size=4, num_classes=10,
+             use_attention_fallback=True)
+    with pytest.raises(ValueError, match="fallback"):
+        make_trainer(tmp_path, fb, pipeline_parallel=2)
 
 
 def test_sequence_parallel_rejects_bad_configs(tmp_path):
@@ -293,9 +300,15 @@ def test_sequence_parallel_rejects_bad_configs(tmp_path):
         make_trainer(tmp_path, model, sequence_parallel=2,
                      pipeline_parallel=2)
     with pytest.raises(ValueError, match="not divisible"):
-        # SIZE/4 -> 4x4 = 16 tokens; 3 does not divide 16
+        # SIZE/4 -> 4 tokens; 3 does not divide 4
         make_trainer(tmp_path, model, sequence_parallel=3)
+    fb = DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
+             depth=2, state_size=4, num_classes=10,
+             use_attention_fallback=True)
+    with pytest.raises(ValueError, match="fallback"):
+        make_trainer(tmp_path, fb, sequence_parallel=2)
     dim = DiM(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
               depth=2, state_size=4, num_classes=10)
-    with pytest.raises(ValueError, match="DiT backbone"):
+    with pytest.raises(ValueError, match="halo"):
+        # 4 tokens over 2 shards = 2 local < the 3-token conv halo
         make_trainer(tmp_path, dim, sequence_parallel=2)
