@@ -112,42 +112,8 @@ def selective_scan_xla(
     Returns:
       y: (batch, L, d_inner)
     """
-    # Discretize: decay a = exp(dt*A), drive b = dt*B*x  — (B, L, D, N)
-    dA = jnp.exp(dt[..., None] * A[None, None])
-    dBx = dt[..., None] * B[:, :, None, :] * x[..., None]
-
-    if chunk_size is None or x.shape[1] <= chunk_size:
-        h = associative_affine_scan(dA, dBx, axis=1)
-        y = jnp.einsum("bldn,bln->bld", h, C)
-    else:
-        batch, length, d_inner = x.shape
-        d_state = A.shape[1]
-        assert length % chunk_size == 0, "sequence length must divide chunk_size"
-        n_chunks = length // chunk_size
-        dA_c = dA.reshape(batch, n_chunks, chunk_size, d_inner, d_state)
-        dBx_c = dBx.reshape(batch, n_chunks, chunk_size, d_inner, d_state)
-        C_c = C.reshape(batch, n_chunks, chunk_size, d_state)
-
-        def chunk_step(h_prev, inputs):
-            a, b, c = inputs  # (B, chunk, D, N), (B, chunk, D, N), (B, chunk, N)
-            h = associative_affine_scan(a, b, axis=1)
-            # fold in the carried state: h_t += (prod a_{<=t}) * h_prev
-            a_cum = jnp.cumprod(a, axis=1)
-            h = h + a_cum * h_prev[:, None]
-            y = jnp.einsum("bldn,bln->bld", h, c)
-            return h[:, -1], y
-
-        _, y = jax.lax.scan(
-            chunk_step,
-            jnp.zeros((batch, d_inner, d_state), x.dtype),
-            (
-                dA_c.transpose(1, 0, 2, 3, 4),
-                dBx_c.transpose(1, 0, 2, 3, 4),
-                C_c.transpose(1, 0, 2, 3),
-            ),
-        )
-        y = y.transpose(1, 0, 2, 3).reshape(batch, length, d_inner)
-
+    zero = jnp.zeros((x.shape[0], x.shape[2], A.shape[1]), x.dtype)
+    y, _ = _scan_state_impl(x, dt, A, B, C, zero, chunk=chunk_size)
     if D is not None:
         y = y + x * D[None, None, :]
     return y
@@ -347,27 +313,36 @@ def selective_scan_with_state(x, dt, A, B, C, h_in):
     return _scan_state_impl(x, dt, A, B, C, h_in)
 
 
-def _scan_state_impl(x, dt, A, B, C, h_in):
+def _scan_state_impl(x, dt, A, B, C, h_in, chunk="auto"):
+    """Forward scan with initial state h_in -> (y, h_out). The ONE chunked
+    scan implementation — selective_scan_xla and the distributed-SP core
+    both route here (chunk: "auto" = memory-budgeted via _auto_chunk;
+    None = unchunked; int = that chunk length)."""
     batch, length, d_inner = x.shape
     d_state = A.shape[1]
+    # Discretize: decay a = exp(dt*A), drive b = dt*B*x  — (B, L, D, N)
     dA = jnp.exp(dt[..., None] * A[None, None])
     dBx = dt[..., None] * B[:, :, None, :] * x[..., None]
-    chunk = _auto_chunk(batch, length, d_inner, d_state)
-    if chunk is None:
+    if chunk == "auto":
+        chunk = _auto_chunk(batch, length, d_inner, d_state)
+    if chunk is None or length <= chunk:
         a_cum, h_free = jax.lax.associative_scan(
             _affine_combine, (dA, dBx), axis=1
         )
+        # fold in the initial state: h_t += (prod a_{<=t}) * h_in
+        # (XLA folds this away when h_in is a zeros constant)
         h = h_free + a_cum * h_in[:, None]
         return jnp.einsum("bldn,bln->bld", h, C), h[:, -1]
-    assert length % chunk == 0
+    assert length % chunk == 0, "sequence length must divide chunk_size"
     n_chunks = length // chunk
     dA_c = dA.reshape(batch, n_chunks, chunk, d_inner, d_state)
     dBx_c = dBx.reshape(batch, n_chunks, chunk, d_inner, d_state)
     C_c = C.reshape(batch, n_chunks, chunk, d_state)
 
     def chunk_step(h_prev, inputs):
-        a, b, c = inputs
+        a, b, c = inputs  # (B, chunk, D, N), (B, chunk, D, N), (B, chunk, N)
         h = associative_affine_scan(a, b, axis=1)
+        # fold in the carried state: h_t += (prod a_{<=t}) * h_prev
         a_cum = jnp.cumprod(a, axis=1)
         h = h + a_cum * h_prev[:, None]
         return h[:, -1], jnp.einsum("bldn,bln->bld", h, c)

@@ -49,9 +49,12 @@ from .sequence_parallel import (  # noqa: F401
 )
 from ..ops.selective_scan import _affine_combine, selective_scan_with_state
 
-# mamba_ssm parity: Mamba(d_conv=4) — models/dim.py hardcodes the same.
+# mamba_ssm parity: DiM instantiates Mamba with its default d_conv=4
+# (models/dim.py — Mamba exposes d_conv as a field but DiM never sets it).
 # The halo exchange reads exactly d_conv-1 tokens from the left neighbor;
-# the trainer's pre-validation imports these so the bounds cannot drift.
+# the trainer's pre-validation imports these so the bounds cannot drift,
+# and mamba_mixer asserts the conv kernel's actual width against D_CONV
+# at apply time in case a future DiM plumbs d_conv through.
 D_CONV = 4
 CONV_HALO = D_CONV - 1
 
@@ -157,6 +160,11 @@ def make_dim_sequence_parallel_apply(model, mesh: Mesh):
         x = dense(p["in_proj_x"], u)
         z = dense(p["in_proj_z"], u)
 
+        assert p["conv"]["kernel"].shape[0] == D_CONV, (
+            f"conv kernel width {p['conv']['kernel'].shape[0]} != the "
+            f"assumed d_conv={D_CONV} — the halo exchange would ship the "
+            "wrong number of tokens"
+        )
         # causal depthwise conv: the left neighbor supplies the halo that
         # zero-padding supplies in the unsharded model; shard 0 receives
         # zeros from ppermute (no source sends to it) == causal padding

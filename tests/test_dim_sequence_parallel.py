@@ -299,3 +299,56 @@ def test_scan_with_state_chunked_path_matches():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(h_c), np.asarray(h_ref),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_scan_with_state_multichunk_backward_matches():
+    """Force MULTIPLE backward chunks with nonzero h_in and a live h_out
+    cotangent — the chunk-boundary carry threading (h_starts init +
+    reverse-scan phi across boundaries) that production shard sizes hit
+    but small unit shapes never would (review: round-2 pass 5)."""
+    import importlib
+
+    from diffusion_models_collection_tpu.ops.selective_scan import (
+        _affine_combine,
+        selective_scan_with_state,
+    )
+
+    ss = importlib.import_module(
+        "diffusion_models_collection_tpu.ops.selective_scan")
+
+    rng = np.random.default_rng(5)
+    batch, L, d_inner, n = 2, 12, 3, 2
+    x = jnp.asarray(rng.standard_normal((batch, L, d_inner)), jnp.float32)
+    dt = jnp.asarray(rng.uniform(0.01, 0.2, (batch, L, d_inner)), jnp.float32)
+    A = -jnp.asarray(rng.uniform(0.5, 2.0, (d_inner, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((batch, L, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((batch, L, n)), jnp.float32)
+    h_in = jnp.asarray(rng.standard_normal((batch, d_inner, n)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((batch, d_inner, n)), jnp.float32)
+
+    def ref(x, dt, A, B, C, h_in):
+        dA = jnp.exp(dt[..., None] * A[None, None])
+        dBx = dt[..., None] * B[:, :, None, :] * x[..., None]
+        a_cum, h_free = jax.lax.associative_scan(
+            _affine_combine, (dA, dBx), axis=1)
+        h = h_free + a_cum * h_in[:, None]
+        return jnp.einsum("bldn,bln->bld", h, C), h[:, -1]
+
+    def loss(f):
+        def inner(*args):
+            y, h_out = f(*args)
+            return jnp.sum(y ** 2) + jnp.sum(h_out * w)
+        return inner
+
+    args = (x, dt, A, B, C, h_in)
+    orig = ss._bwd_chunk_size
+    ss._bwd_chunk_size = lambda *a, **k: 4  # L=12 -> 3 backward chunks
+    try:
+        g_ours = jax.grad(loss(selective_scan_with_state),
+                          argnums=tuple(range(6)))(*args)
+    finally:
+        ss._bwd_chunk_size = orig
+    g_ref = jax.grad(loss(ref), argnums=tuple(range(6)))(*args)
+    for a, b in zip(g_ours, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
