@@ -31,6 +31,12 @@ WORKER = textwrap.dedent(
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # share the suite's persistent compile cache (tests/conftest.py) —
+    # without it every worker recompiles the whole train program from
+    # scratch, and two cold workers on a small CI host can blow the
+    # communicate() timeout
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dmc_tpu_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}", num_processes=2,
         process_id=pid,
@@ -134,7 +140,7 @@ def test_two_process_training(tmp_path):
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -170,7 +176,7 @@ def test_two_process_fsdp(tmp_path):
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -215,7 +221,7 @@ def test_two_process_tensor_parallel(tmp_path):
     outputs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
