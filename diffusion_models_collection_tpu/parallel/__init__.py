@@ -19,6 +19,7 @@ from .mesh import (
 )
 from .pipeline_parallel import (
     data_stage_mesh,
+    data_stage_model_mesh,
     make_pipeline_apply,
     shard_dit_params_pp,
     stack_block_params,
@@ -48,6 +49,7 @@ __all__ = [
     "process_index",
     "process_count",
     "data_stage_mesh",
+    "data_stage_model_mesh",
     "make_pipeline_apply",
     "shard_dit_params_pp",
     "stack_block_params",

@@ -38,10 +38,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from jax.experimental.shard_map import shard_map
-
 DATA_AXIS = "data"
 STAGE_AXIS = "stage"
+MODEL_AXIS = "model"
 
 
 def data_stage_mesh(dp: int, pp: int, devices=None) -> Mesh:
@@ -50,6 +49,20 @@ def data_stage_mesh(dp: int, pp: int, devices=None) -> Mesh:
         devices = jax.devices()
     devices = np.asarray(devices[: dp * pp]).reshape(dp, pp)
     return Mesh(devices, (DATA_AXIS, STAGE_AXIS))
+
+
+def data_stage_model_mesh(dp: int, pp: int, tp: int, devices=None) -> Mesh:
+    """3-D mesh: dp x pp x tp (DP x GPipe x Megatron composition).
+
+    The 'model' axis is innermost so TP collectives (one all-reduce per
+    block half, every microbatch tick) ride the fastest ICI links, while
+    the per-tick stage handoff (one ppermute) and the per-step gradient
+    reduction (psum over 'data') tolerate longer hops.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: dp * pp * tp]).reshape(dp, pp, tp)
+    return Mesh(devices, (DATA_AXIS, STAGE_AXIS, MODEL_AXIS))
 
 
 def stack_block_params(params: dict, depth: int, prefix: str = "DiTBlock_"):
@@ -102,14 +115,42 @@ def from_pp_tree(tree: dict, depth: int, prefix: str = "DiTBlock_") -> dict:
     return unstack_block_params(tree["blocks"], tree["rest"], depth, prefix)
 
 
-def shard_pp_param_tree(mesh: Mesh, tree: dict) -> dict:
-    """blocks sharded over 'stage' (leading depth axis), rest replicated."""
-    blocks = jax.tree_util.tree_map(
-        lambda x: jax.device_put(
-            x, NamedSharding(mesh, P(STAGE_AXIS, *([None] * (x.ndim - 1))))
-        ),
-        tree["blocks"],
+def stacked_block_spec(path_keys, leaf) -> P:
+    """PartitionSpec for one stacked-block leaf: leading depth axis over
+    'stage', plus — when composing PP x TP — the per-block Megatron spec
+    (parallel/tensor_parallel.py rules) over 'model' on the remaining
+    dims. The stacked tree's paths are the per-block paths (stacking
+    strips the `DiTBlock_i` prefix), which is exactly what the Megatron
+    path rules match on."""
+    import types
+
+    from .tensor_parallel import _spec_for_path
+
+    # the rules only consult .ndim — avoid slicing the (possibly
+    # device-resident) stacked leaf just to drop its depth axis
+    per_block = _spec_for_path(
+        path_keys, types.SimpleNamespace(ndim=leaf.ndim - 1)
     )
+    tail = list(per_block) + [None] * (leaf.ndim - 1 - len(per_block))
+    return P(STAGE_AXIS, *tail[: leaf.ndim - 1])
+
+
+def shard_pp_param_tree(mesh: Mesh, tree: dict) -> dict:
+    """blocks sharded over 'stage' (leading depth axis) — and, on a mesh
+    with a 'model' axis (PP x TP), Megatron-sharded over 'model' on the
+    per-block dims; rest replicated (the embedders/final layer are
+    replicated under the Megatron rules too)."""
+    with_tp = MODEL_AXIS in mesh.axis_names
+
+    def _block_sharding(path, x):
+        spec = (
+            stacked_block_spec(path, x)
+            if with_tp
+            else P(STAGE_AXIS, *([None] * (x.ndim - 1)))
+        )
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    blocks = jax.tree_util.tree_map_with_path(_block_sharding, tree["blocks"])
     rest = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree["rest"]
     )
@@ -286,7 +327,16 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]
     def _get(train: bool, use_labels: bool):
         key = (train, use_labels)
         if key not in _wrappers:
-            _wrappers[key] = shard_map(
+            # Partial-manual shard_map: manual over (data, stage) — the
+            # GPipe schedule and its ppermute handoffs — while any 'model'
+            # mesh axis stays AUTO, so Megatron-sharded block params (PP x
+            # TP composition) keep their GSPMD sharding inside the pipeline
+            # body and XLA inserts the per-block all-reduces itself.
+            # jit-wrapped: besides being how the trainer runs it anyway,
+            # jax's EAGER impl of partial-manual shard_map rebuilds
+            # out_specs as P(mesh.axis_names) internally and trips its own
+            # manual-axes validator when the mesh has auto axes (jax 0.9).
+            _wrappers[key] = jax.jit(jax.shard_map(
                 functools.partial(pipe_fn, train=train,
                                   use_labels=use_labels),
                 mesh=mesh,
@@ -299,8 +349,9 @@ def make_pipeline_apply(model, mesh: Mesh, num_microbatches: Optional[int]
                     P(),            # rng (replicated)
                 ),
                 out_specs=P(DATA_AXIS),
-                check_rep=False,
-            )
+                axis_names={DATA_AXIS, STAGE_AXIS},
+                check_vma=False,
+            ))
         return _wrappers[key]
 
     def apply_fn(stacked, rest, x, t, y, dropout_rng=None, train=False):

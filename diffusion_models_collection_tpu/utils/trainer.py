@@ -139,8 +139,11 @@ class DiffusionTrainer:
         self.tp = int(cfg.get("tensor_parallel", 1) or 1)
         # Pipeline parallelism (extension): `pipeline_parallel: S` runs
         # the DiT/DiM block stack as a GPipe microbatch pipeline over a
-        # 'stage' mesh axis (parallel/pipeline_parallel.py). Mutually
-        # exclusive with tensor_parallel (3-D dp x pp x tp out of scope).
+        # 'stage' mesh axis (parallel/pipeline_parallel.py). Composes with
+        # `tensor_parallel` for DiT (3-D dp x pp x tp: the pipeline
+        # shard_map is manual over (data, stage) while 'model' stays a
+        # GSPMD auto axis, so the stacked block params carry their
+        # Megatron shardings straight through the pipeline body).
         self.pp = int(cfg.get("pipeline_parallel", 1) or 1)
         # Sequence parallelism (extension): `sequence_parallel: S` splits
         # the patch-token axis over a 'seq' mesh axis — DiT: Q local, K/V
@@ -148,11 +151,20 @@ class DiffusionTrainer:
         # selective scan runs distributed (parallel/dim_sequence_parallel
         # .py). Params stay replicated in the standard layout.
         self.sp = int(cfg.get("sequence_parallel", 1) or 1)
-        if sum(x > 1 for x in (self.tp, self.pp, self.sp)) > 1:
+        if self.sp > 1 and (self.tp > 1 or self.pp > 1):
             raise ValueError(
-                "tensor_parallel, pipeline_parallel and sequence_parallel "
-                "cannot be combined (pick one model-sharding strategy)"
+                "sequence_parallel cannot be combined with tensor_parallel "
+                "or pipeline_parallel (the token-sharded apply owns its "
+                "layout)"
             )
+        if self.tp > 1 and self.pp > 1:
+            if type(model).__name__ != "DiT":
+                raise ValueError(
+                    "pipeline_parallel x tensor_parallel is supported for "
+                    "DiT (DiM's Pallas selective scan needs its own "
+                    "'model'-axis shard_map, which cannot nest inside the "
+                    "pipeline's manual (data, stage) context)"
+                )
         # FSDP / ZeRO (extension): `fsdp: true` stores params, Adam
         # moments and EMA sharded over the 'data' axis (parallel/fsdp.py)
         # — XLA all-gathers weights before use and reduce-scatters grads,
@@ -227,6 +239,18 @@ class DiffusionTrainer:
                 raise ValueError(
                     "sequence_parallel > 1 needs a mesh with a 'seq' axis"
                 )
+        elif self.tp > 1 and self.pp > 1:
+            from ..parallel.pipeline_parallel import data_stage_model_mesh
+
+            ndev = len(jax.devices())
+            if ndev % (self.pp * self.tp):
+                raise ValueError(
+                    f"pipeline_parallel={self.pp} x tensor_parallel="
+                    f"{self.tp} does not divide {ndev} devices"
+                )
+            self.mesh = data_stage_model_mesh(
+                ndev // (self.pp * self.tp), self.pp, self.tp
+            )
         elif self.tp > 1:
             from ..parallel.tensor_parallel import data_model_mesh
 
@@ -391,8 +415,16 @@ class DiffusionTrainer:
         self.profile_dir = cfg.get("profile_dir")
 
     def _place_state(self, state: "TrainState") -> "TrainState":
-        """Replicate (DP), Megatron-shard (DP x TP), stage-shard (DP x PP)
-        or ZeRO-shard (FSDP) the train state."""
+        """Replicate (DP), Megatron-shard (DP x TP), stage-shard (DP x PP,
+        plus Megatron over 'model' when composed with TP) or ZeRO-shard
+        (FSDP) the train state."""
+        if self.pp > 1:
+            # checked BEFORE tp: under PP x TP the state lives in the PP
+            # {"blocks","rest"} layout and shard_pp_param_tree applies the
+            # Megatron 'model' specs to the stacked blocks itself.
+            from ..parallel.pipeline_parallel import shard_state_for_pp
+
+            return shard_state_for_pp(self.mesh, state)
         if self.tp > 1:
             from ..parallel.tensor_parallel import shard_state_for_tp
 
@@ -400,10 +432,6 @@ class DiffusionTrainer:
             if self.fsdp_min_size is not None:
                 kw["zero_min_size"] = int(self.fsdp_min_size)
             return shard_state_for_tp(self.mesh, state, zero=self.fsdp, **kw)
-        if self.pp > 1:
-            from ..parallel.pipeline_parallel import shard_state_for_pp
-
-            return shard_state_for_pp(self.mesh, state)
         if self.fsdp:
             from ..parallel import fsdp as fsdp_lib
 

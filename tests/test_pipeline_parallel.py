@@ -224,3 +224,60 @@ def test_pipeline_dim_rejects_attention_fallback():
                 depth=2, num_classes=10, use_attention_fallback=True)
     with pytest.raises(AssertionError, match="fallback"):
         make_pipeline_apply(model, data_stage_mesh(1, 2))
+
+
+# ---- PP x TP composition: 3-axis (data, stage, model) mesh ---------------
+
+def test_pipeline_tp_forward_matches_unpipelined():
+    """DP x PP x TP: the pipeline shard_map is manual over (data, stage)
+    while 'model' stays a GSPMD auto axis — the Megatron-sharded stacked
+    blocks flow through the GPipe schedule and XLA inserts the per-block
+    all-reduces. Forward == the plain unsharded model."""
+    from diffusion_models_collection_tpu.parallel import (
+        data_stage_model_mesh,
+    )
+
+    model, params, x, t, y = _setup()
+    ref = model.apply({"params": params}, x, t, y, train=False)
+    mesh = data_stage_model_mesh(2, 2, 2)
+    stacked, rest = shard_dit_params_pp(mesh, params, model.depth)
+    # the Megatron specs actually landed: QKV column-parallel over 'model'
+    qkv = stacked["SelfAttention_0"]["Dense_0"]["kernel"]
+    assert "model" in str(qkv.sharding.spec) and \
+        "stage" in str(qkv.sharding.spec), qkv.sharding.spec
+    out_proj = stacked["SelfAttention_0"]["Dense_1"]["kernel"]
+    assert "model" in str(out_proj.sharding.spec), out_proj.sharding.spec
+    apply_fn = make_pipeline_apply(model, mesh, num_microbatches=2)
+    out = apply_fn(stacked, rest, x, t, y, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_tp_grads_match_unpipelined():
+    """Autodiff through the partial-manual pipeline with Megatron-sharded
+    blocks == per-block grads of the plain model."""
+    from diffusion_models_collection_tpu.parallel import (
+        data_stage_model_mesh,
+    )
+
+    model, params, x, t, y = _setup()
+    tgt = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    mesh = data_stage_model_mesh(2, 2, 2)
+    stacked, rest = shard_dit_params_pp(mesh, params, model.depth)
+    apply_fn = make_pipeline_apply(model, mesh)
+
+    g_pp = jax.grad(
+        lambda st: jnp.mean((apply_fn(st, rest, x, t, y) - tgt) ** 2)
+    )(stacked)
+    g_ref = jax.grad(
+        lambda p: jnp.mean(
+            (model.apply({"params": p}, x, t, y, train=False) - tgt) ** 2
+        )
+    )(params)
+    g_ref_stacked, _ = stack_block_params(g_ref, model.depth)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5
+        ),
+        g_pp, g_ref_stacked,
+    )
