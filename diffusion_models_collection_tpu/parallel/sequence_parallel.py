@@ -33,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from jax.experimental.shard_map import shard_map
 
 DATA_AXIS = "data"
 SEQ_AXIS = "seq"
@@ -132,7 +131,7 @@ def make_token_sharded_apply(model, mesh: Mesh, apply_blocks, final,
     def _get(train: bool, use_labels: bool):
         key = (train, use_labels)
         if key not in _wrappers:
-            _wrappers[key] = shard_map(
+            _wrappers[key] = jax.shard_map(
                 functools.partial(sp_fn, train=train, use_labels=use_labels),
                 mesh=mesh,
                 in_specs=(
@@ -143,7 +142,7 @@ def make_token_sharded_apply(model, mesh: Mesh, apply_blocks, final,
                     P(),            # rng (replicated; folded per shard)
                 ),
                 out_specs=P(DATA_AXIS),
-                check_rep=False,
+                check_vma=False,
             )
         return _wrappers[key]
 

@@ -21,7 +21,6 @@ from diffusion_models_collection_tpu.parallel.dim_sequence_parallel import (
     make_dim_sequence_parallel_apply,
 )
 
-from jax.experimental.shard_map import shard_map
 
 
 def _setup(dropout=0.0, remat=False):
@@ -64,13 +63,13 @@ def test_distributed_scan_matches_xla(sp):
     ref = selective_scan_xla(x, dt, A, B, C, D)
 
     mesh = data_seq_mesh(1, sp)
-    fn = shard_map(
+    fn = jax.shard_map(
         lambda *a: distributed_selective_scan(*a, axis="seq"),
         mesh=mesh,
         in_specs=(P(None, "seq"), P(None, "seq"), P(), P(None, "seq"),
                   P(None, "seq"), P()),
         out_specs=P(None, "seq"),
-        check_rep=False,
+        check_vma=False,
     )
     out = fn(x, dt, A, B, C, D)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -89,13 +88,13 @@ def test_distributed_scan_grads_match_xla():
         jnp.asarray(rng.standard_normal((d_inner,)), jnp.float32),
     )
     mesh = data_seq_mesh(1, 4)
-    fn = shard_map(
+    fn = jax.shard_map(
         lambda *a: distributed_selective_scan(*a, axis="seq"),
         mesh=mesh,
         in_specs=(P(None, "seq"), P(None, "seq"), P(), P(None, "seq"),
                   P(None, "seq"), P()),
         out_specs=P(None, "seq"),
-        check_rep=False,
+        check_vma=False,
     )
     g_sp = jax.jit(jax.grad(lambda *a: jnp.sum(fn(*a) ** 2),
                             argnums=(0, 1, 2, 3, 4, 5)))(*args)
