@@ -36,6 +36,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 DATA_AXIS = "data"
 SEQ_AXIS = "seq"
+MODEL_AXIS = "model"
 
 
 def data_seq_mesh(dp: int, sp: int, devices=None) -> Mesh:
@@ -44,6 +45,20 @@ def data_seq_mesh(dp: int, sp: int, devices=None) -> Mesh:
         devices = jax.devices()
     devices = np.asarray(devices[: dp * sp]).reshape(dp, sp)
     return Mesh(devices, (DATA_AXIS, SEQ_AXIS))
+
+
+def data_seq_model_mesh(dp: int, sp: int, tp: int, devices=None) -> Mesh:
+    """3-D mesh: dp x sp x tp (DP x token-sharding x Megatron).
+
+    'model' innermost: the per-block TP all-reduces (every layer) ride
+    the fastest ICI links; the SP collectives (K/V all-gather per DiT
+    block, or the DiM scan's two O(B*D*N) summary collectives) take the
+    next hop, and the per-step gradient psum over 'data' the longest.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: dp * sp * tp]).reshape(dp, sp, tp)
+    return Mesh(devices, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def make_token_sharded_apply(model, mesh: Mesh, apply_blocks, final,
@@ -131,19 +146,27 @@ def make_token_sharded_apply(model, mesh: Mesh, apply_blocks, final,
     def _get(train: bool, use_labels: bool):
         key = (train, use_labels)
         if key not in _wrappers:
-            _wrappers[key] = jax.shard_map(
+            # Partial-manual shard_map: manual over (data, seq) — the
+            # token slicing and the SP collectives — while any 'model'
+            # mesh axis stays AUTO, so Megatron-sharded params (SP x TP
+            # composition) keep their GSPMD sharding inside the body and
+            # XLA inserts the per-block all-reduces itself. jit-wrapped
+            # because jax 0.9's EAGER partial-manual impl rebuilds
+            # out_specs as P(mesh.axis_names) and trips its own validator.
+            _wrappers[key] = jax.jit(jax.shard_map(
                 functools.partial(sp_fn, train=train, use_labels=use_labels),
                 mesh=mesh,
                 in_specs=(
-                    P(),            # params replicated
+                    P(),            # params replicated over (data, seq)
                     P(DATA_AXIS),   # x
                     P(DATA_AXIS),   # t
                     P(DATA_AXIS),   # y
                     P(),            # rng (replicated; folded per shard)
                 ),
                 out_specs=P(DATA_AXIS),
+                axis_names={DATA_AXIS, SEQ_AXIS},
                 check_vma=False,
-            )
+            ))
         return _wrappers[key]
 
     def apply_fn(params, x, t, y, dropout_rng=None, train=False):

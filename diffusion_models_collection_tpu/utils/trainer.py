@@ -151,11 +151,10 @@ class DiffusionTrainer:
         # selective scan runs distributed (parallel/dim_sequence_parallel
         # .py). Params stay replicated in the standard layout.
         self.sp = int(cfg.get("sequence_parallel", 1) or 1)
-        if self.sp > 1 and (self.tp > 1 or self.pp > 1):
+        if self.sp > 1 and self.pp > 1:
             raise ValueError(
-                "sequence_parallel cannot be combined with tensor_parallel "
-                "or pipeline_parallel (the token-sharded apply owns its "
-                "layout)"
+                "sequence_parallel cannot be combined with "
+                "pipeline_parallel (both own the block-stack dataflow)"
             )
         if self.tp > 1 and self.pp > 1:
             if type(model).__name__ != "DiT":
@@ -239,6 +238,18 @@ class DiffusionTrainer:
                 raise ValueError(
                     "sequence_parallel > 1 needs a mesh with a 'seq' axis"
                 )
+        elif self.tp > 1 and self.sp > 1:
+            from ..parallel.sequence_parallel import data_seq_model_mesh
+
+            ndev = len(jax.devices())
+            if ndev % (self.sp * self.tp):
+                raise ValueError(
+                    f"sequence_parallel={self.sp} x tensor_parallel="
+                    f"{self.tp} does not divide {ndev} devices"
+                )
+            self.mesh = data_seq_model_mesh(
+                ndev // (self.sp * self.tp), self.sp, self.tp
+            )
         elif self.tp > 1 and self.pp > 1:
             from ..parallel.pipeline_parallel import data_stage_model_mesh
 

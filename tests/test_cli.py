@@ -574,3 +574,62 @@ def test_train_cli_pp_x_tp(tmp_path):
     assert "Training completed!" in out
     assert "'stage': 2" in out and "'model': 2" in out  # 3-axis mesh
     assert (tmp_path / "ckpt" / "current_model.ckpt").exists()
+
+
+def test_train_cli_sp_x_tp(tmp_path):
+    """`sequence_parallel: 2` + `tensor_parallel: 2` straight through
+    `python train.py` on the 8-device CPU mesh: the trainer builds the
+    2x2x2 (data, seq, model) mesh — DiM's distributed selective scan over
+    'seq' with Megatron channel sharding riding the auto 'model' axis."""
+    cfg = {
+        "project_name": "diffusion-models",
+        "experiment_name": "sptp-smoke-dim",
+        "model_type": "dim",
+        "model_params": {
+            # patch 2 -> 16 tokens: 8 local per seq shard (>= 3-token halo)
+            "img_size": (8, 8), "patch_size": 2, "in_channels": 3,
+            "hidden_size": 32, "depth": 2, "state_size": 4,
+            "mlp_ratio": 2.0, "dropout": 0.0,
+        },
+        "dataset": "synthetic",
+        "data_root": "./data",
+        "image_size": (8, 8),
+        "conditional": True,
+        "num_classes": 10,
+        "num_timesteps": 10,
+        "beta_start": 1e-4,
+        "beta_end": 0.02,
+        "beta_schedule": "linear",
+        "loss_type": "l2",
+        "cfg_scale": 1.4,
+        "num_inference_steps": 5,
+        "ddim_eta": 0.0,
+        "epochs": 1,
+        "batch_size": 16,
+        "optimizer": "adamw",
+        "learning_rate": 1e-3,
+        "weight_decay": 0.0,
+        "gradient_accumulation_steps": 1,
+        "use_ema": True,
+        "ema_decay": 0.99,
+        "cfg_dropout_prob": 0.2,
+        "use_scheduler": False,
+        "sequence_parallel": 2,
+        "tensor_parallel": 2,
+        "save_dir": str(tmp_path / "ckpt"),
+        "save_interval": 10,
+        "resume_path": None,
+        "sample_dir": str(tmp_path / "gen"),
+        "sample_interval": 100,
+        "sample_start_epoch": 100,
+        "num_samples": 4,
+        "use_swanlab": False,
+        "seed": 42,
+    }
+    cfg_path = tmp_path / "sptp_dim.py"
+    cfg_path.write_text(f"config = {cfg!r}\n")
+    out = run([str(REPO / "train.py"), "--config", str(cfg_path)],
+              cwd=str(tmp_path))
+    assert "Training completed!" in out
+    assert "'seq': 2" in out and "'model': 2" in out  # 3-axis mesh
+    assert (tmp_path / "ckpt" / "current_model.ckpt").exists()

@@ -173,3 +173,46 @@ def test_sequence_parallel_dropout_decorrelated_across_data_shards():
     out = np.asarray(apply_fn(pr, xs, ts, ys,
                               dropout_rng=jax.random.PRNGKey(7), train=True))
     assert not np.allclose(out[:4], out[4:])
+
+
+# ---- SP x TP composition: 3-axis (data, seq, model) mesh -----------------
+
+def test_sp_tp_forward_and_grads_match_unsharded():
+    """DP x SP x TP: the token-sharded shard_map is manual over
+    (data, seq) while 'model' stays a GSPMD auto axis — Megatron-sharded
+    params flow through the SP body (Q local / K,V all-gathered per
+    block) and XLA inserts the per-block all-reduces. Forward AND param
+    grads == the plain unsharded model."""
+    from diffusion_models_collection_tpu.parallel.sequence_parallel import (
+        data_seq_model_mesh,
+    )
+    from diffusion_models_collection_tpu.parallel.tensor_parallel import (
+        shard_model_params,
+    )
+
+    model, params, x, t, y = _setup()
+    ref = model.apply({"params": params}, x, t, y, train=False)
+    mesh = data_seq_model_mesh(2, 2, 2)
+    sharded = shard_model_params(mesh, params)
+    qkv = sharded["DiTBlock_0"]["SelfAttention_0"]["Dense_0"]["kernel"]
+    assert "model" in str(qkv.sharding.spec), qkv.sharding.spec
+    apply_fn = make_sequence_parallel_apply(model, mesh)
+    out = apply_fn(sharded, x, t, y, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    tgt = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+    g_sp = jax.grad(
+        lambda p: jnp.mean((apply_fn(p, x, t, y) - tgt) ** 2)
+    )(sharded)
+    g_ref = jax.grad(
+        lambda p: jnp.mean(
+            (model.apply({"params": p}, x, t, y, train=False) - tgt) ** 2
+        )
+    )(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-5
+        ),
+        g_sp, g_ref,
+    )

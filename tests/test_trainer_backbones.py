@@ -297,8 +297,8 @@ def test_pipeline_parallel_rejects_bad_configs(tmp_path):
 def test_sequence_parallel_rejects_bad_configs(tmp_path):
     model = DiT(img_size=SIZE, patch_size=4, in_channels=3, hidden_size=32,
                 depth=2, num_heads=4, num_classes=10)
-    with pytest.raises(ValueError, match="cannot be combined"):
-        make_trainer(tmp_path, model, sequence_parallel=2, tensor_parallel=2)
+    # SP x TP is SUPPORTED (test_dit_trainer_sp_x_tp); with PP it stays
+    # rejected (both own the block-stack dataflow)
     with pytest.raises(ValueError, match="cannot be combined"):
         make_trainer(tmp_path, model, sequence_parallel=2,
                      pipeline_parallel=2)
@@ -368,3 +368,64 @@ def test_pp_x_tp_rejects_dim(tmp_path):
     with pytest.raises(ValueError, match="DiT"):
         make_trainer(tmp_path, model, model_type="dim",
                      pipeline_parallel=2, tensor_parallel=2)
+
+
+def test_dit_trainer_sp_x_tp(tmp_path):
+    """`sequence_parallel: 2` + `tensor_parallel: 2` on the 8-device CPU
+    mesh: the trainer builds the 2x2x2 (data, seq, model) mesh, params
+    carry the Megatron 'model' specs while staying in the standard
+    layout, and three epochs match the data-parallel-only trainer's
+    losses exactly."""
+    import numpy as np
+
+    def dit():
+        return DiT(img_size=SIZE, patch_size=4, in_channels=3,
+                   hidden_size=32, depth=2, num_heads=4, num_classes=10,
+                   dropout=0.0)
+
+    common = dict(dropout_rng_impl="threefry", sample_interval=1,
+                  sample_start_epoch=1)
+    tr = make_trainer(tmp_path / "sptp", dit(), sequence_parallel=2,
+                      tensor_parallel=2, **common)
+    assert tr.mesh.axis_names == ("data", "seq", "model")
+    assert tr.mesh.devices.shape == (2, 2, 2)
+    qkv = tr.state.params["DiTBlock_0"]["SelfAttention_0"]["Dense_0"][
+        "kernel"]
+    assert "model" in str(qkv.sharding.spec), qkv.sharding.spec
+    losses = [tr.train_epoch(e) for e in (1, 2, 3)]
+
+    dp_tr = make_trainer(tmp_path / "dp", dit(), **common)
+    dp_losses = [dp_tr.train_epoch(e) for e in (1, 2, 3)]
+    assert all(math.isfinite(l) for l in losses)
+    np.testing.assert_allclose(losses, dp_losses, rtol=2e-5)
+
+    samples = tr.sample_images(epoch=1, num_samples=8)
+    assert samples.shape == (8, SIZE[0], SIZE[1], 3)
+
+
+def test_dim_trainer_sp_x_tp(tmp_path):
+    """SP x TP for DiM: the distributed selective scan (seq axis) and
+    the Megatron channel sharding (auto 'model' axis) compose through
+    the trainer; losses match the DP twin exactly."""
+    import numpy as np
+
+    def dim():
+        # patch 2 -> 16 tokens: 8 local per seq shard (>= the 3-token halo)
+        return DiM(img_size=SIZE, patch_size=2, in_channels=3,
+                   hidden_size=32, depth=2, state_size=4, num_classes=10,
+                   dropout=0.0)
+
+    common = dict(dropout_rng_impl="threefry", sample_interval=1,
+                  sample_start_epoch=1)
+    tr = make_trainer(tmp_path / "sptp", dim(), sequence_parallel=2,
+                      tensor_parallel=2, **common)
+    assert tr.mesh.axis_names == ("data", "seq", "model")
+    in_proj = tr.state.params["DiMBlock_0"]["MambaBlock_0"]["Mamba_0"][
+        "in_proj_x"]["kernel"]
+    assert "model" in str(in_proj.sharding.spec), in_proj.sharding.spec
+    losses = [tr.train_epoch(e) for e in (1, 2, 3)]
+
+    dp_tr = make_trainer(tmp_path / "dp", dim(), **common)
+    dp_losses = [dp_tr.train_epoch(e) for e in (1, 2, 3)]
+    assert all(math.isfinite(l) for l in losses)
+    np.testing.assert_allclose(losses, dp_losses, rtol=2e-5)
