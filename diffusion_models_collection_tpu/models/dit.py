@@ -97,7 +97,12 @@ class Mlp(nn.Module):
 
 
 class DiTBlock(nn.Module):
-    """adaLN-Zero transformer block (parity: dit.py:87-132)."""
+    """adaLN-Zero transformer block (parity: dit.py:87-132).
+
+    `num_experts > 0` swaps the dense MLP for a routed Mixture-of-Experts
+    bank (models/moe.py, DiT-MoE style) — an extension with no reference
+    counterpart; everything else in the block is unchanged.
+    """
 
     hidden_size: int
     num_heads: int
@@ -105,6 +110,9 @@ class DiTBlock(nn.Module):
     dropout: float = 0.1
     dtype: Optional[Dtype] = None
     kv_axis: Optional[str] = None  # see SelfAttention.kv_axis
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
@@ -121,8 +129,17 @@ class DiTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
                          dtype=self.dtype)(x)
         h = modulate(h, shift_mlp, scale_mlp)
-        h = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
-                self.dropout, self.dtype)(h, train)
+        if self.num_experts > 0:
+            from .moe import MoeMlp
+
+            h = MoeMlp(
+                int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+                self.num_experts, self.moe_top_k, self.moe_capacity_factor,
+                self.dropout, self.dtype,
+            )(h, train)
+        else:
+            h = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+                    self.dropout, self.dtype)(h, train)
         x = x + gate_mlp[:, None, :] * h
         return x
 
@@ -166,6 +183,12 @@ class DiT(nn.Module):
     dropout: float = 0.1
     dtype: Optional[Dtype] = None
     remat: bool = False
+    # Mixture-of-Experts extension (models/moe.py): num_experts > 0 swaps
+    # every block's MLP for a top-k routed expert bank; expert parallelism
+    # shards the stacked expert weights (parallel/expert_parallel.py).
+    num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     def _hw(self) -> Tuple[int, int]:
         if isinstance(self.img_size, int):
@@ -201,7 +224,10 @@ class DiT(nn.Module):
             # remat wraps the class (checkpoints stay interchangeable)
             x = block_cls(
                 self.hidden_size, self.num_heads, self.mlp_ratio, self.dropout,
-                self.dtype, name=f"DiTBlock_{i}",
+                self.dtype, num_experts=self.num_experts,
+                moe_top_k=self.moe_top_k,
+                moe_capacity_factor=self.moe_capacity_factor,
+                name=f"DiTBlock_{i}",
             )(x, c, train)
 
         x = FinalLayer(self.hidden_size, self.patch_size, self.in_channels,

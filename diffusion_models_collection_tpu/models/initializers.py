@@ -22,6 +22,10 @@ torch_default_kernel = nn.initializers.variance_scaling(
 xavier_uniform = nn.initializers.xavier_uniform()
 zeros = nn.initializers.zeros
 normal_002 = nn.initializers.normal(stddev=0.02)
+# Stacked expert kernels (E, fan_in, fan_out): the leading expert axis is
+# a batch axis, so each expert's 2-D slice gets the same xavier bounds a
+# standalone Dense kernel would (models/moe.py).
+expert_xavier = nn.initializers.xavier_uniform(batch_axis=0)
 
 
 def torch_default_bias(fan_in: int):

@@ -39,6 +39,11 @@ from .fsdp import (
     shard_state_for_fsdp,
     sharded_fraction,
 )
+from .expert_parallel import (
+    data_expert_mesh,
+    ep_shardings,
+    shard_state_for_ep,
+)
 
 __all__ = [
     "data_parallel_mesh",
@@ -62,4 +67,7 @@ __all__ = [
     "fsdp_spec",
     "shard_state_for_fsdp",
     "sharded_fraction",
+    "data_expert_mesh",
+    "ep_shardings",
+    "shard_state_for_ep",
 ]

@@ -34,7 +34,15 @@ def data_parallel_mesh(num_devices: Optional[int] = None,
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard axis 0 across the data axis; everything else replicated."""
+    """Shard axis 0 across the data axis; everything else replicated.
+
+    On an expert-parallel mesh the batch axis spans BOTH ('data',
+    'expert'): the dense majority of the network stays fully
+    data-parallel across all devices, and XLA inserts the token
+    all-to-alls where activations meet the 'expert'-sharded expert
+    weights (parallel/expert_parallel.py)."""
+    if "expert" in mesh.axis_names:
+        return NamedSharding(mesh, P((DATA_AXIS, "expert")))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

@@ -151,10 +151,46 @@ class DiffusionTrainer:
         # selective scan runs distributed (parallel/dim_sequence_parallel
         # .py). Params stay replicated in the standard layout.
         self.sp = int(cfg.get("sequence_parallel", 1) or 1)
+        # Expert parallelism (extension): `expert_parallel: E` shards the
+        # MoE DiT's stacked expert weights over an 'expert' mesh axis
+        # (parallel/expert_parallel.py) — XLA partitions the expert
+        # einsums and inserts the dispatch/combine all-to-alls. The dense
+        # remainder of the network treats 'expert' as extra data
+        # parallelism (grads reduce over both axes).
+        self.ep = int(cfg.get("expert_parallel", 1) or 1)
+        # Load-balance aux loss weight (Switch Transformer's 1e-2
+        # default); only active when the model routes experts.
+        self.moe_aux_weight = float(cfg.get("moe_aux_weight", 0.01))
+        if self.ep > 1:
+            if self.tp > 1 or self.pp > 1 or self.sp > 1:
+                raise ValueError(
+                    "expert_parallel composes with plain data parallelism "
+                    "only — not tensor/pipeline/sequence parallelism"
+                )
+            num_experts = int(getattr(model, "num_experts", 0) or 0)
+            if num_experts <= 0:
+                raise ValueError(
+                    "expert_parallel > 1 needs a MoE model "
+                    "(DiT with num_experts > 0)"
+                )
+            if num_experts % self.ep:
+                raise ValueError(
+                    f"num_experts {num_experts} not divisible by "
+                    f"expert_parallel={self.ep}"
+                )
         if self.sp > 1 and self.pp > 1:
             raise ValueError(
                 "sequence_parallel cannot be combined with "
                 "pipeline_parallel (both own the block-stack dataflow)"
+            )
+        if int(getattr(model, "num_experts", 0) or 0) > 0 and (
+            self.pp > 1 or self.sp > 1
+        ):
+            raise ValueError(
+                "MoE models (num_experts > 0) do not support pipeline/"
+                "sequence parallelism (their shard_map bodies drop the "
+                "sown load-balance loss); use expert_parallel, "
+                "tensor_parallel, fsdp or plain data parallelism"
             )
         if self.tp > 1 and self.pp > 1:
             if type(model).__name__ != "DiT":
@@ -172,11 +208,12 @@ class DiffusionTrainer:
         # TP-free dim shards over 'data' on top of its TP spec); PP/SP
         # own their layouts via shard_map in_specs and stay exclusive.
         self.fsdp = bool(cfg.get("fsdp", False))
-        if self.fsdp and (self.pp > 1 or self.sp > 1):
+        if self.fsdp and (self.pp > 1 or self.sp > 1 or self.ep > 1):
             raise ValueError(
-                "fsdp cannot be combined with pipeline_parallel or "
-                "sequence_parallel (those strategies define their own "
-                "parameter layouts); fsdp + tensor_parallel is supported"
+                "fsdp cannot be combined with pipeline_parallel, "
+                "sequence_parallel or expert_parallel (those strategies "
+                "define their own parameter layouts); fsdp + "
+                "tensor_parallel is supported"
             )
         self.fsdp_min_size = cfg.get("fsdp_min_size")
         if self.pp > 1:
@@ -238,6 +275,10 @@ class DiffusionTrainer:
                 raise ValueError(
                     "sequence_parallel > 1 needs a mesh with a 'seq' axis"
                 )
+            if self.ep > 1 and "expert" not in mesh.axis_names:
+                raise ValueError(
+                    "expert_parallel > 1 needs a mesh with an 'expert' axis"
+                )
         elif self.tp > 1 and self.sp > 1:
             from ..parallel.sequence_parallel import data_seq_model_mesh
 
@@ -292,6 +333,16 @@ class DiffusionTrainer:
                     f"{ndev} devices"
                 )
             self.mesh = data_seq_mesh(ndev // self.sp, self.sp)
+        elif self.ep > 1:
+            from ..parallel.expert_parallel import data_expert_mesh
+
+            ndev = len(jax.devices())
+            if ndev % self.ep:
+                raise ValueError(
+                    f"expert_parallel={self.ep} does not divide "
+                    f"{ndev} devices"
+                )
+            self.mesh = data_expert_mesh(ndev // self.ep, self.ep)
         else:
             self.mesh = pmesh.data_parallel_mesh()
         self.is_main_process = pmesh.process_index() == 0
@@ -409,6 +460,13 @@ class DiffusionTrainer:
             from ..ops.selective_scan import scan_tensor_parallel
 
             self._tp_scope = lambda: scan_tensor_parallel(self.mesh, "model")
+        elif self.ep > 1:
+            # Expert parallelism: trace/step under jax.set_mesh so MoeMlp's
+            # with_sharding_constraint pins (models/moe.py) can resolve the
+            # 'expert' axis from the ambient mesh — they turn the
+            # batch-sharded -> expert-sharded layout flip into the intended
+            # token all-to-all instead of a full rematerialization.
+            self._tp_scope = lambda: jax.set_mesh(self.mesh)
         else:
             self._tp_scope = contextlib.nullcontext
 
@@ -450,6 +508,10 @@ class DiffusionTrainer:
             if self.fsdp_min_size is not None:
                 kw["min_size"] = int(self.fsdp_min_size)
             return fsdp_lib.shard_state_for_fsdp(self.mesh, state, **kw)
+        if self.ep > 1:
+            from ..parallel.expert_parallel import shard_state_for_ep
+
+            return shard_state_for_ep(self.mesh, state)
         return pmesh.replicate(self.mesh, state)
 
     # ---------------------------------------------------------------- step
@@ -468,6 +530,14 @@ class DiffusionTrainer:
         dropout_rng_impl = self.dropout_rng_impl
         pp_apply = self._pp_apply
         sp_apply = self._sp_apply
+        # MoE load-balance aux loss (models/moe.py sows 'losses'): active
+        # only when the model routes experts. PP/SP exclude MoE (trainer
+        # validation), so only the plain-apply branch collects it.
+        moe_aux = (
+            float(self.moe_aux_weight)
+            if int(getattr(model, "num_experts", 0) or 0) > 0
+            else 0.0
+        )
 
         def _dropout_key(raw):
             """Re-key the dropout stream on the configured PRNG impl."""
@@ -500,6 +570,7 @@ class DiffusionTrainer:
                 y = None
 
             def loss_fn(params):
+                aux_box = []
                 if pp_apply is not None:
                     def model_fn(x, tt, yy):
                         return pp_apply(
@@ -512,6 +583,24 @@ class DiffusionTrainer:
                             params, x, tt, yy,
                             dropout_rng=dropout_rng, train=True,
                         )
+                elif moe_aux > 0:
+                    def model_fn(x, tt, yy):
+                        eps, sown = model.apply(
+                            {"params": params},
+                            x,
+                            tt,
+                            yy,
+                            train=True,
+                            rngs={"dropout": dropout_rng},
+                            mutable=["losses"],
+                        )
+                        vals = jax.tree_util.tree_leaves(
+                            sown.get("losses", {})
+                        )
+                        if vals:
+                            # mean over blocks (each MoeMlp sows one scalar)
+                            aux_box.append(sum(vals) / len(vals))
+                        return eps
                 else:
                     def model_fn(x, tt, yy):
                         return model.apply(
@@ -523,9 +612,12 @@ class DiffusionTrainer:
                             rngs={"dropout": dropout_rng},
                         )
 
-                return diffusion_base.p_losses(
+                main = diffusion_base.p_losses(
                     schedule, model_fn, images, t, noise, y=y, loss_type=loss_type
                 )
+                if aux_box:
+                    main = main + moe_aux * aux_box[0]
+                return main
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, new_opt_state = optimizer.update(

@@ -189,6 +189,61 @@ def test_train_cli_tensor_parallel(tmp_path, model_type):
     assert (tmp_path / "ckpt" / "current_model.ckpt").exists()
 
 
+def test_train_cli_expert_parallel(tmp_path):
+    """MoE-DiT (`num_experts` in model_params) with `expert_parallel: 2`
+    straight through `python train.py`: the trainer builds the 4x2
+    (data, expert) mesh, shards the stacked expert bank over 'expert'
+    and trains with the load-balance aux loss in the objective."""
+    cfg = {
+        "project_name": "diffusion-models",
+        "experiment_name": "ep-smoke-dit-moe",
+        "model_type": "dit",
+        "model_params": {**TP_MODEL_PARAMS["dit"], "num_experts": 4,
+                         "moe_top_k": 2},
+        "expert_parallel": 2,
+        "moe_aux_weight": 0.01,
+        "dataset": "synthetic",
+        "data_root": "./data",
+        "image_size": (8, 8),
+        "conditional": True,
+        "num_classes": 10,
+        "num_timesteps": 10,
+        "beta_start": 1e-4,
+        "beta_end": 0.02,
+        "beta_schedule": "linear",
+        "loss_type": "l2",
+        "cfg_scale": 1.4,
+        "num_inference_steps": 5,
+        "ddim_eta": 0.0,
+        "epochs": 1,
+        "batch_size": 16,
+        "optimizer": "adamw",
+        "learning_rate": 1e-3,
+        "weight_decay": 0.0,
+        "gradient_accumulation_steps": 1,
+        "use_ema": True,
+        "ema_decay": 0.99,
+        "cfg_dropout_prob": 0.2,
+        "use_scheduler": False,
+        "save_dir": str(tmp_path / "ckpt"),
+        "save_interval": 10,
+        "resume_path": None,
+        "sample_dir": str(tmp_path / "gen"),
+        "sample_interval": 100,
+        "sample_start_epoch": 100,
+        "num_samples": 4,
+        "use_swanlab": False,
+        "seed": 42,
+    }
+    cfg_path = tmp_path / "ep_dit_moe.py"
+    cfg_path.write_text(f"config = {cfg!r}\n")
+    out = run([str(REPO / "train.py"), "--config", str(cfg_path)],
+              cwd=str(tmp_path))
+    assert "Training completed!" in out
+    assert "'expert': 2" in out  # trainer built the (data, expert) mesh
+    assert (tmp_path / "ckpt" / "current_model.ckpt").exists()
+
+
 def test_evaluate_cli(workdir):
     out_json = workdir / "metrics.json"
     out = run(
