@@ -12,12 +12,14 @@ from .base import (
 from .ddim import DDIM
 from .ddpm import DDPM
 from .dpm_solver import DPMSolverPP
+from .flow_matching import FlowMatching
 from .schedule import NoiseSchedule, ddim_timesteps, make_betas
 
 __all__ = [
     "DDPM",
     "DDIM",
     "DPMSolverPP",
+    "FlowMatching",
     "NoiseSchedule",
     "make_betas",
     "ddim_timesteps",

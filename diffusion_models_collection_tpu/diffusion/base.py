@@ -19,6 +19,12 @@ ModelFn = Callable[..., jnp.ndarray]  # model_fn(x, t, y) -> predicted eps
 
 VALID_LOSS_TYPES = ("l1", "l2", "huber")
 
+# What the network regresses. The reference is eps-only (ddpm.py:106-140);
+# 'v' (Salimans & Ho 2022, progressive distillation) and 'x0' are
+# extensions. All three are affine reparameterizations of each other at a
+# given (x_t, t), so the samplers stay eps-based internally and convert.
+VALID_PREDICTION_TYPES = ("eps", "v", "x0")
+
 
 def as_pytree_fn(fn: Callable) -> Callable:
     """Wrap a plain callable so it can be passed through `jax.jit` boundaries.
@@ -64,6 +70,94 @@ def diffusion_loss(
     )
 
 
+def prediction_target(
+    schedule: NoiseSchedule,
+    x_start: jnp.ndarray,
+    noise: jnp.ndarray,
+    t: jnp.ndarray,
+    prediction_type: str = "eps",
+) -> jnp.ndarray:
+    """The regression target for a given parameterization.
+
+    eps: the noise itself (reference parity). x0: the clean image.
+    v = sqrt(acp_t) * eps - sqrt(1 - acp_t) * x0 (Salimans & Ho 2022, eq. 11).
+    """
+    if prediction_type == "eps":
+        return noise
+    if prediction_type == "x0":
+        return x_start
+    if prediction_type == "v":
+        a = extract(schedule.sqrt_alphas_cumprod, t, x_start.ndim)
+        b = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x_start.ndim)
+        return a * noise - b * x_start
+    raise ValueError(
+        f"Unknown prediction type: {prediction_type!r} "
+        f"(expected one of {VALID_PREDICTION_TYPES})"
+    )
+
+
+def eps_from_prediction(
+    schedule: NoiseSchedule,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    out: jnp.ndarray,
+    prediction_type: str,
+) -> jnp.ndarray:
+    """Convert a model output in any parameterization to epsilon.
+
+    With x_t = a*x0 + b*eps (a = sqrt(acp_t), b = sqrt(1-acp_t)):
+      v-pred:  eps = b*x_t + a*v        (inverse of the v definition)
+      x0-pred: eps = (c1*x_t - x0)/c2   (inverse of predict_x0_from_eps)
+    Both are affine in `out` at fixed (x_t, t), so CFG guidance commutes
+    with this conversion — guiding raw outputs then converting equals
+    converting both branches then guiding on eps.
+    """
+    if prediction_type == "eps":
+        return out
+    if prediction_type == "v":
+        a = extract(schedule.sqrt_alphas_cumprod, t, x.ndim)
+        b = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x.ndim)
+        return b * x + a * out
+    if prediction_type == "x0":
+        c1 = extract(schedule.sqrt_recip_alphas_cumprod, t, x.ndim)
+        c2 = extract(schedule.sqrt_recipm1_alphas_cumprod, t, x.ndim)
+        return (c1 * x - out) / c2
+    raise ValueError(
+        f"Unknown prediction type: {prediction_type!r} "
+        f"(expected one of {VALID_PREDICTION_TYPES})"
+    )
+
+
+def _eps_model_call_v(schedule, inner, x, t, y=None):
+    return eps_from_prediction(schedule, x, t, inner(x, t, y), "v")
+
+
+def _eps_model_call_x0(schedule, inner, x, t, y=None):
+    return eps_from_prediction(schedule, x, t, inner(x, t, y), "x0")
+
+
+def wrap_model_as_eps(
+    schedule: NoiseSchedule, model_fn: ModelFn, prediction_type: str
+) -> Callable:
+    """An eps-space view of a model trained under any parameterization.
+
+    Returns a `jax.tree_util.Partial` built from module-level functions so
+    the callable's identity is stable across sampler calls (no retraces);
+    the schedule and inner model ride through jit as pytree leaves.
+    """
+    fn = as_pytree_fn(model_fn)
+    if prediction_type == "eps":
+        return fn
+    if prediction_type == "v":
+        return jax.tree_util.Partial(_eps_model_call_v, schedule, fn)
+    if prediction_type == "x0":
+        return jax.tree_util.Partial(_eps_model_call_x0, schedule, fn)
+    raise ValueError(
+        f"Unknown prediction type: {prediction_type!r} "
+        f"(expected one of {VALID_PREDICTION_TYPES})"
+    )
+
+
 def p_losses(
     schedule: NoiseSchedule,
     model_fn: ModelFn,
@@ -72,16 +166,20 @@ def p_losses(
     noise: jnp.ndarray,
     y: Optional[jnp.ndarray] = None,
     loss_type: str = "l2",
+    prediction_type: str = "eps",
 ) -> jnp.ndarray:
     """Training loss (parity: reference ddpm.py:106-140).
 
     Unlike the reference, `noise` is explicit (JAX functional RNG): callers
     draw it from their PRNG stream. The model is a callable argument —
     diffusion never imports models (the reference's key invariant).
+    `prediction_type` selects the regression target (eps/v/x0; eps is
+    reference parity).
     """
     x_noisy = q_sample(schedule, x_start, t, noise)
-    predicted_noise = model_fn(x_noisy, t, y)
-    return diffusion_loss(noise, predicted_noise, loss_type)
+    predicted = model_fn(x_noisy, t, y)
+    target = prediction_target(schedule, x_start, noise, t, prediction_type)
+    return diffusion_loss(target, predicted, loss_type)
 
 
 def predict_x0_from_eps(

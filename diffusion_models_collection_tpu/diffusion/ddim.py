@@ -72,6 +72,7 @@ def _scan_segment(
     rng: jax.Array,
     y: Optional[jnp.ndarray],
     cfg_scale: jnp.ndarray,
+    known=None,
     *,
     eta: float,
     use_cfg: bool,
@@ -81,7 +82,12 @@ def _scan_segment(
 ):
     """A segment of the DDIM trajectory (parity: ddim.py:210-346);
     segments exist only for host progress reporting — RNG folds the
-    global position index, so boundaries don't affect trajectories."""
+    global position index, so boundaries don't affect trajectories.
+    `known = (known_x0, mask)` enables inpainting projection after each
+    update (None keeps the pytree structure, hence the compiled program,
+    identical to the plain sampler)."""
+    from .ddpm import _project_known
+
     batch = img.shape[0]
 
     def step(carry, scan_in):
@@ -104,6 +110,10 @@ def _scan_segment(
             else None
         )
         img = ddim_step(schedule, img, t, t_next, eps, x0, eta, noise)
+        if known is not None:
+            img = _project_known(
+                schedule, img, t_next, known, rng, i + 1_000_000
+            )
         return img, (img if return_all_timesteps else None)
 
     return jax.lax.scan(step, img, scan_ins)
@@ -124,14 +134,27 @@ class DDIM:
         beta_end: float = 0.02,
         beta_schedule: str = "linear",
         eta: float = 0.0,
+        prediction_type: str = "eps",
     ):
+        if prediction_type not in base.VALID_PREDICTION_TYPES:
+            raise ValueError(
+                f"Unknown prediction type: {prediction_type!r} "
+                f"(expected one of {base.VALID_PREDICTION_TYPES})"
+            )
         self.num_timesteps = num_timesteps
         self.num_inference_steps = num_inference_steps
         self.eta = float(eta)
+        self.prediction_type = prediction_type
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule
         )
         self._setup_inference_timesteps()
+
+    def _eps_fn(self, model_fn):
+        """Eps-space view of the model under this parameterization."""
+        return base.wrap_model_as_eps(
+            self.schedule, model_fn, self.prediction_type
+        )
 
     def _setup_inference_timesteps(self):
         self.inference_timesteps = ddim_timesteps(
@@ -149,14 +172,15 @@ class DDIM:
 
     def p_losses(self, model_fn, x_start, t, noise, y=None, loss_type="l2"):
         return base.p_losses(
-            self.schedule, model_fn, x_start, t, noise, y=y, loss_type=loss_type
+            self.schedule, model_fn, x_start, t, noise, y=y,
+            loss_type=loss_type, prediction_type=self.prediction_type,
         )
 
     # -- single-step API (parity: ddim.py:154-208) ----------------------------
     def p_sample(self, model_fn, x, t, t_next, rng=None, y=None,
                  clip_denoised=True, eps=None, x0_pred=None):
         if eps is None:
-            eps = model_fn(x, t, y)
+            eps = self._eps_fn(model_fn)(x, t, y)
         if x0_pred is None:
             x0_pred = base.predict_x0_from_eps(self.schedule, x, t, eps)
         if clip_denoised:
@@ -169,21 +193,25 @@ class DDIM:
     # -- whole-trajectory samplers --------------------------------------------
     def _run(self, model_fn, shape, rng, y, cfg_scale, init_noise, *, eta,
              use_cfg, p_threshold, clip_denoised, return_all_timesteps,
-             progress, desc):
+             progress, desc, timesteps=None, start_img=None, known=None):
         from .ddpm import _run_segments  # shared progress segmentation
 
         rng, init_rng = jax.random.split(rng)
-        img = (
-            init_noise
-            if init_noise is not None
-            else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
-        )
-        timesteps = self.inference_timesteps
+        if start_img is not None:
+            img = start_img
+        else:
+            img = (
+                init_noise
+                if init_noise is not None
+                else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+            )
+        if timesteps is None:
+            timesteps = self.inference_timesteps
         t_next_seq = jnp.concatenate(
             [timesteps[1:], jnp.full((1,), -1, dtype=timesteps.dtype)]
         )
         idx = jnp.arange(timesteps.shape[0])
-        fn = base.as_pytree_fn(model_fn)
+        fn = self._eps_fn(model_fn)
 
         # Stack scan inputs so the shared segment runner can slice them
         # along axis 0 together.
@@ -198,7 +226,7 @@ class DDIM:
                 packed_seg[:, 0], packed_seg[:, 1], packed_seg[:, 2]
             )
             return _scan_segment(
-                self.schedule, fn, img, scan_ins, rng, y, cfg_scale,
+                self.schedule, fn, img, scan_ins, rng, y, cfg_scale, known,
                 eta=eta, use_cfg=use_cfg, p_threshold=p_threshold,
                 clip_denoised=clip_denoised,
                 return_all_timesteps=return_all_timesteps,
@@ -239,4 +267,65 @@ class DDIM:
             clip_denoised=False, return_all_timesteps=return_all_timesteps,
             progress=progress,
             desc=f"DDIM sampling with CFG scale {cfg_scale}",
+        )
+
+    def img2img(
+        self,
+        model_fn,
+        init_image,
+        rng,
+        strength: float = 0.8,
+        y=None,
+        cfg_scale: Optional[float] = None,
+        p_threshold: Optional[float] = 0.995,
+        mask=None,
+        return_all_timesteps: bool = False,
+        progress: bool = False,
+    ):
+        """SDEdit image-to-image + optional inpainting on the DDIM grid
+        (extension; see DDPM.img2img for semantics).
+
+        Uses the inference grid truncated to timesteps <= round(strength
+        * (T-1)) and forward-noises the input to the first kept grid
+        point, so `--num_inference_steps` controls cost exactly as in
+        plain sampling (an S-step grid runs ~strength*S steps).
+        """
+        import numpy as np
+
+        if not (0.0 <= float(strength) <= 1.0):
+            raise ValueError("strength must be in [0, 1]")
+        init_image = jnp.asarray(init_image, jnp.float32)
+        known = None
+        if mask is not None:
+            mask_b = jnp.broadcast_to(
+                jnp.asarray(mask, jnp.float32), init_image.shape
+            )
+            known = (init_image, mask_b)
+        t0 = int(round(float(strength) * (self.num_timesteps - 1)))
+        if t0 <= 0 and known is None:
+            return init_image
+        grid = np.asarray(self.inference_timesteps)
+        sub = grid[grid <= t0]
+        if sub.size == 0:
+            return init_image
+        rng, noise_rng = jax.random.split(rng)
+        t_start = jnp.full((init_image.shape[0],), int(sub[0]), jnp.int32)
+        start_img = self.q_sample(
+            init_image, t_start,
+            jax.random.normal(noise_rng, init_image.shape, jnp.float32),
+        ) if int(sub[0]) > 0 else init_image
+        use_cfg = cfg_scale is not None
+        if use_cfg and y is None:
+            raise ValueError("CFG img2img requires class labels y.")
+        return self._run(
+            model_fn, init_image.shape, rng,
+            jnp.asarray(y) if use_cfg else y,
+            jnp.float32(cfg_scale if use_cfg else 0.0), None,
+            eta=self.eta, use_cfg=use_cfg,
+            p_threshold=p_threshold if use_cfg else None,
+            clip_denoised=not use_cfg,
+            return_all_timesteps=return_all_timesteps, progress=progress,
+            desc=f"DDIM img2img (strength {strength})",
+            timesteps=jnp.asarray(sub, jnp.int32), start_img=start_img,
+            known=known,
         )

@@ -41,6 +41,24 @@ def posterior_step(
     return mean + nonzero * jnp.exp(0.5 * logvar) * noise
 
 
+def _project_known(schedule, img, t_next, known, rng, fold):
+    """Inpainting projection (RePaint-style single pass): outside the
+    mask, overwrite with the forward-noised known image at the step we
+    just arrived at (t_next = -1 on the final step -> the clean image).
+    `known = (known_x0, mask)`, mask 1 = generate, 0 = keep."""
+    known_x0, mask = known
+    noise = jax.random.normal(
+        jax.random.fold_in(rng, fold), img.shape, img.dtype
+    )
+    keep_t = jnp.clip(t_next, 0)
+    x_known = base.q_sample(schedule, known_x0, keep_t, noise)
+    x_known = jnp.where(
+        (t_next >= 0).reshape(-1, *((1,) * (img.ndim - 1))),
+        x_known, known_x0,
+    )
+    return mask * img + (1.0 - mask) * x_known
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("return_all_timesteps", "clip_denoised"),
@@ -52,6 +70,7 @@ def _scan_segment(
     ts: jnp.ndarray,
     rng: jax.Array,
     y: Optional[jnp.ndarray],
+    known=None,
     *,
     return_all_timesteps: bool,
     clip_denoised: bool = True,
@@ -59,7 +78,9 @@ def _scan_segment(
     """Scan a segment of descending timesteps (parity: ddpm.py:222-252).
     Segmentation exists only to surface host-side progress (the tqdm
     analog); per-step RNG folds the timestep value, so trajectories are
-    identical regardless of segment boundaries."""
+    identical regardless of segment boundaries. `known` (inpainting)
+    changes the pytree structure, so the no-inpaint path compiles
+    byte-identically to before."""
     batch = img.shape[0]
 
     def step(carry, i):
@@ -71,6 +92,8 @@ def _scan_segment(
             x0 = jnp.clip(x0, -1.0, 1.0)
         noise = jax.random.normal(jax.random.fold_in(rng, i), img.shape, img.dtype)
         img = posterior_step(schedule, img, t, x0, noise)
+        if known is not None:
+            img = _project_known(schedule, img, t - 1, known, rng, i + 1_000_000)
         return img, (img if return_all_timesteps else None)
 
     return jax.lax.scan(step, img, ts)
@@ -88,6 +111,7 @@ def _scan_segment_cfg(
     rng: jax.Array,
     y: jnp.ndarray,
     cfg_scale: jnp.ndarray,
+    known=None,
     *,
     p_threshold: Optional[float],
     return_all_timesteps: bool,
@@ -103,6 +127,8 @@ def _scan_segment_cfg(
         x0 = base.apply_x0_constraint(x0, p_threshold)
         noise = jax.random.normal(jax.random.fold_in(rng, i), img.shape, img.dtype)
         img = posterior_step(schedule, img, t, x0, noise)
+        if known is not None:
+            img = _project_known(schedule, img, t - 1, known, rng, i + 1_000_000)
         return img, (img if return_all_timesteps else None)
 
     return jax.lax.scan(step, img, ts)
@@ -165,10 +191,23 @@ class DDPM:
         beta_start: float = 1e-4,
         beta_end: float = 0.02,
         beta_schedule: str = "linear",
+        prediction_type: str = "eps",
     ):
+        if prediction_type not in base.VALID_PREDICTION_TYPES:
+            raise ValueError(
+                f"Unknown prediction type: {prediction_type!r} "
+                f"(expected one of {base.VALID_PREDICTION_TYPES})"
+            )
         self.num_timesteps = num_timesteps
+        self.prediction_type = prediction_type
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule
+        )
+
+    def _eps_fn(self, model_fn):
+        """Eps-space view of the model under this parameterization."""
+        return base.wrap_model_as_eps(
+            self.schedule, model_fn, self.prediction_type
         )
 
     # -- training-side API -------------------------------------------------
@@ -177,14 +216,15 @@ class DDPM:
 
     def p_losses(self, model_fn, x_start, t, noise, y=None, loss_type="l2"):
         return base.p_losses(
-            self.schedule, model_fn, x_start, t, noise, y=y, loss_type=loss_type
+            self.schedule, model_fn, x_start, t, noise, y=y,
+            loss_type=loss_type, prediction_type=self.prediction_type,
         )
 
     # -- single-step API (parity: ddpm.py:197-220) --------------------------
     def p_sample(self, model_fn, x, t, rng, y=None, clip_denoised=True, eps=None,
                  x0_pred=None):
         if eps is None:
-            eps = model_fn(x, t, y)
+            eps = self._eps_fn(model_fn)(x, t, y)
         if x0_pred is None:
             x0_pred = base.predict_x0_from_eps(self.schedule, x, t, eps)
         if clip_denoised:
@@ -214,7 +254,7 @@ class DDPM:
         """
         img, rng = self._initial_image(shape, rng, init_noise)
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        fn = base.as_pytree_fn(model_fn)
+        fn = self._eps_fn(model_fn)
 
         def segment(img, ts_seg):
             return _scan_segment(
@@ -246,7 +286,7 @@ class DDPM:
             raise ValueError("p_threshold must be in (0, 1) or None")
         img, rng = self._initial_image(shape, rng, init_noise)
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        fn = base.as_pytree_fn(model_fn)
+        fn = self._eps_fn(model_fn)
         y = jnp.asarray(y)
         scale = jnp.float32(cfg_scale)
 
@@ -260,4 +300,75 @@ class DDPM:
         return _run_segments(
             segment, img, ts, return_all_timesteps, progress,
             f"DDPM Sampling with CFG scale {cfg_scale}",
+        )
+
+    def img2img(
+        self,
+        model_fn,
+        init_image,
+        rng,
+        strength: float = 0.8,
+        y=None,
+        cfg_scale: Optional[float] = None,
+        p_threshold: Optional[float] = 0.995,
+        mask=None,
+        return_all_timesteps: bool = False,
+        progress: bool = False,
+    ):
+        """SDEdit image-to-image + optional inpainting (extension; the
+        reference samples from pure noise only).
+
+        Forward-noises `init_image` to t0 = round(strength * (T-1)) and
+        denoises from there: strength 1.0 ~ a fresh sample, 0.0 returns
+        the input. `mask` (1 = regenerate, 0 = keep; broadcastable to the
+        image shape) enables inpainting — after every ancestral step the
+        kept pixels are re-imposed as the forward-noised original
+        (RePaint single-pass projection), ending exactly at the original
+        values. `cfg_scale=None` runs unguided; a float runs fused-batch
+        CFG (requires labels y).
+        """
+        if not (0.0 <= float(strength) <= 1.0):
+            raise ValueError("strength must be in [0, 1]")
+        init_image = jnp.asarray(init_image, jnp.float32)
+        known = None
+        if mask is not None:
+            mask = jnp.broadcast_to(
+                jnp.asarray(mask, jnp.float32), init_image.shape
+            )
+            known = (init_image, mask)
+        t0 = int(round(float(strength) * (self.num_timesteps - 1)))
+        if t0 <= 0 and known is None:
+            return init_image
+        rng, noise_rng = jax.random.split(rng)
+        t_batch = jnp.full((init_image.shape[0],), t0, jnp.int32)
+        img = self.q_sample(
+            init_image, t_batch,
+            jax.random.normal(noise_rng, init_image.shape, jnp.float32),
+        ) if t0 > 0 else init_image
+        ts = jnp.arange(t0, -1, -1)
+        fn = self._eps_fn(model_fn)
+
+        if cfg_scale is None:
+            def segment(img, ts_seg):
+                return _scan_segment(
+                    self.schedule, fn, img, ts_seg, rng, y, known,
+                    return_all_timesteps=return_all_timesteps,
+                )
+            desc = f"DDPM img2img (strength {strength})"
+        else:
+            if y is None:
+                raise ValueError("CFG img2img requires class labels y.")
+            yj = jnp.asarray(y)
+            scale = jnp.float32(cfg_scale)
+
+            def segment(img, ts_seg):
+                return _scan_segment_cfg(
+                    self.schedule, fn, img, ts_seg, rng, yj, scale, known,
+                    p_threshold=p_threshold,
+                    return_all_timesteps=return_all_timesteps,
+                )
+            desc = f"DDPM img2img CFG {cfg_scale} (strength {strength})"
+
+        return _run_segments(
+            segment, img, ts, return_all_timesteps, progress, desc
         )

@@ -125,14 +125,27 @@ class DPMSolverPP:
         beta_end: float = 0.02,
         beta_schedule: str = "linear",
         eta: float = 0.0,  # accepted for API symmetry; solver is an ODE
+        prediction_type: str = "eps",
     ):
         del eta
+        if prediction_type not in base.VALID_PREDICTION_TYPES:
+            raise ValueError(
+                f"Unknown prediction type: {prediction_type!r} "
+                f"(expected one of {base.VALID_PREDICTION_TYPES})"
+            )
         self.num_timesteps = num_timesteps
         self.num_inference_steps = num_inference_steps
+        self.prediction_type = prediction_type
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule
         )
         self._setup_inference_timesteps()
+
+    def _eps_fn(self, model_fn):
+        """Eps-space view of the model under this parameterization."""
+        return base.wrap_model_as_eps(
+            self.schedule, model_fn, self.prediction_type
+        )
 
     def _setup_inference_timesteps(self):
         self.inference_timesteps = ddim_timesteps(
@@ -149,7 +162,8 @@ class DPMSolverPP:
 
     def p_losses(self, model_fn, x_start, t, noise, y=None, loss_type="l2"):
         return base.p_losses(
-            self.schedule, model_fn, x_start, t, noise, y=y, loss_type=loss_type
+            self.schedule, model_fn, x_start, t, noise, y=y,
+            loss_type=loss_type, prediction_type=self.prediction_type,
         )
 
     def _run(self, model_fn, shape, rng, y, cfg_scale, init_noise, *,
@@ -163,7 +177,7 @@ class DPMSolverPP:
             if init_noise is not None
             else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
         )
-        fn = base.as_pytree_fn(model_fn)
+        fn = self._eps_fn(model_fn)
         return _solve(
             self.schedule, fn, img, self.inference_timesteps, y, cfg_scale,
             use_cfg=use_cfg, p_threshold=p_threshold,

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .datasets import CustomImageDataset, DataLoader, DiffusionDataset
-from .diffusion import DDIM, DDPM, DPMSolverPP
+from .diffusion import DDIM, DDPM, DPMSolverPP, FlowMatching
 from .models import DiM, DiT, UNet
 from .parallel import mesh as pmesh
 from .utils.helpers import resolve_image_size
@@ -70,12 +70,32 @@ def get_model(config: dict):
 
 def get_diffusion(config: dict, sampling_method: str = "ddpm"):
     """Build the diffusion process (parity: train.py:59-70 — training always
-    uses DDPM; sample.py:42-64 — DDIM selected per CLI flag)."""
+    uses DDPM; sample.py:42-64 — DDIM selected per CLI flag).
+
+    Extension: `diffusion_type: 'flow_matching'` switches the whole stack
+    (training objective AND sampling) to rectified flow; the DDPM/DDIM
+    sampling grids are meaningless for a velocity-trained model, so the
+    key overrides `sampling_method` (num_inference_steps still honored).
+    """
+    dtype_key = str(config.get("diffusion_type", "ddpm")).lower()
+    if dtype_key in ("flow", "flow_matching", "rectified_flow"):
+        return FlowMatching(
+            num_timesteps=config["num_timesteps"],
+            num_inference_steps=config.get("num_inference_steps", 50),
+            solver=config.get("flow_solver", "euler"),
+        )
+    if dtype_key not in ("ddpm", "diffusion"):
+        raise ValueError(
+            f"Unknown diffusion_type: {config.get('diffusion_type')!r} "
+            "(expected 'ddpm' or 'flow_matching')"
+        )
     common = dict(
         num_timesteps=config["num_timesteps"],
         beta_start=config["beta_start"],
         beta_end=config["beta_end"],
         beta_schedule=config["beta_schedule"],
+        # extension: 'eps' (reference parity, default) | 'v' | 'x0'
+        prediction_type=config.get("prediction_type", "eps"),
     )
     method = sampling_method.lower()
     if method == "ddim":

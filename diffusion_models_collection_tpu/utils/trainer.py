@@ -34,7 +34,6 @@ import numpy as np
 import optax
 from flax import struct
 
-from ..diffusion import base as diffusion_base
 from ..parallel import mesh as pmesh
 from . import checkpoint as ckpt_lib
 from .ema import ema_update
@@ -516,7 +515,10 @@ class DiffusionTrainer:
 
     # ---------------------------------------------------------------- step
     def _build_train_step(self):
-        schedule = self.diffusion.schedule
+        # The diffusion object supplies the training objective polymorphically
+        # (DDPM/DDIM eps-space p_losses, v/x0 prediction types, flow matching);
+        # its coefficient arrays become jit constants via this closure.
+        diffusion = self.diffusion
         num_timesteps = self.diffusion.num_timesteps
         model = self.model
         optimizer = self.optimizer
@@ -612,8 +614,8 @@ class DiffusionTrainer:
                             rngs={"dropout": dropout_rng},
                         )
 
-                main = diffusion_base.p_losses(
-                    schedule, model_fn, images, t, noise, y=y, loss_type=loss_type
+                main = diffusion.p_losses(
+                    model_fn, images, t, noise, y=y, loss_type=loss_type
                 )
                 if aux_box:
                     main = main + moe_aux * aux_box[0]

@@ -76,6 +76,31 @@ def build_labels(args, config, nrow: int, num_rows: int):
     return labels.astype(np.int32)
 
 
+def load_image_for_model(path, image_size, in_channels):
+    """Load + resize + normalize an image to the model's [-1,1] NHWC shape."""
+    from PIL import Image
+
+    img = Image.open(path)
+    img = img.convert("L" if in_channels == 1 else "RGB")
+    h, w = image_size
+    img = img.resize((w, h), Image.BILINEAR)
+    arr = np.asarray(img, np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr[None] * 2.0 - 1.0  # (1, H, W, C) in [-1, 1]
+
+
+def load_mask_for_model(path, image_size):
+    """Load an inpainting mask: white = regenerate (1), black = keep (0)."""
+    from PIL import Image
+
+    img = Image.open(path).convert("L")
+    h, w = image_size
+    img = img.resize((w, h), Image.NEAREST)
+    arr = (np.asarray(img, np.float32) / 255.0 >= 0.5).astype(np.float32)
+    return arr[None, ..., None]  # (1, H, W, 1), broadcast over channels
+
+
 def main():
     parser = argparse.ArgumentParser(description="Sample from diffusion models")
     parser.add_argument("--checkpoint", type=str, required=True,
@@ -102,6 +127,15 @@ def main():
     parser.add_argument("--labels", type=str, default=None,
                         help="Comma-separated labels for conditional generation")
     parser.add_argument("--seed", type=int, default=42, help="Random seed")
+    parser.add_argument("--init_image", type=str, default=None,
+                        help="Image-to-image (SDEdit, beyond the reference): "
+                             "start from this image instead of pure noise")
+    parser.add_argument("--strength", type=float, default=0.8,
+                        help="img2img noising strength in [0, 1] "
+                             "(1.0 ~ fresh sample, 0.0 returns the input)")
+    parser.add_argument("--mask", type=str, default=None,
+                        help="Inpainting mask image (white = regenerate, "
+                             "black = keep); requires --init_image")
     parser.add_argument("--mixed_precision", type=str, default=None,
                         choices=["bf16", "none"],
                         help="Override the checkpoint config's compute "
@@ -124,7 +158,11 @@ def main():
     checkpoint = load_checkpoint(args.checkpoint)
     config = load_config(Path(args.config)) if args.config else checkpoint["config"]
 
-    if args.sampling_method.lower() in ("ddim", "dpm++") and args.num_inference_steps:
+    is_flow = str(config.get("diffusion_type", "ddpm")).lower() in (
+        "flow", "flow_matching", "rectified_flow"
+    )
+    if (args.sampling_method.lower() in ("ddim", "dpm++") or is_flow) \
+            and args.num_inference_steps:
         config["num_inference_steps"] = args.num_inference_steps
     if args.mixed_precision is not None:
         config["mixed_precision"] = args.mixed_precision
@@ -150,6 +188,25 @@ def main():
     h, w = config["image_size"]
     in_ch = config["model_params"]["in_channels"]
     shape = (args.batch_size, h, w, in_ch)  # ONE compiled shape for all batches
+
+    init_image = mask = None
+    if args.mask and not args.init_image:
+        raise SystemExit("--mask requires --init_image")
+    if args.init_image:
+        if args.sampling_method.lower() == "dpm++" and not is_flow:
+            raise SystemExit(
+                "img2img supports --sampling_method ddpm/ddim (and flow "
+                "checkpoints), not dpm++"
+            )
+        if not (0.0 < args.strength <= 1.0):
+            raise SystemExit("--strength must be in (0, 1] for img2img")
+        init_image = load_image_for_model(
+            args.init_image, config["image_size"], in_ch
+        )
+        if args.mask:
+            mask = load_mask_for_model(args.mask, config["image_size"])
+        print(f"img2img from {args.init_image} at strength {args.strength}"
+              + (f" with inpainting mask {args.mask}" if args.mask else ""))
 
     # On a multi-device host, shard each batch over a 'data' mesh — the
     # jitted trajectory becomes an SPMD program (beyond the single-GPU
@@ -184,7 +241,26 @@ def main():
             if batch_labels is not None:
                 batch_labels = jax.device_put(batch_labels, dp_sharding)
 
-        if args.cfg_scale > 0 and conditional:
+        if init_image is not None:
+            use_cfg = args.cfg_scale > 0 and conditional
+            batch_init = jnp.asarray(
+                np.repeat(init_image, args.batch_size, axis=0)
+            )
+            batch_mask = (
+                jnp.asarray(np.repeat(mask, args.batch_size, axis=0))
+                if mask is not None else None
+            )
+            print(f"img2img batch {i + 1}/{num_batches}"
+                  + (f" with CFG scale {args.cfg_scale}" if use_cfg else "")
+                  + "...")
+            samples = diffusion.img2img(
+                model_fn, batch_init, batch_rng, strength=args.strength,
+                y=batch_labels,
+                cfg_scale=args.cfg_scale if use_cfg else None,
+                mask=batch_mask, return_all_timesteps=return_all,
+                progress=True,
+            )
+        elif args.cfg_scale > 0 and conditional:
             print(f"Sampling batch {i + 1}/{num_batches} with CFG scale "
                   f"{args.cfg_scale}...")
             samples = diffusion.sample_with_cfg(

@@ -688,3 +688,114 @@ def test_train_cli_sp_x_tp(tmp_path):
     assert "Training completed!" in out
     assert "'seq': 2" in out and "'model': 2" in out  # 3-axis mesh
     assert (tmp_path / "ckpt" / "current_model.ckpt").exists()
+
+
+def test_train_and_sample_cli_flow_matching(tmp_path):
+    """`diffusion_type: 'flow_matching'` end to end: train.py runs the
+    velocity objective, sample.py integrates the ODE from the checkpoint
+    (the key overrides --sampling_method; --num_inference_steps honored)."""
+    cfg = {
+        "project_name": "diffusion-models",
+        "experiment_name": "flow-smoke-unet",
+        "model_type": "unet",
+        "model_params": {
+            "in_channels": 3, "model_channels": 16, "out_channels": 3,
+            "num_res_blocks": 1, "attention_resolutions": (4,),
+            "channel_mult": (1, 2), "dropout": 0.0,
+        },
+        "dataset": "synthetic",
+        "data_root": "./data",
+        "image_size": (8, 8),
+        "conditional": True,
+        "num_classes": 10,
+        "diffusion_type": "flow_matching",
+        "flow_solver": "euler",
+        "num_timesteps": 50,
+        "beta_start": 1e-4,
+        "beta_end": 0.02,
+        "beta_schedule": "linear",
+        "loss_type": "l2",
+        "cfg_scale": 1.4,
+        "num_inference_steps": 4,
+        "ddim_eta": 0.0,
+        "epochs": 2,
+        "batch_size": 16,
+        "optimizer": "adamw",
+        "learning_rate": 1e-3,
+        "weight_decay": 0.0,
+        "gradient_accumulation_steps": 1,
+        "use_ema": True,
+        "ema_decay": 0.99,
+        "cfg_dropout_prob": 0.2,
+        "use_scheduler": False,
+        "save_dir": str(tmp_path / "ckpt"),
+        "save_interval": 10,
+        "resume_path": None,
+        "sample_dir": str(tmp_path / "gen"),
+        "sample_interval": 1,
+        "sample_start_epoch": 1,
+        "num_samples": 4,
+        "use_swanlab": False,
+        "seed": 42,
+    }
+    cfg_path = tmp_path / "flow_unet.py"
+    cfg_path.write_text(f"config = {cfg!r}\n")
+    out = run([str(REPO / "train.py"), "--config", str(cfg_path)],
+              cwd=str(tmp_path))
+    assert "Training completed!" in out
+    ckpt = tmp_path / "ckpt" / "current_model.ckpt"
+    assert ckpt.exists()
+    # in-training sampling went through FlowMatching.sample_with_cfg
+    assert (tmp_path / "gen" / "epoch_0001.png").exists()
+
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--num_samples", "4", "--batch_size", "4",
+         "--num_inference_steps", "6", "--seed", "1",
+         "--output_dir", str(tmp_path / "samples")],
+        cwd=str(tmp_path),
+    )
+    assert "Flow sampling" in out
+    pngs = list((tmp_path / "samples").glob("*.png"))
+    assert pngs, out
+
+
+def test_sample_cli_img2img_and_inpaint(workdir, tmp_path):
+    """--init_image / --strength / --mask through sample.py (SDEdit +
+    inpainting, beyond the reference)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(0, 255, size=(8, 8, 3))).astype(np.uint8)
+    init_path = tmp_path / "init.png"
+    Image.fromarray(img).save(init_path)
+    mask = np.zeros((8, 8), np.uint8)
+    mask[:, :4] = 255  # regenerate the left half, keep the right
+    mask_path = tmp_path / "mask.png"
+    Image.fromarray(mask, mode="L").save(mask_path)
+
+    ckpt = workdir / "ckpt" / "current_model.ckpt"
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "ddim", "--num_inference_steps", "6",
+         "--num_samples", "4", "--batch_size", "4", "--seed", "3",
+         "--init_image", str(init_path), "--strength", "0.6",
+         "--output_dir", str(tmp_path / "i2i")],
+        cwd=str(tmp_path),
+    )
+    assert "img2img" in out
+    assert (tmp_path / "i2i" / "samples.png").exists()
+
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "ddim", "--num_inference_steps", "6",
+         "--num_samples", "4", "--batch_size", "4", "--seed", "3",
+         "--init_image", str(init_path), "--strength", "1.0",
+         "--mask", str(mask_path),
+         "--output_dir", str(tmp_path / "inpaint")],
+        cwd=str(tmp_path),
+    )
+    assert "inpainting mask" in out
+    grid = np.asarray(Image.open(tmp_path / "inpaint" / "samples.png"))
+    assert grid.size > 0
