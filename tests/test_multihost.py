@@ -27,7 +27,17 @@ WORKER = textwrap.dedent(
     out_dir = sys.argv[3]
     overrides = json.loads(sys.argv[4]) if len(sys.argv) > 4 else {}
 
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # xla_cpu_collective_timeout_seconds: the gloo communicator setup has
+    # a connect timeout ("connect timeout after Nms, move on!") after which
+    # the half-formed communicator hangs every rank FOREVER. Rank arrival
+    # skew (one rank hits the shared compile cache, the other compiles
+    # cold; 1-core CI scheduling) can exceed the default, so raise it well
+    # past worst-case compile time. Diagnosed from faulthandler stacks:
+    # both ranks blocked on the first collective execution's readback.
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=2 "
+        "--xla_cpu_collective_timeout_seconds=600"
+    )
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -135,19 +145,59 @@ def _run_cluster(tmp_path, overrides=None):
     return procs
 
 
+def _run_cluster_checked(tmp_path, overrides=None, attempts=2, deadline=450):
+    """Run the 2-process cluster; poll for both rank files; retry once.
+
+    The XLA CPU (gloo) collective stack has a rare communicator-setup race
+    on loaded 1-core CI hosts that deadlocks both ranks permanently (the
+    per-rank connect "move on" timeout poisons the communicator; see the
+    XLA_FLAGS note in WORKER). A bounded poll + one retry on a fresh port
+    keeps the suite deterministic without masking real failures: genuine
+    regressions fail on both attempts and surface the worker output.
+    """
+    import time
+
+    last_outputs = None
+    for attempt in range(attempts):
+        for pid in (0, 1):
+            rank_file = tmp_path / f"rank{pid}.json"
+            if rank_file.exists():
+                rank_file.unlink()
+        procs = _run_cluster(tmp_path, overrides)
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < deadline:
+            if all((tmp_path / f"rank{p}.json").exists() for p in (0, 1)):
+                break
+            if all(p.poll() is not None for p in procs):
+                break
+            time.sleep(2.0)
+        hung = any(p.poll() is None for p in procs) and not all(
+            (tmp_path / f"rank{p}.json").exists() for p in (0, 1)
+        )
+        if hung:
+            for p in procs:
+                p.kill()
+        outputs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=120)
+            outputs.append(out)
+        last_outputs = [(p.returncode, out) for p, out in zip(procs, outputs)]
+        ok = not hung and all(p.returncode == 0 for p in procs)
+        if ok:
+            return
+        print(
+            f"[multihost] attempt {attempt + 1}/{attempts} "
+            f"{'hung (killed)' if hung else 'failed'}; "
+            + ("retrying on a fresh port" if attempt + 1 < attempts else "")
+        )
+    details = "\n\n".join(
+        f"rank rc={rc}:\n{out[-3000:]}" for rc, out in (last_outputs or [])
+    )
+    raise AssertionError(f"cluster run failed after {attempts} attempts\n{details}")
+
+
 def test_two_process_training(tmp_path):
-    procs = _run_cluster(tmp_path)
-    outputs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outputs.append(out)
-    for p, out in zip(procs, outputs):
-        assert p.returncode == 0, f"rank failed:\n{out[-3000:]}"
+    _run_cluster_checked(tmp_path)
 
     r0 = json.loads((tmp_path / "rank0.json").read_text())
     r1 = json.loads((tmp_path / "rank1.json").read_text())
@@ -172,18 +222,7 @@ def test_two_process_fsdp(tmp_path):
         "fsdp": True,
         "fsdp_min_size": 512,
     }
-    procs = _run_cluster(tmp_path, overrides)
-    outputs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outputs.append(out)
-    for p, out in zip(procs, outputs):
-        assert p.returncode == 0, f"rank failed:\n{out[-3000:]}"
+    _run_cluster_checked(tmp_path, overrides)
     r0 = json.loads((tmp_path / "rank0.json").read_text())
     r1 = json.loads((tmp_path / "rank1.json").read_text())
     assert r0["best_loss"] == pytest.approx(r1["best_loss"], rel=1e-6)
@@ -217,18 +256,7 @@ def test_two_process_tensor_parallel(tmp_path):
         # test_tensor_parallel; skip it here to keep the cluster run lean
         "sample_start_epoch": 100,
     }
-    procs = _run_cluster(tmp_path, overrides)
-    outputs = []
-    for p in procs:
-        try:
-            out, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        outputs.append(out)
-    for p, out in zip(procs, outputs):
-        assert p.returncode == 0, f"rank failed:\n{out[-3000:]}"
+    _run_cluster_checked(tmp_path, overrides)
     r0 = json.loads((tmp_path / "rank0.json").read_text())
     r1 = json.loads((tmp_path / "rank1.json").read_text())
     assert r0["best_loss"] == pytest.approx(r1["best_loss"], rel=1e-6)
