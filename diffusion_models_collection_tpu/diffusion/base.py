@@ -25,6 +25,10 @@ VALID_LOSS_TYPES = ("l1", "l2", "huber")
 # given (x_t, t), so the samplers stay eps-based internally and convert.
 VALID_PREDICTION_TYPES = ("eps", "v", "x0")
 
+# SNR-based per-timestep loss weightings (extension; the reference trains
+# unweighted eps-MSE only). See `loss_weight` for the exact semantics.
+VALID_LOSS_WEIGHTINGS = ("uniform", "snr", "min_snr")
+
 
 def as_pytree_fn(fn: Callable) -> Callable:
     """Wrap a plain callable so it can be passed through `jax.jit` boundaries.
@@ -65,6 +69,29 @@ def diffusion_loss(
     if loss_type == "huber":
         absd = jnp.abs(diff)
         return jnp.mean(jnp.where(absd < 1.0, 0.5 * diff**2, absd - 0.5))
+    raise ValueError(
+        f"Unknown loss type: {loss_type!r} (expected one of {VALID_LOSS_TYPES})"
+    )
+
+
+def per_sample_loss(
+    target: jnp.ndarray, predicted: jnp.ndarray, loss_type: str = "l2"
+) -> jnp.ndarray:
+    """Per-sample reduction of `diffusion_loss`, shape (batch,).
+
+    `mean(per_sample_loss(...)) == diffusion_loss(...)` exactly (samples
+    all have the same element count), so weighting with uniform weights
+    reproduces the unweighted loss bit-for-bit.
+    """
+    diff = predicted - target
+    axes = tuple(range(1, diff.ndim))
+    if loss_type == "l1":
+        return jnp.mean(jnp.abs(diff), axis=axes)
+    if loss_type == "l2":
+        return jnp.mean(diff**2, axis=axes)
+    if loss_type == "huber":
+        absd = jnp.abs(diff)
+        return jnp.mean(jnp.where(absd < 1.0, 0.5 * diff**2, absd - 0.5), axis=axes)
     raise ValueError(
         f"Unknown loss type: {loss_type!r} (expected one of {VALID_LOSS_TYPES})"
     )
@@ -158,6 +185,59 @@ def wrap_model_as_eps(
     )
 
 
+def loss_weight(
+    schedule: NoiseSchedule,
+    t: jnp.ndarray,
+    prediction_type: str = "eps",
+    weighting: str = "uniform",
+    snr_gamma: float = 5.0,
+) -> jnp.ndarray:
+    """Per-sample timestep loss weights, shape (batch,).
+
+    Weightings are defined as the EFFECTIVE weight W(t) on the x0-space
+    squared error, then mapped into the network's target space using the
+    exact conversion factors at fixed (x_t, t) — with a = sqrt(acp),
+    b = sqrt(1-acp), SNR = acp/(1-acp) = a^2/b^2:
+
+        ||eps_err||^2 = SNR       * ||x0_err||^2
+        ||v_err||^2   = (SNR + 1) * ||x0_err||^2
+
+    so the applied weight is W(t) / conversion. Options:
+      'uniform': 1 in target space (reference parity for eps; each
+                 parameterization keeps its naive objective).
+      'snr':     W(t) = SNR — the standard DDPM eps objective expressed in
+                 any parameterization (eps weights become exactly 1; use
+                 this to train v/x0 models with eps-equivalent emphasis).
+      'min_snr': W(t) = min(SNR, gamma) — Min-SNR-gamma (Hang et al.
+                 2023): clips the huge low-noise weights so late
+                 timesteps stop dominating; faster convergence, better
+                 FID in the paper (gamma = 5 recommended).
+    """
+    if weighting == "uniform":
+        return jnp.ones_like(t, dtype=jnp.float32)
+    acp = extract(schedule.alphas_cumprod, t, 1).astype(jnp.float32)
+    snr = acp / (1.0 - acp)
+    if weighting == "snr":
+        w_x0 = snr
+    elif weighting == "min_snr":
+        w_x0 = jnp.minimum(snr, jnp.float32(snr_gamma))
+    else:
+        raise ValueError(
+            f"Unknown loss weighting: {weighting!r} "
+            f"(expected one of {VALID_LOSS_WEIGHTINGS})"
+        )
+    if prediction_type == "eps":
+        return w_x0 / snr
+    if prediction_type == "v":
+        return w_x0 / (snr + 1.0)
+    if prediction_type == "x0":
+        return w_x0
+    raise ValueError(
+        f"Unknown prediction type: {prediction_type!r} "
+        f"(expected one of {VALID_PREDICTION_TYPES})"
+    )
+
+
 def p_losses(
     schedule: NoiseSchedule,
     model_fn: ModelFn,
@@ -167,6 +247,8 @@ def p_losses(
     y: Optional[jnp.ndarray] = None,
     loss_type: str = "l2",
     prediction_type: str = "eps",
+    weighting: str = "uniform",
+    snr_gamma: float = 5.0,
 ) -> jnp.ndarray:
     """Training loss (parity: reference ddpm.py:106-140).
 
@@ -174,12 +256,18 @@ def p_losses(
     draw it from their PRNG stream. The model is a callable argument —
     diffusion never imports models (the reference's key invariant).
     `prediction_type` selects the regression target (eps/v/x0; eps is
-    reference parity).
+    reference parity); `weighting` an SNR-based per-timestep loss weight
+    (see `loss_weight`; 'uniform' is reference parity — the weighted path
+    reduces per-sample first, which equals the global mean when uniform).
     """
     x_noisy = q_sample(schedule, x_start, t, noise)
     predicted = model_fn(x_noisy, t, y)
     target = prediction_target(schedule, x_start, noise, t, prediction_type)
-    return diffusion_loss(target, predicted, loss_type)
+    if weighting == "uniform":
+        return diffusion_loss(target, predicted, loss_type)
+    w = loss_weight(schedule, t, prediction_type, weighting, snr_gamma)
+    per_sample = per_sample_loss(target, predicted, loss_type)
+    return jnp.mean(w * per_sample)
 
 
 def predict_x0_from_eps(

@@ -135,16 +135,25 @@ class DDIM:
         beta_schedule: str = "linear",
         eta: float = 0.0,
         prediction_type: str = "eps",
+        loss_weighting: str = "uniform",
+        min_snr_gamma: float = 5.0,
     ):
         if prediction_type not in base.VALID_PREDICTION_TYPES:
             raise ValueError(
                 f"Unknown prediction type: {prediction_type!r} "
                 f"(expected one of {base.VALID_PREDICTION_TYPES})"
             )
+        if loss_weighting not in base.VALID_LOSS_WEIGHTINGS:
+            raise ValueError(
+                f"Unknown loss weighting: {loss_weighting!r} "
+                f"(expected one of {base.VALID_LOSS_WEIGHTINGS})"
+            )
         self.num_timesteps = num_timesteps
         self.num_inference_steps = num_inference_steps
         self.eta = float(eta)
         self.prediction_type = prediction_type
+        self.loss_weighting = loss_weighting
+        self.min_snr_gamma = float(min_snr_gamma)
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule
         )
@@ -174,6 +183,7 @@ class DDIM:
         return base.p_losses(
             self.schedule, model_fn, x_start, t, noise, y=y,
             loss_type=loss_type, prediction_type=self.prediction_type,
+            weighting=self.loss_weighting, snr_gamma=self.min_snr_gamma,
         )
 
     # -- single-step API (parity: ddim.py:154-208) ----------------------------

@@ -192,14 +192,23 @@ class DDPM:
         beta_end: float = 0.02,
         beta_schedule: str = "linear",
         prediction_type: str = "eps",
+        loss_weighting: str = "uniform",
+        min_snr_gamma: float = 5.0,
     ):
         if prediction_type not in base.VALID_PREDICTION_TYPES:
             raise ValueError(
                 f"Unknown prediction type: {prediction_type!r} "
                 f"(expected one of {base.VALID_PREDICTION_TYPES})"
             )
+        if loss_weighting not in base.VALID_LOSS_WEIGHTINGS:
+            raise ValueError(
+                f"Unknown loss weighting: {loss_weighting!r} "
+                f"(expected one of {base.VALID_LOSS_WEIGHTINGS})"
+            )
         self.num_timesteps = num_timesteps
         self.prediction_type = prediction_type
+        self.loss_weighting = loss_weighting
+        self.min_snr_gamma = float(min_snr_gamma)
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule
         )
@@ -218,6 +227,7 @@ class DDPM:
         return base.p_losses(
             self.schedule, model_fn, x_start, t, noise, y=y,
             loss_type=loss_type, prediction_type=self.prediction_type,
+            weighting=self.loss_weighting, snr_gamma=self.min_snr_gamma,
         )
 
     # -- single-step API (parity: ddpm.py:197-220) --------------------------

@@ -126,6 +126,8 @@ class DPMSolverPP:
         beta_schedule: str = "linear",
         eta: float = 0.0,  # accepted for API symmetry; solver is an ODE
         prediction_type: str = "eps",
+        loss_weighting: str = "uniform",
+        min_snr_gamma: float = 5.0,
     ):
         del eta
         if prediction_type not in base.VALID_PREDICTION_TYPES:
@@ -133,9 +135,16 @@ class DPMSolverPP:
                 f"Unknown prediction type: {prediction_type!r} "
                 f"(expected one of {base.VALID_PREDICTION_TYPES})"
             )
+        if loss_weighting not in base.VALID_LOSS_WEIGHTINGS:
+            raise ValueError(
+                f"Unknown loss weighting: {loss_weighting!r} "
+                f"(expected one of {base.VALID_LOSS_WEIGHTINGS})"
+            )
         self.num_timesteps = num_timesteps
         self.num_inference_steps = num_inference_steps
         self.prediction_type = prediction_type
+        self.loss_weighting = loss_weighting
+        self.min_snr_gamma = float(min_snr_gamma)
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule
         )
@@ -164,6 +173,7 @@ class DPMSolverPP:
         return base.p_losses(
             self.schedule, model_fn, x_start, t, noise, y=y,
             loss_type=loss_type, prediction_type=self.prediction_type,
+            weighting=self.loss_weighting, snr_gamma=self.min_snr_gamma,
         )
 
     def _run(self, model_fn, shape, rng, y, cfg_scale, init_noise, *,

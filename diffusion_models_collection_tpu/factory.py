@@ -79,6 +79,12 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
     """
     dtype_key = str(config.get("diffusion_type", "ddpm")).lower()
     if dtype_key in ("flow", "flow_matching", "rectified_flow"):
+        if str(config.get("loss_weighting", "uniform")) != "uniform":
+            raise ValueError(
+                "loss_weighting is SNR-based and does not apply to "
+                "flow matching (the velocity objective is already "
+                "uniformly weighted along the path)"
+            )
         return FlowMatching(
             num_timesteps=config["num_timesteps"],
             num_inference_steps=config.get("num_inference_steps", 50),
@@ -96,6 +102,10 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
         beta_schedule=config["beta_schedule"],
         # extension: 'eps' (reference parity, default) | 'v' | 'x0'
         prediction_type=config.get("prediction_type", "eps"),
+        # extension: SNR-based loss weighting — 'uniform' (parity) |
+        # 'snr' | 'min_snr' (Min-SNR-gamma, Hang et al. 2023)
+        loss_weighting=config.get("loss_weighting", "uniform"),
+        min_snr_gamma=config.get("min_snr_gamma", 5.0),
     )
     method = sampling_method.lower()
     if method == "ddim":
