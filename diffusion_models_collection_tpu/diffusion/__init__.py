@@ -13,7 +13,7 @@ from .ddim import DDIM
 from .ddpm import DDPM
 from .dpm_solver import DPMSolverPP
 from .flow_matching import FlowMatching
-from .schedule import NoiseSchedule, ddim_timesteps, make_betas
+from .schedule import NoiseSchedule, ddim_timesteps, karras_timesteps, make_betas
 
 __all__ = [
     "DDPM",
@@ -23,6 +23,7 @@ __all__ = [
     "NoiseSchedule",
     "make_betas",
     "ddim_timesteps",
+    "karras_timesteps",
     "q_sample",
     "p_losses",
     "diffusion_loss",

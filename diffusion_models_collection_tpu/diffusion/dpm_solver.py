@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from . import base
-from .schedule import NoiseSchedule, ddim_timesteps
+from .schedule import NoiseSchedule, ddim_timesteps, karras_timesteps
 
 
 @functools.partial(
@@ -128,6 +128,8 @@ class DPMSolverPP:
         prediction_type: str = "eps",
         loss_weighting: str = "uniform",
         min_snr_gamma: float = 5.0,
+        timestep_spacing: str = "uniform",
+        karras_rho: float = 7.0,
     ):
         del eta
         if prediction_type not in base.VALID_PREDICTION_TYPES:
@@ -145,6 +147,13 @@ class DPMSolverPP:
         self.prediction_type = prediction_type
         self.loss_weighting = loss_weighting
         self.min_snr_gamma = float(min_snr_gamma)
+        if timestep_spacing not in ("uniform", "karras"):
+            raise ValueError(
+                f"Unknown timestep spacing: {timestep_spacing!r} "
+                "(expected 'uniform' or 'karras')"
+            )
+        self.timestep_spacing = timestep_spacing
+        self.karras_rho = float(karras_rho)
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule
         )
@@ -157,9 +166,14 @@ class DPMSolverPP:
         )
 
     def _setup_inference_timesteps(self):
-        self.inference_timesteps = ddim_timesteps(
-            self.num_timesteps, self.num_inference_steps
-        )
+        if self.timestep_spacing == "karras":
+            self.inference_timesteps = karras_timesteps(
+                self.schedule, self.num_inference_steps, self.karras_rho
+            )
+        else:
+            self.inference_timesteps = ddim_timesteps(
+                self.num_timesteps, self.num_inference_steps
+            )
 
     def set_inference_steps(self, num_inference_steps: int):
         self.num_inference_steps = num_inference_steps

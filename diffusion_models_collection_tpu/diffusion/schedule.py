@@ -146,3 +146,43 @@ def ddim_timesteps(num_timesteps: int, num_inference_steps: int) -> jnp.ndarray:
         num_timesteps - 1, 0, num_inference_steps, dtype=jnp.float32
     )
     return jnp.round(ts).astype(jnp.int32)
+
+
+def karras_timesteps(
+    schedule: "NoiseSchedule",
+    num_inference_steps: int,
+    rho: float = 7.0,
+) -> jnp.ndarray:
+    """Karras-spaced inference grid (Karras et al. 2022, eq. 5) — extension.
+
+    sigma_i = (smax^(1/rho) + i/(S-1) * (smin^(1/rho) - smax^(1/rho)))^rho
+    over the discrete schedule's VP sigma range (sigma_t =
+    sqrt(1-acp)/sqrt(acp)), mapped back to the NEAREST integer timestep
+    and deduped (descending order preserved). Front-loads steps into the
+    low-noise region where the ODE solution curves most — better quality
+    per step at small S for DDIM/DPM++ grids. Returned length can be
+    < `num_inference_steps` after dedup at small T; computed host-side
+    with numpy at setup (static scan length per compile, like
+    `ddim_timesteps`).
+    """
+    import numpy as np
+
+    if num_inference_steps < 2:
+        return jnp.asarray([schedule.num_timesteps - 1], jnp.int32)
+    acp = np.asarray(schedule.alphas_cumprod, np.float64)
+    sigmas = np.sqrt((1.0 - acp) / acp)  # ascending in t
+    smin, smax = sigmas[0], sigmas[-1]
+    i = np.arange(num_inference_steps, dtype=np.float64)
+    grid = (
+        smax ** (1.0 / rho)
+        + i / (num_inference_steps - 1)
+        * (smin ** (1.0 / rho) - smax ** (1.0 / rho))
+    ) ** rho  # descending sigma: noise -> data
+    # nearest timestep per sigma (sigmas ascending -> searchsorted)
+    idx = np.searchsorted(sigmas, grid, side="left")
+    idx = np.clip(idx, 1, len(sigmas) - 1)
+    left_closer = np.abs(grid - sigmas[idx - 1]) <= np.abs(sigmas[idx] - grid)
+    ts = np.where(left_closer, idx - 1, idx)
+    # dedupe; ts is monotone non-increasing, so unique + reverse = grid
+    ts = np.unique(ts)[::-1]
+    return jnp.asarray(np.ascontiguousarray(ts), jnp.int32)

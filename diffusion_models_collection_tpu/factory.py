@@ -107,17 +107,24 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
         loss_weighting=config.get("loss_weighting", "uniform"),
         min_snr_gamma=config.get("min_snr_gamma", 5.0),
     )
+    # extension: Karras-spaced inference grid (Karras et al. 2022) for
+    # the fast samplers; DDPM is always full-step so the key is ignored
+    fast_common = dict(
+        common,
+        timestep_spacing=config.get("timestep_spacing", "uniform"),
+        karras_rho=config.get("karras_rho", 7.0),
+    )
     method = sampling_method.lower()
     if method == "ddim":
         return DDIM(
             num_inference_steps=config.get("num_inference_steps", 50),
             eta=config.get("ddim_eta", 0.0),
-            **common,
+            **fast_common,
         )
     if method in ("dpm++", "dpmpp", "dpm_solver++", "dpm-solver++"):
         return DPMSolverPP(
             num_inference_steps=config.get("num_inference_steps", 20),
-            **common,
+            **fast_common,
         )
     return DDPM(**common)
 
