@@ -185,6 +185,80 @@ def wrap_model_as_eps(
     )
 
 
+def _pair_call_eps(schedule, inner, x, t, y=None):
+    eps = inner(x, t, y)
+    # the c1/c2 form is bit-identical to round 1 (reference parity path)
+    return eps, predict_x0_from_eps(schedule, x, t, eps)
+
+
+def _pair_call_v(schedule, inner, x, t, y=None):
+    v = inner(x, t, y)
+    a = extract(schedule.sqrt_alphas_cumprod, t, x.ndim)
+    b = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x.ndim)
+    return b * x + a * v, a * x - b * v
+
+
+def _pair_call_x0(schedule, inner, x, t, y=None):
+    x0 = inner(x, t, y)
+    a = extract(schedule.sqrt_alphas_cumprod, t, x.ndim)
+    b = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x.ndim)
+    return (x - a * x0) / jnp.maximum(b, 1e-12), x0
+
+
+def wrap_model_as_eps_x0(
+    schedule: NoiseSchedule, model_fn: ModelFn, prediction_type: str
+) -> Callable:
+    """A `(x, t, y) -> (eps, x0)` view of a model in any parameterization.
+
+    The samplers need BOTH eps (direction term) and x0 (mean / clipping /
+    thresholding); converting the raw model output to each directly is
+    both cheaper than funneling v/x0 -> eps -> x0 (one conversion instead
+    of two) and the only finite route under zero-terminal-SNR schedules:
+    at SNR = 0 (a = 0) eps carries no x0 information, so the eps->x0
+    funnel is 0/0 there while v/x0 outputs convert exactly
+    (eps = b*x + a*v, x0 = a*x - b*v; a^2 + b^2 = 1).
+    Same `jax.tree_util.Partial` identity-stability contract as
+    `wrap_model_as_eps`.
+    """
+    fn = as_pytree_fn(model_fn)
+    if prediction_type == "eps":
+        return jax.tree_util.Partial(_pair_call_eps, schedule, fn)
+    if prediction_type == "v":
+        return jax.tree_util.Partial(_pair_call_v, schedule, fn)
+    if prediction_type == "x0":
+        return jax.tree_util.Partial(_pair_call_x0, schedule, fn)
+    raise ValueError(
+        f"Unknown prediction type: {prediction_type!r} "
+        f"(expected one of {VALID_PREDICTION_TYPES})"
+    )
+
+
+def cfg_eps_x0(
+    pair_fn: Callable,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    y: jnp.ndarray,
+    cfg_scale: float,
+):
+    """Classifier-free guidance on an (eps, x0) pair, fused batch.
+
+    Guiding each component independently is exactly consistent: both are
+    affine in the raw model output with coefficients that don't depend on
+    the conditioning branch, so guided_x0 == x0_implied(guided_eps).
+    Fused [cond; uncond] forward as in `cfg_eps`.
+    """
+    x2 = jnp.concatenate([x, x], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    y2 = jnp.concatenate([y, jnp.zeros_like(y)], axis=0)
+    eps2, x02 = pair_fn(x2, t2, y2)
+    eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+    x0_c, x0_u = jnp.split(x02, 2, axis=0)
+    return (
+        eps_u + cfg_scale * (eps_c - eps_u),
+        x0_u + cfg_scale * (x0_c - x0_u),
+    )
+
+
 def loss_weight(
     schedule: NoiseSchedule,
     t: jnp.ndarray,

@@ -96,12 +96,10 @@ def _scan_segment(
         t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
         t_next = jnp.full((batch,), t_next_scalar, dtype=jnp.int32)
         if use_cfg:
-            eps = base.cfg_eps(model_fn, img, t, y, cfg_scale)
-            x0 = base.predict_x0_from_eps(schedule, img, t, eps)
+            eps, x0 = base.cfg_eps_x0(model_fn, img, t, y, cfg_scale)
             x0 = base.apply_x0_constraint(x0, p_threshold)
         else:
-            eps = model_fn(img, t, y)
-            x0 = base.predict_x0_from_eps(schedule, img, t, eps)
+            eps, x0 = model_fn(img, t, y)
             if clip_denoised:
                 x0 = jnp.clip(x0, -1.0, 1.0)
         noise = (
@@ -137,6 +135,7 @@ class DDIM:
         prediction_type: str = "eps",
         loss_weighting: str = "uniform",
         min_snr_gamma: float = 5.0,
+        zero_terminal_snr: bool = False,
         timestep_spacing: str = "uniform",
         karras_rho: float = 7.0,
     ):
@@ -156,6 +155,14 @@ class DDIM:
         self.prediction_type = prediction_type
         self.loss_weighting = loss_weighting
         self.min_snr_gamma = float(min_snr_gamma)
+        if zero_terminal_snr and prediction_type == "eps":
+            raise ValueError(
+                "zero_terminal_snr requires prediction_type 'v' or 'x0': "
+                "at SNR = 0 the terminal step is pure noise, so an "
+                "eps-prediction carries no signal to denoise from "
+                "(Lin et al. 2023 pair it with v-prediction)"
+            )
+        self.zero_terminal_snr = bool(zero_terminal_snr)
         if timestep_spacing not in ("uniform", "karras"):
             raise ValueError(
                 f"Unknown timestep spacing: {timestep_spacing!r} "
@@ -164,13 +171,14 @@ class DDIM:
         self.timestep_spacing = timestep_spacing
         self.karras_rho = float(karras_rho)
         self.schedule = NoiseSchedule.create(
-            num_timesteps, beta_start, beta_end, beta_schedule
+            num_timesteps, beta_start, beta_end, beta_schedule,
+            zero_terminal_snr=zero_terminal_snr,
         )
         self._setup_inference_timesteps()
 
-    def _eps_fn(self, model_fn):
-        """Eps-space view of the model under this parameterization."""
-        return base.wrap_model_as_eps(
+    def _pair_fn(self, model_fn):
+        """(eps, x0) view of the model under this parameterization."""
+        return base.wrap_model_as_eps_x0(
             self.schedule, model_fn, self.prediction_type
         )
 
@@ -204,7 +212,9 @@ class DDIM:
     def p_sample(self, model_fn, x, t, t_next, rng=None, y=None,
                  clip_denoised=True, eps=None, x0_pred=None):
         if eps is None:
-            eps = self._eps_fn(model_fn)(x, t, y)
+            eps, pair_x0 = self._pair_fn(model_fn)(x, t, y)
+            if x0_pred is None:
+                x0_pred = pair_x0
         if x0_pred is None:
             x0_pred = base.predict_x0_from_eps(self.schedule, x, t, eps)
         if clip_denoised:
@@ -235,7 +245,7 @@ class DDIM:
             [timesteps[1:], jnp.full((1,), -1, dtype=timesteps.dtype)]
         )
         idx = jnp.arange(timesteps.shape[0])
-        fn = self._eps_fn(model_fn)
+        fn = self._pair_fn(model_fn)
 
         # Stack scan inputs so the shared segment runner can slice them
         # along axis 0 together.

@@ -86,8 +86,7 @@ def _scan_segment(
     def step(carry, i):
         img = carry
         t = jnp.full((batch,), i, dtype=jnp.int32)
-        eps = model_fn(img, t, y)
-        x0 = base.predict_x0_from_eps(schedule, img, t, eps)
+        _, x0 = model_fn(img, t, y)  # (eps, x0) pair; DDPM needs x0 only
         if clip_denoised:
             x0 = jnp.clip(x0, -1.0, 1.0)
         noise = jax.random.normal(jax.random.fold_in(rng, i), img.shape, img.dtype)
@@ -122,8 +121,7 @@ def _scan_segment_cfg(
     def step(carry, i):
         img = carry
         t = jnp.full((batch,), i, dtype=jnp.int32)
-        eps = base.cfg_eps(model_fn, img, t, y, cfg_scale)
-        x0 = base.predict_x0_from_eps(schedule, img, t, eps)
+        _, x0 = base.cfg_eps_x0(model_fn, img, t, y, cfg_scale)
         x0 = base.apply_x0_constraint(x0, p_threshold)
         noise = jax.random.normal(jax.random.fold_in(rng, i), img.shape, img.dtype)
         img = posterior_step(schedule, img, t, x0, noise)
@@ -194,6 +192,7 @@ class DDPM:
         prediction_type: str = "eps",
         loss_weighting: str = "uniform",
         min_snr_gamma: float = 5.0,
+        zero_terminal_snr: bool = False,
     ):
         if prediction_type not in base.VALID_PREDICTION_TYPES:
             raise ValueError(
@@ -209,13 +208,22 @@ class DDPM:
         self.prediction_type = prediction_type
         self.loss_weighting = loss_weighting
         self.min_snr_gamma = float(min_snr_gamma)
+        if zero_terminal_snr and prediction_type == "eps":
+            raise ValueError(
+                "zero_terminal_snr requires prediction_type 'v' or 'x0': "
+                "at SNR = 0 the terminal step is pure noise, so an "
+                "eps-prediction carries no signal to denoise from "
+                "(Lin et al. 2023 pair it with v-prediction)"
+            )
+        self.zero_terminal_snr = bool(zero_terminal_snr)
         self.schedule = NoiseSchedule.create(
-            num_timesteps, beta_start, beta_end, beta_schedule
+            num_timesteps, beta_start, beta_end, beta_schedule,
+            zero_terminal_snr=zero_terminal_snr,
         )
 
-    def _eps_fn(self, model_fn):
-        """Eps-space view of the model under this parameterization."""
-        return base.wrap_model_as_eps(
+    def _pair_fn(self, model_fn):
+        """(eps, x0) view of the model under this parameterization."""
+        return base.wrap_model_as_eps_x0(
             self.schedule, model_fn, self.prediction_type
         )
 
@@ -233,10 +241,11 @@ class DDPM:
     # -- single-step API (parity: ddpm.py:197-220) --------------------------
     def p_sample(self, model_fn, x, t, rng, y=None, clip_denoised=True, eps=None,
                  x0_pred=None):
-        if eps is None:
-            eps = self._eps_fn(model_fn)(x, t, y)
         if x0_pred is None:
-            x0_pred = base.predict_x0_from_eps(self.schedule, x, t, eps)
+            if eps is None:
+                _, x0_pred = self._pair_fn(model_fn)(x, t, y)
+            else:
+                x0_pred = base.predict_x0_from_eps(self.schedule, x, t, eps)
         if clip_denoised:
             x0_pred = jnp.clip(x0_pred, -1.0, 1.0)
         noise = jax.random.normal(rng, x.shape, x.dtype)
@@ -264,7 +273,7 @@ class DDPM:
         """
         img, rng = self._initial_image(shape, rng, init_noise)
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        fn = self._eps_fn(model_fn)
+        fn = self._pair_fn(model_fn)
 
         def segment(img, ts_seg):
             return _scan_segment(
@@ -296,7 +305,7 @@ class DDPM:
             raise ValueError("p_threshold must be in (0, 1) or None")
         img, rng = self._initial_image(shape, rng, init_noise)
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
-        fn = self._eps_fn(model_fn)
+        fn = self._pair_fn(model_fn)
         y = jnp.asarray(y)
         scale = jnp.float32(cfg_scale)
 
@@ -356,7 +365,7 @@ class DDPM:
             jax.random.normal(noise_rng, init_image.shape, jnp.float32),
         ) if t0 > 0 else init_image
         ts = jnp.arange(t0, -1, -1)
-        fn = self._eps_fn(model_fn)
+        fn = self._pair_fn(model_fn)
 
         if cfg_scale is None:
             def segment(img, ts_seg):

@@ -62,7 +62,7 @@ def _solve(
     alpha_bar = schedule.alphas_cumprod
     a = jnp.sqrt(alpha_bar)
     s = jnp.sqrt(1.0 - alpha_bar)
-    lam = jnp.log(a / jnp.clip(s, min=1e-12))
+    lam = jnp.log(jnp.clip(a, min=1e-12) / jnp.clip(s, min=1e-12))
 
     t_next_seq = jnp.concatenate(
         [timesteps[1:], jnp.full((1,), -1, dtype=timesteps.dtype)]
@@ -70,11 +70,9 @@ def _solve(
 
     def x0_at(x, t):
         if use_cfg:
-            eps = base.cfg_eps(model_fn, x, t, y, cfg_scale)
-            x0 = base.predict_x0_from_eps(schedule, x, t, eps)
+            _, x0 = base.cfg_eps_x0(model_fn, x, t, y, cfg_scale)
             return base.apply_x0_constraint(x0, p_threshold)
-        eps = model_fn(x, t, y)
-        x0 = base.predict_x0_from_eps(schedule, x, t, eps)
+        _, x0 = model_fn(x, t, y)
         if clip_denoised:
             x0 = jnp.clip(x0, -1.0, 1.0)
         return x0
@@ -128,6 +126,7 @@ class DPMSolverPP:
         prediction_type: str = "eps",
         loss_weighting: str = "uniform",
         min_snr_gamma: float = 5.0,
+        zero_terminal_snr: bool = False,
         timestep_spacing: str = "uniform",
         karras_rho: float = 7.0,
     ):
@@ -147,6 +146,14 @@ class DPMSolverPP:
         self.prediction_type = prediction_type
         self.loss_weighting = loss_weighting
         self.min_snr_gamma = float(min_snr_gamma)
+        if zero_terminal_snr and prediction_type == "eps":
+            raise ValueError(
+                "zero_terminal_snr requires prediction_type 'v' or 'x0': "
+                "at SNR = 0 the terminal step is pure noise, so an "
+                "eps-prediction carries no signal to denoise from "
+                "(Lin et al. 2023 pair it with v-prediction)"
+            )
+        self.zero_terminal_snr = bool(zero_terminal_snr)
         if timestep_spacing not in ("uniform", "karras"):
             raise ValueError(
                 f"Unknown timestep spacing: {timestep_spacing!r} "
@@ -155,13 +162,14 @@ class DPMSolverPP:
         self.timestep_spacing = timestep_spacing
         self.karras_rho = float(karras_rho)
         self.schedule = NoiseSchedule.create(
-            num_timesteps, beta_start, beta_end, beta_schedule
+            num_timesteps, beta_start, beta_end, beta_schedule,
+            zero_terminal_snr=zero_terminal_snr,
         )
         self._setup_inference_timesteps()
 
-    def _eps_fn(self, model_fn):
-        """Eps-space view of the model under this parameterization."""
-        return base.wrap_model_as_eps(
+    def _pair_fn(self, model_fn):
+        """(eps, x0) view of the model under this parameterization."""
+        return base.wrap_model_as_eps_x0(
             self.schedule, model_fn, self.prediction_type
         )
 
@@ -201,7 +209,7 @@ class DPMSolverPP:
             if init_noise is not None
             else jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
         )
-        fn = self._eps_fn(model_fn)
+        fn = self._pair_fn(model_fn)
         return _solve(
             self.schedule, fn, img, self.inference_timesteps, y, cfg_scale,
             use_cfg=use_cfg, p_threshold=p_threshold,

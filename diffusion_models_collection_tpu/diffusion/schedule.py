@@ -91,10 +91,29 @@ class NoiseSchedule:
         beta_start: float = 1e-4,
         beta_end: float = 0.02,
         beta_schedule: str = "linear",
+        zero_terminal_snr: bool = False,
     ) -> "NoiseSchedule":
         betas = make_betas(num_timesteps, beta_start, beta_end, beta_schedule)
         alphas = 1.0 - betas
         alphas_cumprod = jnp.cumprod(alphas, axis=0)
+        if zero_terminal_snr:
+            # Lin et al. 2023 ("Common Diffusion Noise Schedules and Sample
+            # Steps are Flawed"): rescale sqrt(acp) affinely so the TERMINAL
+            # step is pure noise (acp[T-1] = 0, SNR exactly 0) while acp[0]
+            # is unchanged. betas/alphas are rebuilt from the rescaled
+            # cumprod so the ancestral posterior stays self-consistent
+            # (alpha_T = 0 -> beta_T = 1). sqrt_recip_* are inf at the
+            # terminal step — eps-parameterized x0 recovery is undefined at
+            # SNR 0, which is why the process classes reject
+            # prediction_type 'eps' under this flag; the samplers' (eps,
+            # x0) pair conversion never touches those arrays for v/x0.
+            s = jnp.sqrt(alphas_cumprod)
+            s = (s - s[-1]) * (s[0] / (s[0] - s[-1]))
+            alphas_cumprod = s**2
+            alphas = jnp.concatenate(
+                [alphas_cumprod[:1], alphas_cumprod[1:] / alphas_cumprod[:-1]]
+            )
+            betas = 1.0 - alphas
         alphas_cumprod_prev = jnp.concatenate(
             [jnp.ones((1,), dtype=jnp.float32), alphas_cumprod[:-1]]
         )

@@ -106,6 +106,8 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
         # 'snr' | 'min_snr' (Min-SNR-gamma, Hang et al. 2023)
         loss_weighting=config.get("loss_weighting", "uniform"),
         min_snr_gamma=config.get("min_snr_gamma", 5.0),
+        # extension: terminal-SNR fix (Lin et al. 2023) — requires v/x0
+        zero_terminal_snr=config.get("zero_terminal_snr", False),
     )
     # extension: Karras-spaced inference grid (Karras et al. 2022) for
     # the fast samplers; DDPM is always full-step so the key is ignored
