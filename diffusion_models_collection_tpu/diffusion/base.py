@@ -233,12 +233,24 @@ def wrap_model_as_eps_x0(
     )
 
 
+def validate_guidance_rescale(value) -> float:
+    """Validate the guidance_rescale blend factor phi (must be in [0, 1])."""
+    v = float(value)
+    if not (0.0 <= v <= 1.0):
+        raise ValueError(
+            f"guidance_rescale must be in [0, 1], got {value!r}"
+        )
+    return v
+
+
 def cfg_eps_x0(
     pair_fn: Callable,
     x: jnp.ndarray,
     t: jnp.ndarray,
     y: jnp.ndarray,
     cfg_scale: float,
+    guidance_rescale: float = 0.0,
+    schedule: Optional[NoiseSchedule] = None,
 ):
     """Classifier-free guidance on an (eps, x0) pair, fused batch.
 
@@ -246,6 +258,17 @@ def cfg_eps_x0(
     affine in the raw model output with coefficients that don't depend on
     the conditioning branch, so guided_x0 == x0_implied(guided_eps).
     Fused [cond; uncond] forward as in `cfg_eps`.
+
+    `guidance_rescale` (extension; Lin et al. 2023 §3.4, phi in [0, 1])
+    counteracts CFG's per-sample contrast blow-up: the guided x0 is
+    rescaled toward the conditional branch's per-sample std
+    (x0_res = x0_g * std(x0_c)/std(x0_g)) and blended
+    (phi*x0_res + (1-phi)*x0_g). We define the rescale in x0 space — the
+    space the paper's zero-terminal-SNR v-models effectively predict at
+    high noise — and re-derive eps from the rescaled x0
+    (eps = (x - a*x0)/b) so the pair stays self-consistent for samplers
+    that use both. phi must be a static Python float; 0 is bit-exact with
+    the unrescaled path.
     """
     x2 = jnp.concatenate([x, x], axis=0)
     t2 = jnp.concatenate([t, t], axis=0)
@@ -253,10 +276,21 @@ def cfg_eps_x0(
     eps2, x02 = pair_fn(x2, t2, y2)
     eps_c, eps_u = jnp.split(eps2, 2, axis=0)
     x0_c, x0_u = jnp.split(x02, 2, axis=0)
-    return (
-        eps_u + cfg_scale * (eps_c - eps_u),
-        x0_u + cfg_scale * (x0_c - x0_u),
-    )
+    eps_g = eps_u + cfg_scale * (eps_c - eps_u)
+    x0_g = x0_u + cfg_scale * (x0_c - x0_u)
+    if float(guidance_rescale) > 0.0:
+        if schedule is None:
+            raise ValueError("guidance_rescale needs the noise schedule")
+        axes = tuple(range(1, x0_g.ndim))
+        std_c = jnp.std(x0_c, axis=axes, keepdims=True)
+        std_g = jnp.std(x0_g, axis=axes, keepdims=True)
+        x0_res = x0_g * (std_c / jnp.maximum(std_g, 1e-12))
+        phi = jnp.float32(guidance_rescale)
+        x0_g = phi * x0_res + (1.0 - phi) * x0_g
+        a = extract(schedule.sqrt_alphas_cumprod, t, x.ndim)
+        b = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x.ndim)
+        eps_g = (x - a * x0_g) / jnp.maximum(b, 1e-12)
+    return eps_g, x0_g
 
 
 def loss_weight(

@@ -62,6 +62,7 @@ def ddim_step(
         "use_cfg",
         "p_threshold",
         "clip_denoised",
+        "guidance_rescale",
     ),
 )
 def _scan_segment(
@@ -78,6 +79,7 @@ def _scan_segment(
     use_cfg: bool,
     p_threshold: Optional[float],
     clip_denoised: bool,
+    guidance_rescale: float = 0.0,
     return_all_timesteps: bool,
 ):
     """A segment of the DDIM trajectory (parity: ddim.py:210-346);
@@ -96,7 +98,10 @@ def _scan_segment(
         t = jnp.full((batch,), t_scalar, dtype=jnp.int32)
         t_next = jnp.full((batch,), t_next_scalar, dtype=jnp.int32)
         if use_cfg:
-            eps, x0 = base.cfg_eps_x0(model_fn, img, t, y, cfg_scale)
+            eps, x0 = base.cfg_eps_x0(
+                model_fn, img, t, y, cfg_scale,
+                guidance_rescale=guidance_rescale, schedule=schedule,
+            )
             x0 = base.apply_x0_constraint(x0, p_threshold)
         else:
             eps, x0 = model_fn(img, t, y)
@@ -138,6 +143,7 @@ class DDIM:
         zero_terminal_snr: bool = False,
         timestep_spacing: str = "uniform",
         karras_rho: float = 7.0,
+        guidance_rescale: float = 0.0,
     ):
         if prediction_type not in base.VALID_PREDICTION_TYPES:
             raise ValueError(
@@ -170,6 +176,7 @@ class DDIM:
             )
         self.timestep_spacing = timestep_spacing
         self.karras_rho = float(karras_rho)
+        self.guidance_rescale = base.validate_guidance_rescale(guidance_rescale)
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule,
             zero_terminal_snr=zero_terminal_snr,
@@ -263,6 +270,7 @@ class DDIM:
                 self.schedule, fn, img, scan_ins, rng, y, cfg_scale, known,
                 eta=eta, use_cfg=use_cfg, p_threshold=p_threshold,
                 clip_denoised=clip_denoised,
+                guidance_rescale=self.guidance_rescale,
                 return_all_timesteps=return_all_timesteps,
             )
 

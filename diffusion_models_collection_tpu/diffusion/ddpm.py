@@ -100,7 +100,7 @@ def _scan_segment(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("return_all_timesteps", "p_threshold"),
+    static_argnames=("p_threshold", "guidance_rescale", "return_all_timesteps"),
 )
 def _scan_segment_cfg(
     schedule: NoiseSchedule,
@@ -113,6 +113,7 @@ def _scan_segment_cfg(
     known=None,
     *,
     p_threshold: Optional[float],
+    guidance_rescale: float = 0.0,
     return_all_timesteps: bool,
 ):
     """CFG + dynamic-thresholding segment (parity: ddpm.py:254-332)."""
@@ -121,7 +122,10 @@ def _scan_segment_cfg(
     def step(carry, i):
         img = carry
         t = jnp.full((batch,), i, dtype=jnp.int32)
-        _, x0 = base.cfg_eps_x0(model_fn, img, t, y, cfg_scale)
+        _, x0 = base.cfg_eps_x0(
+            model_fn, img, t, y, cfg_scale,
+            guidance_rescale=guidance_rescale, schedule=schedule,
+        )
         x0 = base.apply_x0_constraint(x0, p_threshold)
         noise = jax.random.normal(jax.random.fold_in(rng, i), img.shape, img.dtype)
         img = posterior_step(schedule, img, t, x0, noise)
@@ -193,6 +197,7 @@ class DDPM:
         loss_weighting: str = "uniform",
         min_snr_gamma: float = 5.0,
         zero_terminal_snr: bool = False,
+        guidance_rescale: float = 0.0,
     ):
         if prediction_type not in base.VALID_PREDICTION_TYPES:
             raise ValueError(
@@ -216,6 +221,9 @@ class DDPM:
                 "(Lin et al. 2023 pair it with v-prediction)"
             )
         self.zero_terminal_snr = bool(zero_terminal_snr)
+        # extension: CFG contrast rescale (Lin et al. 2023 §3.4); static
+        # per-process so phi=0 keeps the compiled programs byte-identical
+        self.guidance_rescale = base.validate_guidance_rescale(guidance_rescale)
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule,
             zero_terminal_snr=zero_terminal_snr,
@@ -313,6 +321,7 @@ class DDPM:
             return _scan_segment_cfg(
                 self.schedule, fn, img, ts_seg, rng, y, scale,
                 p_threshold=p_threshold,
+                guidance_rescale=self.guidance_rescale,
                 return_all_timesteps=return_all_timesteps,
             )
 
@@ -384,6 +393,7 @@ class DDPM:
                 return _scan_segment_cfg(
                     self.schedule, fn, img, ts_seg, rng, yj, scale, known,
                     p_threshold=p_threshold,
+                    guidance_rescale=self.guidance_rescale,
                     return_all_timesteps=return_all_timesteps,
                 )
             desc = f"DDPM img2img CFG {cfg_scale} (strength {strength})"

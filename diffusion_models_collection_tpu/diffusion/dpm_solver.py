@@ -42,7 +42,7 @@ from .schedule import NoiseSchedule, ddim_timesteps, karras_timesteps
 @functools.partial(
     jax.jit,
     static_argnames=("use_cfg", "p_threshold", "clip_denoised",
-                     "return_all_timesteps"),
+                     "guidance_rescale", "return_all_timesteps"),
 )
 def _solve(
     schedule: NoiseSchedule,
@@ -55,6 +55,7 @@ def _solve(
     use_cfg: bool,
     p_threshold: Optional[float],
     clip_denoised: bool,
+    guidance_rescale: float = 0.0,
     return_all_timesteps: bool,
 ):
     batch = img.shape[0]
@@ -70,7 +71,10 @@ def _solve(
 
     def x0_at(x, t):
         if use_cfg:
-            _, x0 = base.cfg_eps_x0(model_fn, x, t, y, cfg_scale)
+            _, x0 = base.cfg_eps_x0(
+                model_fn, x, t, y, cfg_scale,
+                guidance_rescale=guidance_rescale, schedule=schedule,
+            )
             return base.apply_x0_constraint(x0, p_threshold)
         _, x0 = model_fn(x, t, y)
         if clip_denoised:
@@ -129,6 +133,7 @@ class DPMSolverPP:
         zero_terminal_snr: bool = False,
         timestep_spacing: str = "uniform",
         karras_rho: float = 7.0,
+        guidance_rescale: float = 0.0,
     ):
         del eta
         if prediction_type not in base.VALID_PREDICTION_TYPES:
@@ -161,6 +166,7 @@ class DPMSolverPP:
             )
         self.timestep_spacing = timestep_spacing
         self.karras_rho = float(karras_rho)
+        self.guidance_rescale = base.validate_guidance_rescale(guidance_rescale)
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule,
             zero_terminal_snr=zero_terminal_snr,
@@ -214,6 +220,7 @@ class DPMSolverPP:
             self.schedule, fn, img, self.inference_timesteps, y, cfg_scale,
             use_cfg=use_cfg, p_threshold=p_threshold,
             clip_denoised=clip_denoised,
+            guidance_rescale=self.guidance_rescale,
             return_all_timesteps=return_all_timesteps,
         )
 

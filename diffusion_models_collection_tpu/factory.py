@@ -85,6 +85,12 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
                 "flow matching (the velocity objective is already "
                 "uniformly weighted along the path)"
             )
+        if float(config.get("guidance_rescale", 0.0)) != 0.0:
+            raise ValueError(
+                "guidance_rescale is defined on the VP-diffusion x0 "
+                "prediction (Lin et al. 2023) and does not apply to "
+                "flow matching"
+            )
         return FlowMatching(
             num_timesteps=config["num_timesteps"],
             num_inference_steps=config.get("num_inference_steps", 50),
@@ -108,6 +114,9 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
         min_snr_gamma=config.get("min_snr_gamma", 5.0),
         # extension: terminal-SNR fix (Lin et al. 2023) — requires v/x0
         zero_terminal_snr=config.get("zero_terminal_snr", False),
+        # extension: CFG contrast rescale, phi in [0, 1] (Lin et al. 2023
+        # §3.4); 0 (default) is bit-exact reference-parity CFG
+        guidance_rescale=config.get("guidance_rescale", 0.0),
     )
     # extension: Karras-spaced inference grid (Karras et al. 2022) for
     # the fast samplers; DDPM is always full-step so the key is ignored

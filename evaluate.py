@@ -77,6 +77,9 @@ def main():
                              "(default: config value)")
     parser.add_argument("--cfg_scale", type=float, default=0.0,
                         help="CFG guidance scale (0 = no CFG)")
+    parser.add_argument("--guidance_rescale", type=float, default=None,
+                        help="CFG contrast rescale phi in [0, 1] (Lin et "
+                             "al. 2023; overrides the config key)")
     parser.add_argument("--inception_weights", type=str, default=None,
                         help="torchvision inception_v3 .pth (or converted "
                              ".npz) to calibrate FID/IS; defaults to env "
@@ -94,6 +97,8 @@ def main():
     config = load_config(Path(args.config)) if args.config else checkpoint["config"]
     if args.mixed_precision is not None:
         config["mixed_precision"] = args.mixed_precision
+    if args.guidance_rescale is not None:
+        config["guidance_rescale"] = args.guidance_rescale
     config["image_size"] = resolve_image_size(config["image_size"])
 
     print("Creating model...")

@@ -124,6 +124,10 @@ def main():
                         help="Use EMA model if available")
     parser.add_argument("--cfg_scale", type=float, default=0.0,
                         help="Classifier-free guidance scale (0 = no CFG)")
+    parser.add_argument("--guidance_rescale", type=float, default=None,
+                        help="CFG contrast rescale phi in [0, 1] (Lin et "
+                             "al. 2023; overrides the config's "
+                             "guidance_rescale key; 0 disables)")
     parser.add_argument("--labels", type=str, default=None,
                         help="Comma-separated labels for conditional generation")
     parser.add_argument("--seed", type=int, default=42, help="Random seed")
@@ -166,6 +170,8 @@ def main():
         config["num_inference_steps"] = args.num_inference_steps
     if args.mixed_precision is not None:
         config["mixed_precision"] = args.mixed_precision
+    if args.guidance_rescale is not None:
+        config["guidance_rescale"] = args.guidance_rescale
     config["image_size"] = resolve_image_size(config["image_size"])
 
     print("Creating model...")
