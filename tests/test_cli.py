@@ -297,6 +297,12 @@ def test_train_cli_on_real_format_fixtures(tmp_path, dataset, image_size):
     end, not only unit-parsed (round-1 VERDICT missing-item 2)."""
     import importlib.util
 
+    # self-heal: regenerate the deterministic fixture bytes if a checkout
+    # ever loses them (they're committed, but a blanket data/ gitignore
+    # bit us once)
+    if not (REPO / "tests/fixtures/data/cifar-10-batches-py").is_dir():
+        run([str(REPO / "tools" / "make_fixture_data.py")], cwd=str(REPO))
+
     spec = importlib.util.spec_from_file_location(
         "smoke", REPO / "configs" / "synthetic_smoke.py")
     mod = importlib.util.module_from_spec(spec)
