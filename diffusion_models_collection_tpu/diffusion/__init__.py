@@ -12,6 +12,7 @@ from .base import (
 from .ddim import DDIM
 from .ddpm import DDPM
 from .dpm_solver import DPMSolverPP
+from .edm import EDM
 from .flow_matching import FlowMatching
 from .schedule import NoiseSchedule, ddim_timesteps, karras_timesteps, make_betas
 
@@ -19,6 +20,7 @@ __all__ = [
     "DDPM",
     "DDIM",
     "DPMSolverPP",
+    "EDM",
     "FlowMatching",
     "NoiseSchedule",
     "make_betas",

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .datasets import CustomImageDataset, DataLoader, DiffusionDataset
-from .diffusion import DDIM, DDPM, DPMSolverPP, FlowMatching
+from .diffusion import DDIM, DDPM, DPMSolverPP, EDM, FlowMatching
 from .models import DiM, DiT, UNet
 from .parallel import mesh as pmesh
 from .utils.helpers import resolve_image_size
@@ -96,10 +96,40 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
             num_inference_steps=config.get("num_inference_steps", 50),
             solver=config.get("flow_solver", "euler"),
         )
+    if dtype_key == "edm":
+        # extension: EDM design space (Karras et al. 2022) — VE-style
+        # preconditioned denoiser, log-normal sigma training, Heun
+        # sampler with optional churn; like flow matching the key owns
+        # the whole stack (DDPM/DDIM grids are meaningless for it)
+        if str(config.get("loss_weighting", "uniform")) != "uniform":
+            raise ValueError(
+                "loss_weighting does not apply to EDM — it has its own "
+                "lambda(sigma) weighting (Karras et al. 2022 eq. 8)"
+            )
+        if str(config.get("prediction_type", "eps")) != "eps":
+            raise ValueError(
+                "prediction_type does not apply to EDM — the "
+                "preconditioned denoiser D is defined in x0 space"
+            )
+        return EDM(
+            num_timesteps=config["num_timesteps"],
+            num_inference_steps=config.get("num_inference_steps", 18),
+            sigma_data=config.get("sigma_data", 0.5),
+            sigma_min=config.get("sigma_min", 0.002),
+            sigma_max=config.get("sigma_max", 80.0),
+            rho=config.get("edm_rho", config.get("karras_rho", 7.0)),
+            p_mean=config.get("p_mean", -1.2),
+            p_std=config.get("p_std", 1.2),
+            s_churn=config.get("s_churn", 0.0),
+            s_min=config.get("s_min", 0.0),
+            s_max=config.get("s_max", float("inf")),
+            s_noise=config.get("s_noise", 1.0),
+            guidance_rescale=config.get("guidance_rescale", 0.0),
+        )
     if dtype_key not in ("ddpm", "diffusion"):
         raise ValueError(
             f"Unknown diffusion_type: {config.get('diffusion_type')!r} "
-            "(expected 'ddpm' or 'flow_matching')"
+            "(expected 'ddpm', 'flow_matching' or 'edm')"
         )
     common = dict(
         num_timesteps=config["num_timesteps"],

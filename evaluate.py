@@ -107,11 +107,11 @@ def main():
 
     # reference parity: evaluation defaults to DDPM full-step sampling
     # (evaluate.py:47-58); --sampling_method ddim/dpm++ is an extension
-    is_flow = str(config.get("diffusion_type", "ddpm")).lower() in (
-        "flow", "flow_matching", "rectified_flow"
-    )
+    dtype_key = str(config.get("diffusion_type", "ddpm")).lower()
+    is_flow = dtype_key in ("flow", "flow_matching", "rectified_flow")
+    is_edm = dtype_key == "edm"
     if args.num_inference_steps is not None:
-        if args.sampling_method == "ddpm" and not is_flow:
+        if args.sampling_method == "ddpm" and not (is_flow or is_edm):
             raise SystemExit(
                 "--num_inference_steps has no effect with the default DDPM "
                 "eval protocol (always full-step) — pass --sampling_method "

@@ -162,11 +162,11 @@ def main():
     checkpoint = load_checkpoint(args.checkpoint)
     config = load_config(Path(args.config)) if args.config else checkpoint["config"]
 
-    is_flow = str(config.get("diffusion_type", "ddpm")).lower() in (
-        "flow", "flow_matching", "rectified_flow"
-    )
-    if (args.sampling_method.lower() in ("ddim", "dpm++") or is_flow) \
-            and args.num_inference_steps:
+    dtype_key = str(config.get("diffusion_type", "ddpm")).lower()
+    is_flow = dtype_key in ("flow", "flow_matching", "rectified_flow")
+    is_edm = dtype_key == "edm"
+    if (args.sampling_method.lower() in ("ddim", "dpm++") or is_flow
+            or is_edm) and args.num_inference_steps:
         config["num_inference_steps"] = args.num_inference_steps
     if args.mixed_precision is not None:
         config["mixed_precision"] = args.mixed_precision
@@ -199,10 +199,10 @@ def main():
     if args.mask and not args.init_image:
         raise SystemExit("--mask requires --init_image")
     if args.init_image:
-        if args.sampling_method.lower() == "dpm++" and not is_flow:
+        if args.sampling_method.lower() == "dpm++" and not (is_flow or is_edm):
             raise SystemExit(
-                "img2img supports --sampling_method ddpm/ddim (and flow "
-                "checkpoints), not dpm++"
+                "img2img supports --sampling_method ddpm/ddim (and flow/"
+                "edm checkpoints), not dpm++"
             )
         if not (0.0 < args.strength <= 1.0):
             raise SystemExit("--strength must be in (0, 1] for img2img")

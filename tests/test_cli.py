@@ -766,6 +766,54 @@ def test_train_and_sample_cli_flow_matching(tmp_path):
     assert pngs, out
 
 
+def test_train_and_sample_cli_edm(tmp_path):
+    """`diffusion_type: 'edm'` end to end: train.py runs the
+    preconditioned denoising objective, sample.py runs the Heun sampler
+    from the checkpoint (the key overrides --sampling_method;
+    --num_inference_steps and --guidance_rescale honored)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "smoke", REPO / "configs" / "synthetic_smoke.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg = dict(mod.config)
+    cfg.update(
+        experiment_name="edm-smoke-unet",
+        diffusion_type="edm",
+        s_churn=2.0,
+        num_inference_steps=4,
+        epochs=1,
+        save_dir=str(tmp_path / "ckpt"),
+        sample_dir=str(tmp_path / "gen"),
+        sample_interval=1,
+        sample_start_epoch=1,
+        num_samples=4,
+    )
+    cfg_path = tmp_path / "edm_unet.py"
+    cfg_path.write_text(f"config = {cfg!r}\n")
+    out = run([str(REPO / "train.py"), "--config", str(cfg_path)],
+              cwd=str(tmp_path))
+    assert "Training completed!" in out
+    ckpt = tmp_path / "ckpt" / "current_model.ckpt"
+    assert ckpt.exists()
+    # in-training sampling went through EDM.sample_with_cfg
+    assert (tmp_path / "gen" / "epoch_0001.png").exists()
+
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--num_samples", "4", "--batch_size", "4",
+         "--num_inference_steps", "6", "--seed", "1",
+         "--cfg_scale", "2.0", "--guidance_rescale", "0.5",
+         "--labels", "1,2,3,4",
+         "--output_dir", str(tmp_path / "samples")],
+        cwd=str(tmp_path),
+    )
+    assert "EDM (Heun) sampling" in out
+    pngs = list((tmp_path / "samples").glob("*.png"))
+    assert pngs, out
+
+
 def test_sample_cli_img2img_and_inpaint(workdir, tmp_path):
     """--init_image / --strength / --mask through sample.py (SDEdit +
     inpainting, beyond the reference)."""
