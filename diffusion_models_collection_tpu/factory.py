@@ -16,11 +16,11 @@ import jax.numpy as jnp
 
 from .datasets import CustomImageDataset, DataLoader, DiffusionDataset
 from .diffusion import DDIM, DDPM, DPMSolverPP, EDM, FlowMatching
-from .models import DiM, DiT, UNet
+from .models import DiM, DiT, UNet, VAE
 from .parallel import mesh as pmesh
 from .utils.helpers import resolve_image_size
 
-MODEL_CLASSES = {"unet": UNet, "dit": DiT, "dim": DiM}
+MODEL_CLASSES = {"unet": UNet, "dit": DiT, "dim": DiM, "vae": VAE}
 
 
 def get_model(config: dict):
@@ -30,15 +30,35 @@ def get_model(config: dict):
     model_params = dict(config.get("model_params", {}))
     image_size = resolve_image_size(config["image_size"])
 
-    if model_type == "unet":
+    if config.get("latent_diffusion") and model_type != "vae":
+        # extension: the denoiser lives in the frozen VAE's latent space —
+        # its spatial size and channel count come from the VAE checkpoint,
+        # not the pixel-space config keys (utils/latent.py)
+        from .utils.latent import LatentCodec
+
+        codec = LatentCodec.from_config(config)
+        image_size = codec.latent_hw()
+        lc = codec.latent_channels
+        declared = model_params.get("in_channels")
+        if declared is not None and int(declared) != lc:
+            raise ValueError(
+                f"model_params.in_channels={declared} conflicts with the "
+                f"VAE's latent_channels={lc} under latent_diffusion"
+            )
+        model_params["in_channels"] = lc
+        if model_type == "unet":
+            model_params["out_channels"] = lc
+
+    if model_type in ("unet", "vae"):
         model_params["image_size"] = image_size
     elif model_type in ("dit", "dim"):
         model_params["img_size"] = image_size
 
-    if config.get("conditional", False):
-        model_params["num_classes"] = config.get("num_classes")
-    else:
-        model_params["num_classes"] = None
+    if model_type != "vae":  # the autoencoder is unconditional by design
+        if config.get("conditional", False):
+            model_params["num_classes"] = config.get("num_classes")
+        else:
+            model_params["num_classes"] = None
 
     # tuples keep flax dataclass fields hashable
     for key in ("image_size", "img_size", "attention_resolutions", "channel_mult"):

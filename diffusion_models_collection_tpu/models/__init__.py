@@ -7,5 +7,6 @@ returns predicted epsilon with x in NHWC layout.
 from .dim import DiM
 from .dit import DiT
 from .unet import UNet
+from .vae import VAE
 
-__all__ = ["UNet", "DiT", "DiM"]
+__all__ = ["UNet", "DiT", "DiM", "VAE"]

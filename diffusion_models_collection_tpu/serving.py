@@ -28,9 +28,17 @@ def _build_sampler_fn(model, config: dict, batch_size: int,
     """A pure (params, rng, labels) -> images function with everything
     else baked static."""
     diffusion = get_diffusion(config, sampling_method=sampling_method)
-    h, w = resolve_image_size(config["image_size"])
-    in_ch = config["model_params"]["in_channels"]
-    shape = (batch_size, h, w, in_ch)
+    # Latent diffusion (extension): sample latents, decode inside the
+    # exported program (the frozen VAE rides along as closure constants)
+    from .utils.latent import LatentCodec
+
+    codec = LatentCodec.from_config(config)
+    if codec is not None:
+        shape = codec.latent_shape(batch_size)
+    else:
+        h, w = resolve_image_size(config["image_size"])
+        in_ch = config["model_params"]["in_channels"]
+        shape = (batch_size, h, w, in_ch)
     conditional = bool(config.get("conditional", False)) and cfg_scale > 0
 
     def sampler(params, rng, labels):
@@ -44,6 +52,8 @@ def _build_sampler_fn(model, config: dict, batch_size: int,
             )
         else:
             out = diffusion.sample(fn, shape, rng)
+        if codec is not None:
+            out = codec.decode(out)
         return jnp.clip((out + 1.0) * 0.5, 0.0, 1.0)
 
     return sampler, shape

@@ -19,9 +19,11 @@ from .helpers import (
 from .lr_schedules import build_lr_schedule
 from .tracker import JsonlTracker, MultiTracker, NullTracker, build_tracker
 from .trainer import DiffusionTrainer, TrainState, build_optimizer
+from .vae_trainer import VAETrainer
 
 __all__ = [
     "DiffusionTrainer",
+    "VAETrainer",
     "TrainState",
     "build_optimizer",
     "build_lr_schedule",

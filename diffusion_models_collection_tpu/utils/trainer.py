@@ -131,6 +131,18 @@ class DiffusionTrainer:
         self.image_size = resolve_image_size(cfg.get("image_size", 32))
         self.in_channels = cfg.get("model_params", {}).get("in_channels", 3)
 
+        # Latent diffusion (extension): with `latent_diffusion: true` +
+        # `vae_checkpoint`, the denoiser operates in the frozen VAE's
+        # latent space — batches are encoded inside the jitted train step
+        # (posterior sample), in-training sample grids decode back to
+        # pixels, and the trainer's working geometry IS the latent one.
+        from .latent import LatentCodec
+
+        self.latent = LatentCodec.from_config(cfg)
+        if self.latent is not None:
+            self.image_size = self.latent.latent_hw()
+            self.in_channels = self.latent.latent_channels
+
         # Tensor parallelism (extension beyond the reference): with
         # `tensor_parallel: N` the mesh becomes 2-D (data, model), params
         # shard by the Megatron rules (parallel/tensor_parallel.py) and
@@ -554,8 +566,22 @@ class DiffusionTrainer:
                 jnp.tile(data, reps)[:4], impl=dropout_rng_impl
             )
 
+        latent = self.latent
+
         def train_step(state: TrainState, images, labels, rng):
-            t_rng, noise_rng, drop_rng, dropout_rng = jax.random.split(rng, 4)
+            if latent is not None:
+                # pixel batch -> scaled latent posterior sample; the VAE
+                # params ride as frozen jit-closure constants (the 5-way
+                # split is latent-only so pixel-space runs keep their
+                # exact pre-latent RNG streams)
+                t_rng, noise_rng, drop_rng, dropout_rng, enc_rng = (
+                    jax.random.split(rng, 5)
+                )
+                images = latent.encode(images, enc_rng)
+            else:
+                t_rng, noise_rng, drop_rng, dropout_rng = (
+                    jax.random.split(rng, 4)
+                )
             dropout_rng = _dropout_key(dropout_rng)
             batch = images.shape[0]
             t = jax.random.randint(t_rng, (batch,), 0, num_timesteps)
@@ -831,6 +857,8 @@ class DiffusionTrainer:
             samples = self.diffusion.sample(model_fn, shape, sample_rng,
                                             init_noise=init_noise)
 
+        if self.latent is not None:
+            samples = self.latent.decode(samples)
         samples = np.clip((np.asarray(samples) + 1) / 2, 0, 1)
         if self.is_main_process:
             save_path = self.sample_dir / f"epoch_{epoch:04d}.png"

@@ -158,9 +158,18 @@ def main():
         labels_all = None
 
     print(f"Generating {args.num_samples} fake images...")
-    h, w = config["image_size"]
-    in_ch = config["model_params"]["in_channels"]
-    shape = (args.batch_size, h, w, in_ch)  # one compiled shape
+    # Latent diffusion (extension): sample latents, decode through the VAE
+    from diffusion_models_collection_tpu.utils.latent import LatentCodec
+
+    codec = LatentCodec.from_config(config)
+    if codec is not None:
+        shape = codec.latent_shape(args.batch_size)
+        print(f"Latent diffusion: sampling {shape[1]}x{shape[2]}x{shape[3]} "
+              "latents, decoding through the VAE")
+    else:
+        h, w = config["image_size"]
+        in_ch = config["model_params"]["in_channels"]
+        shape = (args.batch_size, h, w, in_ch)  # one compiled shape
     num_batches = (args.num_samples + args.batch_size - 1) // args.batch_size
 
     # Multi-device host: shard each generation batch over a 'data' mesh
@@ -203,6 +212,8 @@ def main():
                 model_fn, shape, batch_rng, y=batch_labels,
                 init_noise=init_noise, progress=True,
             )
+        if codec is not None:
+            samples = codec.decode(samples)
         samples = np.asarray(samples)[: end - start]
         fake_images.append((samples + 1) / 2)
 

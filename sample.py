@@ -191,9 +191,20 @@ def main():
     output_dir.mkdir(parents=True, exist_ok=True)
 
     return_all = args.save_intermediate or args.create_gif
-    h, w = config["image_size"]
-    in_ch = config["model_params"]["in_channels"]
-    shape = (args.batch_size, h, w, in_ch)  # ONE compiled shape for all batches
+    # Latent diffusion (extension): the denoiser samples in the frozen
+    # VAE's latent space; pixels appear only after decode.
+    from diffusion_models_collection_tpu.utils.latent import LatentCodec
+
+    codec = LatentCodec.from_config(config)
+    if codec is not None:
+        shape = codec.latent_shape(args.batch_size)
+        in_ch = codec.model.in_channels  # pixel channels (for init images)
+        print(f"Latent diffusion: sampling {shape[1]}x{shape[2]}x{shape[3]} "
+              "latents, decoding through the VAE")
+    else:
+        h, w = config["image_size"]
+        in_ch = config["model_params"]["in_channels"]
+        shape = (args.batch_size, h, w, in_ch)  # ONE compiled shape for all batches
 
     init_image = mask = None
     if args.mask and not args.init_image:
@@ -256,6 +267,14 @@ def main():
                 jnp.asarray(np.repeat(mask, args.batch_size, axis=0))
                 if mask is not None else None
             )
+            if codec is not None:
+                if batch_mask is not None:
+                    raise SystemExit(
+                        "--mask is not supported with latent-diffusion "
+                        "checkpoints (pixel masks do not map exactly onto "
+                        "the latent grid)"
+                    )
+                batch_init = codec.encode_mode(batch_init)
             print(f"img2img batch {i + 1}/{num_batches}"
                   + (f" with CFG scale {args.cfg_scale}" if use_cfg else "")
                   + "...")
@@ -282,6 +301,11 @@ def main():
                 progress=True,
             )
 
+        if codec is not None:
+            samples = (
+                codec.decode_trajectory(samples) if return_all
+                else codec.decode(samples)
+            )
         samples = np.asarray(samples)
         keep = end - start
         if return_all:

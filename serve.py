@@ -75,11 +75,21 @@ class SamplerService:
                                            "set_inference_steps"):
             self.diffusion.set_inference_steps(num_inference_steps)
         self.batch_size = int(batch_size)
-        h, w = resolve_image_size(self.config["image_size"])
-        self.image_hw = (h, w)
-        self.channels = self.config.get("model_params", {}).get(
-            "in_channels", 3
-        )
+        # Latent diffusion (extension): sample latents, decode per request
+        from diffusion_models_collection_tpu.utils.latent import LatentCodec
+
+        self.codec = LatentCodec.from_config(self.config)
+        self.pixel_hw = resolve_image_size(self.config["image_size"])
+        if self.codec is not None:
+            # the sampler works at latent geometry; /generate responses
+            # and /healthz still speak pixels (decode happens per request)
+            self.image_hw = self.codec.latent_hw()
+            self.channels = self.codec.latent_channels
+        else:
+            self.image_hw = self.pixel_hw
+            self.channels = self.config.get("model_params", {}).get(
+                "in_channels", 3
+            )
         self.conditional = bool(self.config.get("conditional", False))
         self.num_classes = self.config.get("num_classes")
         self.default_cfg = float(self.config.get("cfg_scale", 1.8))
@@ -146,6 +156,8 @@ class SamplerService:
                     ),
                     init_noise=init_noise,
                 )
+                if self.codec is not None:
+                    out = self.codec.decode(out)
                 # materialize INSIDE the lock: dispatch is async, so the
                 # device is still running until this host transfer completes
                 out = np.asarray(out[:num_samples])
@@ -158,6 +170,8 @@ class SamplerService:
             with self._lock:
                 out = self.diffusion.sample(self._model_fn, shape, rng,
                                             init_noise=init_noise)
+                if self.codec is not None:
+                    out = self.codec.decode(out)
                 out = np.asarray(out[:num_samples])
         return np.clip((out + 1.0) / 2.0, 0.0, 1.0).astype(np.float32)
 
@@ -198,7 +212,7 @@ def make_handler(service: SamplerService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                h, w = service.image_hw
+                h, w = service.pixel_hw
                 self._send_json(200, {
                     "status": "ok",
                     "model_type": service.config.get("model_type"),

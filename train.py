@@ -30,7 +30,7 @@ from diffusion_models_collection_tpu.factory import (
     get_diffusion,
     get_model,
 )
-from diffusion_models_collection_tpu.utils import DiffusionTrainer
+from diffusion_models_collection_tpu.utils import DiffusionTrainer, VAETrainer
 from diffusion_models_collection_tpu.utils.helpers import (
     format_duration,
     load_config,
@@ -66,13 +66,28 @@ def main():
 
     print("Creating model...")
     model = get_model(config)
-    diffusion = get_diffusion(config)  # training always DDPM (train.py:59-70)
 
     print("Loading dataset...")
     train_dataset = get_dataset(config, train=True)
     train_loader = get_dataloader(
         config, train_dataset, train=True, seed=config.get("seed", 42)
     )
+
+    if str(config.get("model_type", "")).lower() == "vae":
+        # stage 1 of latent diffusion (extension): train the KL-VAE alone;
+        # diffusion configs then point `vae_checkpoint` at its output
+        trainer = VAETrainer(
+            model=model,
+            train_loader=train_loader,
+            config=config,
+            rng=rng,
+            resume_path=config.get("resume_path"),
+        )
+        trainer.train()
+        trainer.cleanup()
+        return
+
+    diffusion = get_diffusion(config)  # training always DDPM (train.py:59-70)
 
     # The trainer builds its own mesh from the config: a 1-D 'data' mesh
     # by default, or a 2-D (data, model) mesh when `tensor_parallel: N`
