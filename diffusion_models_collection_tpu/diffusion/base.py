@@ -233,6 +233,56 @@ def wrap_model_as_eps_x0(
     )
 
 
+# Sentinel default for sampler p_threshold arguments: resolves to 0.995
+# (reference parity) in bounded pixel space, None in unbounded latent space.
+AUTO_THRESHOLD = "auto"
+
+
+def resolve_p_threshold(p_threshold, clip_sample: bool):
+    """Resolve a sampler's p_threshold argument against the process's
+    clip_sample policy: the AUTO_THRESHOLD sentinel becomes 0.995 for
+    bounded (pixel) spaces and None for unbounded (latent) ones; explicit
+    floats/None pass through validated."""
+    if isinstance(p_threshold, str):
+        if p_threshold != AUTO_THRESHOLD:
+            raise ValueError(f"Unknown p_threshold: {p_threshold!r}")
+        return 0.995 if clip_sample else None
+    if p_threshold is not None and not (0.0 < float(p_threshold) < 1.0):
+        raise ValueError("p_threshold must be in (0, 1) or None")
+    return p_threshold
+
+
+def constrain_x0(
+    x0: jnp.ndarray, p_threshold: Optional[float], clip_denoised: bool
+) -> jnp.ndarray:
+    """The CFG-path x0 constraint honoring BOTH knobs: dynamic threshold
+    when p_threshold is set, else clamp to [-1, 1] when clip_denoised,
+    else pass through untouched — latent-diffusion spaces are unbounded,
+    so clipping there corrupts every sample."""
+    if p_threshold is not None:
+        if not (0.0 < float(p_threshold) < 1.0):
+            raise ValueError("p_threshold must be in (0, 1) or None")
+        return dynamic_threshold(x0, float(p_threshold))
+    if clip_denoised:
+        return jnp.clip(x0, -1.0, 1.0)
+    return x0
+
+
+def rescale_guided(
+    x_g: jnp.ndarray, x_c: jnp.ndarray, phi: float
+) -> jnp.ndarray:
+    """Guidance contrast rescale (Lin et al. 2023 §3.4): pull the guided
+    prediction's per-sample std back toward the conditional branch's and
+    blend with factor phi. Shared by the VP samplers (`cfg_eps_x0`) and
+    EDM (`edm._cfg_denoised`)."""
+    axes = tuple(range(1, x_g.ndim))
+    std_c = jnp.std(x_c, axis=axes, keepdims=True)
+    std_g = jnp.std(x_g, axis=axes, keepdims=True)
+    res = x_g * (std_c / jnp.maximum(std_g, 1e-12))
+    p = jnp.float32(phi)
+    return p * res + (1.0 - p) * x_g
+
+
 def validate_guidance_rescale(value) -> float:
     """Validate the guidance_rescale blend factor phi (must be in [0, 1])."""
     v = float(value)
@@ -281,12 +331,7 @@ def cfg_eps_x0(
     if float(guidance_rescale) > 0.0:
         if schedule is None:
             raise ValueError("guidance_rescale needs the noise schedule")
-        axes = tuple(range(1, x0_g.ndim))
-        std_c = jnp.std(x0_c, axis=axes, keepdims=True)
-        std_g = jnp.std(x0_g, axis=axes, keepdims=True)
-        x0_res = x0_g * (std_c / jnp.maximum(std_g, 1e-12))
-        phi = jnp.float32(guidance_rescale)
-        x0_g = phi * x0_res + (1.0 - phi) * x0_g
+        x0_g = rescale_guided(x0_g, x0_c, guidance_rescale)
         a = extract(schedule.sqrt_alphas_cumprod, t, x.ndim)
         b = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x.ndim)
         eps_g = (x - a * x0_g) / jnp.maximum(b, 1e-12)

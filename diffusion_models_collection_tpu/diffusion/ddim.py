@@ -102,7 +102,7 @@ def _scan_segment(
                 model_fn, img, t, y, cfg_scale,
                 guidance_rescale=guidance_rescale, schedule=schedule,
             )
-            x0 = base.apply_x0_constraint(x0, p_threshold)
+            x0 = base.constrain_x0(x0, p_threshold, clip_denoised)
         else:
             eps, x0 = model_fn(img, t, y)
             if clip_denoised:
@@ -144,6 +144,7 @@ class DDIM:
         timestep_spacing: str = "uniform",
         karras_rho: float = 7.0,
         guidance_rescale: float = 0.0,
+        clip_sample: bool = True,
     ):
         if prediction_type not in base.VALID_PREDICTION_TYPES:
             raise ValueError(
@@ -177,6 +178,8 @@ class DDIM:
         self.timestep_spacing = timestep_spacing
         self.karras_rho = float(karras_rho)
         self.guidance_rescale = base.validate_guidance_rescale(guidance_rescale)
+        # False for unbounded prediction spaces (latent diffusion)
+        self.clip_sample = bool(clip_sample)
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule,
             zero_terminal_snr=zero_terminal_snr,
@@ -282,7 +285,8 @@ class DDIM:
                init_noise=None, progress=False):
         return self._run(
             model_fn, shape, rng, y, jnp.float32(0.0), init_noise,
-            eta=self.eta, use_cfg=False, p_threshold=None, clip_denoised=True,
+            eta=self.eta, use_cfg=False, p_threshold=None,
+            clip_denoised=self.clip_sample,
             return_all_timesteps=return_all_timesteps, progress=progress,
             desc="DDIM Sampling",
         )
@@ -294,19 +298,19 @@ class DDIM:
         y,
         rng,
         cfg_scale: float = 3.0,
-        p_threshold: Optional[float] = 0.995,
+        p_threshold=base.AUTO_THRESHOLD,
         return_all_timesteps: bool = False,
         init_noise=None,
         progress: bool = False,
     ):
         if y is None:
             raise ValueError("CFG sampling requires class labels y.")
-        if p_threshold is not None and not (0.0 < float(p_threshold) < 1.0):
-            raise ValueError("p_threshold must be in (0, 1) or None")
+        p_threshold = base.resolve_p_threshold(p_threshold, self.clip_sample)
         return self._run(
             model_fn, shape, rng, jnp.asarray(y), jnp.float32(cfg_scale),
             init_noise, eta=self.eta, use_cfg=True, p_threshold=p_threshold,
-            clip_denoised=False, return_all_timesteps=return_all_timesteps,
+            clip_denoised=self.clip_sample,
+            return_all_timesteps=return_all_timesteps,
             progress=progress,
             desc=f"DDIM sampling with CFG scale {cfg_scale}",
         )
@@ -319,7 +323,7 @@ class DDIM:
         strength: float = 0.8,
         y=None,
         cfg_scale: Optional[float] = None,
-        p_threshold: Optional[float] = 0.995,
+        p_threshold=base.AUTO_THRESHOLD,
         mask=None,
         return_all_timesteps: bool = False,
         progress: bool = False,
@@ -364,8 +368,11 @@ class DDIM:
             jnp.asarray(y) if use_cfg else y,
             jnp.float32(cfg_scale if use_cfg else 0.0), None,
             eta=self.eta, use_cfg=use_cfg,
-            p_threshold=p_threshold if use_cfg else None,
-            clip_denoised=not use_cfg,
+            p_threshold=(
+                base.resolve_p_threshold(p_threshold, self.clip_sample)
+                if use_cfg else None
+            ),
+            clip_denoised=self.clip_sample,
             return_all_timesteps=return_all_timesteps, progress=progress,
             desc=f"DDIM img2img (strength {strength})",
             timesteps=jnp.asarray(sub, jnp.int32), start_img=start_img,

@@ -100,7 +100,8 @@ def _scan_segment(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("p_threshold", "guidance_rescale", "return_all_timesteps"),
+    static_argnames=("p_threshold", "guidance_rescale", "clip_denoised",
+                     "return_all_timesteps"),
 )
 def _scan_segment_cfg(
     schedule: NoiseSchedule,
@@ -114,6 +115,7 @@ def _scan_segment_cfg(
     *,
     p_threshold: Optional[float],
     guidance_rescale: float = 0.0,
+    clip_denoised: bool = True,
     return_all_timesteps: bool,
 ):
     """CFG + dynamic-thresholding segment (parity: ddpm.py:254-332)."""
@@ -126,7 +128,7 @@ def _scan_segment_cfg(
             model_fn, img, t, y, cfg_scale,
             guidance_rescale=guidance_rescale, schedule=schedule,
         )
-        x0 = base.apply_x0_constraint(x0, p_threshold)
+        x0 = base.constrain_x0(x0, p_threshold, clip_denoised)
         noise = jax.random.normal(jax.random.fold_in(rng, i), img.shape, img.dtype)
         img = posterior_step(schedule, img, t, x0, noise)
         if known is not None:
@@ -198,6 +200,7 @@ class DDPM:
         min_snr_gamma: float = 5.0,
         zero_terminal_snr: bool = False,
         guidance_rescale: float = 0.0,
+        clip_sample: bool = True,
     ):
         if prediction_type not in base.VALID_PREDICTION_TYPES:
             raise ValueError(
@@ -224,6 +227,9 @@ class DDPM:
         # extension: CFG contrast rescale (Lin et al. 2023 §3.4); static
         # per-process so phi=0 keeps the compiled programs byte-identical
         self.guidance_rescale = base.validate_guidance_rescale(guidance_rescale)
+        # False for unbounded prediction spaces (latent diffusion): the
+        # pixel [-1, 1] clamp / dynamic thresholding would corrupt latents
+        self.clip_sample = bool(clip_sample)
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule,
             zero_terminal_snr=zero_terminal_snr,
@@ -287,6 +293,7 @@ class DDPM:
             return _scan_segment(
                 self.schedule, fn, img, ts_seg, rng, y,
                 return_all_timesteps=return_all_timesteps,
+                clip_denoised=self.clip_sample,
             )
 
         return _run_segments(
@@ -300,17 +307,17 @@ class DDPM:
         y,
         rng,
         cfg_scale: float = 3.0,
-        p_threshold: Optional[float] = 0.995,
+        p_threshold=base.AUTO_THRESHOLD,
         return_all_timesteps: bool = False,
         init_noise=None,
         progress: bool = False,
     ):
         """CFG sampling (parity: ddpm.py:254-332). `cfg_scale` is dynamic —
-        changing it does not retrigger compilation."""
+        changing it does not retrigger compilation. `p_threshold` defaults
+        to 0.995 in pixel space and None under clip_sample=False (latent)."""
         if y is None:
             raise ValueError("CFG sampling requires class labels y.")
-        if p_threshold is not None and not (0.0 < float(p_threshold) < 1.0):
-            raise ValueError("p_threshold must be in (0, 1) or None")
+        p_threshold = base.resolve_p_threshold(p_threshold, self.clip_sample)
         img, rng = self._initial_image(shape, rng, init_noise)
         ts = jnp.arange(self.num_timesteps - 1, -1, -1)
         fn = self._pair_fn(model_fn)
@@ -322,6 +329,7 @@ class DDPM:
                 self.schedule, fn, img, ts_seg, rng, y, scale,
                 p_threshold=p_threshold,
                 guidance_rescale=self.guidance_rescale,
+                clip_denoised=self.clip_sample,
                 return_all_timesteps=return_all_timesteps,
             )
 
@@ -338,7 +346,7 @@ class DDPM:
         strength: float = 0.8,
         y=None,
         cfg_scale: Optional[float] = None,
-        p_threshold: Optional[float] = 0.995,
+        p_threshold=base.AUTO_THRESHOLD,
         mask=None,
         return_all_timesteps: bool = False,
         progress: bool = False,
@@ -381,6 +389,7 @@ class DDPM:
                 return _scan_segment(
                     self.schedule, fn, img, ts_seg, rng, y, known,
                     return_all_timesteps=return_all_timesteps,
+                    clip_denoised=self.clip_sample,
                 )
             desc = f"DDPM img2img (strength {strength})"
         else:
@@ -388,12 +397,16 @@ class DDPM:
                 raise ValueError("CFG img2img requires class labels y.")
             yj = jnp.asarray(y)
             scale = jnp.float32(cfg_scale)
+            p_resolved = base.resolve_p_threshold(
+                p_threshold, self.clip_sample
+            )
 
             def segment(img, ts_seg):
                 return _scan_segment_cfg(
                     self.schedule, fn, img, ts_seg, rng, yj, scale, known,
-                    p_threshold=p_threshold,
+                    p_threshold=p_resolved,
                     guidance_rescale=self.guidance_rescale,
+                    clip_denoised=self.clip_sample,
                     return_all_timesteps=return_all_timesteps,
                 )
             desc = f"DDPM img2img CFG {cfg_scale} (strength {strength})"

@@ -75,7 +75,7 @@ def _solve(
                 model_fn, x, t, y, cfg_scale,
                 guidance_rescale=guidance_rescale, schedule=schedule,
             )
-            return base.apply_x0_constraint(x0, p_threshold)
+            return base.constrain_x0(x0, p_threshold, clip_denoised)
         _, x0 = model_fn(x, t, y)
         if clip_denoised:
             x0 = jnp.clip(x0, -1.0, 1.0)
@@ -134,6 +134,7 @@ class DPMSolverPP:
         timestep_spacing: str = "uniform",
         karras_rho: float = 7.0,
         guidance_rescale: float = 0.0,
+        clip_sample: bool = True,
     ):
         del eta
         if prediction_type not in base.VALID_PREDICTION_TYPES:
@@ -167,6 +168,8 @@ class DPMSolverPP:
         self.timestep_spacing = timestep_spacing
         self.karras_rho = float(karras_rho)
         self.guidance_rescale = base.validate_guidance_rescale(guidance_rescale)
+        # False for unbounded prediction spaces (latent diffusion)
+        self.clip_sample = bool(clip_sample)
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule,
             zero_terminal_snr=zero_terminal_snr,
@@ -228,7 +231,8 @@ class DPMSolverPP:
                init_noise=None, progress=False):
         return self._run(
             model_fn, shape, rng, y, jnp.float32(0.0), init_noise,
-            use_cfg=False, p_threshold=None, clip_denoised=True,
+            use_cfg=False, p_threshold=None,
+            clip_denoised=self.clip_sample,
             return_all_timesteps=return_all_timesteps, progress=progress,
             desc="DPM-Solver++ Sampling",
         )
@@ -240,19 +244,19 @@ class DPMSolverPP:
         y,
         rng,
         cfg_scale: float = 3.0,
-        p_threshold: Optional[float] = 0.995,
+        p_threshold=base.AUTO_THRESHOLD,
         return_all_timesteps: bool = False,
         init_noise=None,
         progress: bool = False,
     ):
         if y is None:
             raise ValueError("CFG sampling requires class labels y.")
-        if p_threshold is not None and not (0.0 < float(p_threshold) < 1.0):
-            raise ValueError("p_threshold must be in (0, 1) or None")
+        p_threshold = base.resolve_p_threshold(p_threshold, self.clip_sample)
         return self._run(
             model_fn, shape, rng, jnp.asarray(y), jnp.float32(cfg_scale),
             init_noise, use_cfg=True, p_threshold=p_threshold,
-            clip_denoised=False, return_all_timesteps=return_all_timesteps,
+            clip_denoised=self.clip_sample,
+            return_all_timesteps=return_all_timesteps,
             progress=progress,
             desc=f"DPM-Solver++ sampling with CFG scale {cfg_scale}",
         )

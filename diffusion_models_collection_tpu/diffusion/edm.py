@@ -66,12 +66,7 @@ def _cfg_denoised(d_fn, x, sigma, y, cfg_scale, guidance_rescale):
     d_c, d_u = jnp.split(d2, 2, axis=0)
     d_g = d_u + cfg_scale * (d_c - d_u)
     if float(guidance_rescale) > 0.0:
-        axes = tuple(range(1, d_g.ndim))
-        std_c = jnp.std(d_c, axis=axes, keepdims=True)
-        std_g = jnp.std(d_g, axis=axes, keepdims=True)
-        d_res = d_g * (std_c / jnp.maximum(std_g, 1e-12))
-        phi = jnp.float32(guidance_rescale)
-        d_g = phi * d_res + (1.0 - phi) * d_g
+        d_g = base.rescale_guided(d_g, d_c, guidance_rescale)
     return d_g
 
 
@@ -109,7 +104,7 @@ def _scan_segment(
         sigma = jnp.full((batch,), sigma_scalar, jnp.float32)
         if use_cfg:
             d = _cfg_denoised(d_fn, x, sigma, y, cfg_scale, guidance_rescale)
-            return base.apply_x0_constraint(d, p_threshold)
+            return base.constrain_x0(d, p_threshold, clip_denoised)
         d = d_fn(x, sigma, y)
         if clip_denoised:
             d = jnp.clip(d, -1.0, 1.0)
@@ -168,6 +163,7 @@ class EDM:
         s_max: float = float("inf"),
         s_noise: float = 1.0,
         guidance_rescale: float = 0.0,
+        clip_sample: bool = True,
     ):
         if num_timesteps < 2:
             raise ValueError("EDM needs num_timesteps >= 2")
@@ -190,6 +186,8 @@ class EDM:
         self.s_max = float(s_max)
         self.s_noise = float(s_noise)
         self.guidance_rescale = base.validate_guidance_rescale(guidance_rescale)
+        # False for unbounded prediction spaces (latent diffusion)
+        self.clip_sample = bool(clip_sample)
         # the denoiser predicts x0 directly (D is x0-space)
         self.prediction_type = "edm_denoised"
         # preconditioning constants bound STATICALLY (functools.partial,
@@ -331,7 +329,8 @@ class EDM:
                init_noise=None, progress=False):
         return self._run(
             model_fn, shape, rng, y, jnp.float32(0.0), init_noise,
-            use_cfg=False, p_threshold=None, clip_denoised=True,
+            use_cfg=False, p_threshold=None,
+            clip_denoised=self.clip_sample,
             return_all_timesteps=return_all_timesteps, progress=progress,
             desc="EDM (Heun) sampling",
         )
@@ -343,19 +342,19 @@ class EDM:
         y,
         rng,
         cfg_scale: float = 3.0,
-        p_threshold: Optional[float] = 0.995,
+        p_threshold=base.AUTO_THRESHOLD,
         return_all_timesteps: bool = False,
         init_noise=None,
         progress: bool = False,
     ):
         if y is None:
             raise ValueError("CFG sampling requires class labels y.")
-        if p_threshold is not None and not (0.0 < float(p_threshold) < 1.0):
-            raise ValueError("p_threshold must be in (0, 1) or None")
+        p_threshold = base.resolve_p_threshold(p_threshold, self.clip_sample)
         return self._run(
             model_fn, shape, rng, jnp.asarray(y), jnp.float32(cfg_scale),
             init_noise, use_cfg=True, p_threshold=p_threshold,
-            clip_denoised=False, return_all_timesteps=return_all_timesteps,
+            clip_denoised=self.clip_sample,
+            return_all_timesteps=return_all_timesteps,
             progress=progress,
             desc=f"EDM (Heun) sampling with CFG scale {cfg_scale}",
         )
@@ -368,7 +367,7 @@ class EDM:
         strength: float = 0.8,
         y=None,
         cfg_scale: Optional[float] = None,
-        p_threshold: Optional[float] = 0.995,
+        p_threshold=base.AUTO_THRESHOLD,
         mask=None,
         return_all_timesteps: bool = False,
         progress: bool = False,
@@ -414,8 +413,11 @@ class EDM:
             jnp.asarray(y) if use_cfg else y,
             jnp.float32(cfg_scale if use_cfg else 0.0), None,
             use_cfg=use_cfg,
-            p_threshold=p_threshold if use_cfg else None,
-            clip_denoised=not use_cfg,
+            p_threshold=(
+                base.resolve_p_threshold(p_threshold, self.clip_sample)
+                if use_cfg else None
+            ),
+            clip_denoised=self.clip_sample,
             return_all_timesteps=return_all_timesteps, progress=progress,
             desc=f"EDM img2img (strength {strength})",
             scan_rows=rows, start_img=start_img, known=known,

@@ -156,6 +156,7 @@ class FlowMatching:
         num_timesteps: int = 1000,
         num_inference_steps: int = 50,
         solver: str = "euler",
+        clip_sample: bool = True,
     ):
         if solver not in VALID_FLOW_SOLVERS:
             raise ValueError(
@@ -167,6 +168,8 @@ class FlowMatching:
         self.num_timesteps = num_timesteps
         self.num_inference_steps = num_inference_steps
         self.solver = solver
+        # False for unbounded prediction spaces (latent diffusion)
+        self.clip_sample = bool(clip_sample)
         # the velocity target is parameterization-complete already
         self.prediction_type = "v_flow"
 
@@ -229,7 +232,8 @@ class FlowMatching:
                init_noise=None, progress=False):
         return self._run(
             model_fn, shape, rng, y, jnp.float32(0.0), init_noise,
-            use_cfg=False, p_threshold=None, clip_denoised=True,
+            use_cfg=False, p_threshold=None,
+            clip_denoised=self.clip_sample,
             return_all_timesteps=return_all_timesteps, progress=progress,
             desc=f"Flow sampling ({self.solver})",
         )
@@ -241,19 +245,19 @@ class FlowMatching:
         y,
         rng,
         cfg_scale: float = 3.0,
-        p_threshold: Optional[float] = 0.995,
+        p_threshold=base.AUTO_THRESHOLD,
         return_all_timesteps: bool = False,
         init_noise=None,
         progress: bool = False,
     ):
         if y is None:
             raise ValueError("CFG sampling requires class labels y.")
-        if p_threshold is not None and not (0.0 < float(p_threshold) < 1.0):
-            raise ValueError("p_threshold must be in (0, 1) or None")
+        p_threshold = base.resolve_p_threshold(p_threshold, self.clip_sample)
         return self._run(
             model_fn, shape, rng, jnp.asarray(y), jnp.float32(cfg_scale),
             init_noise, use_cfg=True, p_threshold=p_threshold,
-            clip_denoised=False, return_all_timesteps=return_all_timesteps,
+            clip_denoised=self.clip_sample,
+            return_all_timesteps=return_all_timesteps,
             progress=progress,
             desc=f"Flow sampling ({self.solver}) with CFG scale {cfg_scale}",
         )
@@ -266,7 +270,7 @@ class FlowMatching:
         strength: float = 0.8,
         y=None,
         cfg_scale: Optional[float] = None,
-        p_threshold: Optional[float] = 0.995,
+        p_threshold=base.AUTO_THRESHOLD,
         mask=None,
         return_all_timesteps: bool = False,
         progress: bool = False,
@@ -308,8 +312,11 @@ class FlowMatching:
             jnp.asarray(y) if use_cfg else y,
             jnp.float32(cfg_scale if use_cfg else 0.0), None,
             use_cfg=use_cfg,
-            p_threshold=p_threshold if use_cfg else None,
-            clip_denoised=not use_cfg,
+            p_threshold=(
+                base.resolve_p_threshold(p_threshold, self.clip_sample)
+                if use_cfg else None
+            ),
+            clip_denoised=self.clip_sample,
             return_all_timesteps=return_all_timesteps, progress=progress,
             desc=f"Flow img2img ({self.solver}, strength {strength})",
             taus=taus, start_img=start_img, known=known,

@@ -98,6 +98,12 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
     key overrides `sampling_method` (num_inference_steps still honored).
     """
     dtype_key = str(config.get("diffusion_type", "ddpm")).lower()
+    # Latent diffusion samples an UNBOUNDED space: the pixel [-1, 1]
+    # clamp / dynamic thresholding would corrupt every latent, so
+    # clip_sample defaults off there (explicit `clip_sample` key wins).
+    clip_sample = bool(
+        config.get("clip_sample", not config.get("latent_diffusion", False))
+    )
     if dtype_key in ("flow", "flow_matching", "rectified_flow"):
         if str(config.get("loss_weighting", "uniform")) != "uniform":
             raise ValueError(
@@ -115,6 +121,7 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
             num_timesteps=config["num_timesteps"],
             num_inference_steps=config.get("num_inference_steps", 50),
             solver=config.get("flow_solver", "euler"),
+            clip_sample=clip_sample,
         )
     if dtype_key == "edm":
         # extension: EDM design space (Karras et al. 2022) — VE-style
@@ -145,6 +152,7 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
             s_max=config.get("s_max", float("inf")),
             s_noise=config.get("s_noise", 1.0),
             guidance_rescale=config.get("guidance_rescale", 0.0),
+            clip_sample=clip_sample,
         )
     if dtype_key not in ("ddpm", "diffusion"):
         raise ValueError(
@@ -167,6 +175,7 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
         # extension: CFG contrast rescale, phi in [0, 1] (Lin et al. 2023
         # §3.4); 0 (default) is bit-exact reference-parity CFG
         guidance_rescale=config.get("guidance_rescale", 0.0),
+        clip_sample=clip_sample,
     )
     # extension: Karras-spaced inference grid (Karras et al. 2022) for
     # the fast samplers; DDPM is always full-step so the key is ignored

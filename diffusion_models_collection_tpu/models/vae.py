@@ -67,7 +67,12 @@ class _Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        block = nn.remat(VAEResBlock) if self.remat else VAEResBlock
+        # static_argnums: `train` must stay a Python bool through
+        # jax.checkpoint (Dropout branches on it) — index counts self
+        block = (
+            nn.remat(VAEResBlock, static_argnums=(2,))
+            if self.remat else VAEResBlock
+        )
         ch = self.base_channels * self.channel_mult[0]
         h = _conv3(ch, x.shape[-1], dtype=self.dtype)(x)
         for level, mult in enumerate(self.channel_mult):
@@ -99,7 +104,10 @@ class _Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z, train: bool = False):
-        block = nn.remat(VAEResBlock) if self.remat else VAEResBlock
+        block = (
+            nn.remat(VAEResBlock, static_argnums=(2,))
+            if self.remat else VAEResBlock
+        )
         ch = self.base_channels * self.channel_mult[-1]
         h = _conv3(ch, z.shape[-1], dtype=self.dtype)(z)
         h = block(ch, self.dropout, self.dtype)(h, train)

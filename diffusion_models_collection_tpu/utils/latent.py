@@ -19,6 +19,8 @@ policy as sampler model params).
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -27,33 +29,48 @@ import jax.numpy as jnp
 from . import checkpoint as ckpt_lib
 
 
+@functools.lru_cache(maxsize=8)
+def _load_vae(abspath: str):
+    """Load + build a VAE checkpoint ONCE per process. Every latent entry
+    point needs the codec (factory.get_model for geometry, the trainer /
+    CLIs / serving for encode-decode) — caching avoids deserializing the
+    checkpoint and re-materializing its params for each of them."""
+    payload = ckpt_lib.load_checkpoint(abspath)
+    vae_config = payload.get("config") or {}
+    if str(vae_config.get("model_type", "")).lower() != "vae":
+        raise ValueError(
+            f"{abspath} is not a VAE checkpoint "
+            f"(model_type={vae_config.get('model_type')!r}); train one "
+            "with a `model_type: 'vae'` config first"
+        )
+    from ..factory import get_model  # deferred: factory imports utils
+
+    model = get_model(vae_config)
+    params = payload.get("ema_model_state_dict")
+    if params is None:
+        params = payload["model_state_dict"]
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return model, params, vae_config
+
+
 class LatentCodec:
     """Frozen encode/decode views of a trained VAE checkpoint.
 
     Prefers EMA weights when the checkpoint has them (inference-quality
-    reconstruction, matching the samplers' EMA convention).
-    """
+    reconstruction, matching the samplers' EMA convention). encode/decode
+    are jitted per instance — eager per-op dispatch is catastrophic on a
+    remote-compiled backend (see vae_trainer.init_vae_params)."""
 
     def __init__(self, vae_checkpoint: str, scale_factor: float = 1.0):
-        payload = ckpt_lib.load_checkpoint(vae_checkpoint)
-        vae_config = payload.get("config") or {}
-        if str(vae_config.get("model_type", "")).lower() != "vae":
-            raise ValueError(
-                f"{vae_checkpoint} is not a VAE checkpoint "
-                f"(model_type={vae_config.get('model_type')!r}); train one "
-                "with a `model_type: 'vae'` config first"
-            )
-        from ..factory import get_model  # deferred: factory imports utils
-
-        self.vae_config = vae_config
-        self.model = get_model(vae_config)
-        params = payload.get("ema_model_state_dict")
-        if params is None:
-            params = payload["model_state_dict"]
-        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.model, self.params, self.vae_config = _load_vae(
+            os.path.abspath(str(vae_checkpoint))
+        )
         self.scale = float(scale_factor)
         if self.scale <= 0.0:
             raise ValueError("latent_scale_factor must be positive")
+        self._encode_jit = jax.jit(self._encode_impl)
+        self._encode_mode_jit = jax.jit(self._encode_mode_impl)
+        self._decode_jit = jax.jit(self._decode_impl)
 
     @classmethod
     def from_config(cls, config: dict) -> Optional["LatentCodec"]:
@@ -80,31 +97,53 @@ class LatentCodec:
         return (batch, lh, lw, self.latent_channels)
 
     # ------------------------------------------------------------ transforms
-    def encode(self, x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-        """Pixel batch -> scaled posterior SAMPLE (training-time encode)."""
+    def _encode_impl(self, x, rng):
         mean, logvar = self.model.apply(
             {"params": self.params}, x, method=self.model.encode
         )
         noise = jax.random.normal(rng, mean.shape, mean.dtype)
         return (mean + jnp.exp(0.5 * logvar) * noise) * self.scale
 
-    def encode_mode(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Pixel batch -> scaled posterior MODE (deterministic encode for
-        img2img/eval entry points)."""
+    def _encode_mode_impl(self, x):
         mean, _ = self.model.apply(
             {"params": self.params}, x, method=self.model.encode
         )
         return mean * self.scale
 
-    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
-        """Scaled latent batch -> pixel batch."""
+    def _decode_impl(self, z):
         return self.model.apply(
             {"params": self.params}, z / self.scale, method=self.model.decode
         )
 
-    def decode_trajectory(self, z: jnp.ndarray) -> jnp.ndarray:
-        """(T, B, lh, lw, C) latent trajectory -> pixel frames (decoded as
-        one flattened batch; used for --save_intermediate/--create_gif)."""
-        t, b = z.shape[0], z.shape[1]
-        flat = self.decode(z.reshape((t * b,) + z.shape[2:]))
-        return flat.reshape((t, b) + flat.shape[1:])
+    def encode(self, x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        """Pixel batch -> scaled posterior SAMPLE (training-time encode).
+        Calls the un-jitted impl when already inside a trace (the train
+        step closes over it), the jitted one at eager call sites."""
+        if isinstance(x, jax.core.Tracer):
+            return self._encode_impl(x, rng)
+        return self._encode_jit(x, rng)
+
+    def encode_mode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Pixel batch -> scaled posterior MODE (deterministic encode for
+        img2img/eval entry points)."""
+        if isinstance(x, jax.core.Tracer):
+            return self._encode_mode_impl(x)
+        return self._encode_mode_jit(x)
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Scaled latent batch -> pixel batch."""
+        if isinstance(z, jax.core.Tracer):
+            return self._decode_impl(z)
+        return self._decode_jit(z)
+
+    def decode_trajectory(self, z: jnp.ndarray):
+        """(T, B, lh, lw, C) latent trajectory -> pixel frames (numpy),
+        decoded one timestep at a time: a single flattened T*B batch
+        OOMs for full DDPM trajectories, while per-step decodes reuse
+        ONE compiled shape and stream frames straight to host memory."""
+        import numpy as np
+
+        return np.stack(
+            [np.asarray(self.decode(z[t])) for t in range(z.shape[0])],
+            axis=0,
+        )

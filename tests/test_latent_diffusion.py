@@ -154,6 +154,57 @@ def test_get_model_derives_latent_geometry(vae_ckpt):
         get_model(bad)
 
 
+def test_latent_configs_disable_sample_clipping(vae_ckpt):
+    """Latents are unbounded: factory must turn off the pixel [-1, 1]
+    clamp / dynamic thresholding for every process class under
+    latent_diffusion (review finding: clipping corrupted every latent
+    sample), while pixel configs keep reference-parity clipping."""
+    base_keys = dict(num_timesteps=20, beta_start=1e-4, beta_end=0.02,
+                     beta_schedule="linear")
+    latent = dict(base_keys, latent_diffusion=True,
+                  vae_checkpoint=str(vae_ckpt))
+    for method in ("ddpm", "ddim", "dpm++"):
+        assert get_diffusion(dict(base_keys), method).clip_sample is True
+        assert get_diffusion(latent, method).clip_sample is False
+    assert get_diffusion(
+        dict(base_keys, diffusion_type="flow_matching")
+    ).clip_sample is True
+    assert get_diffusion(
+        dict(latent, diffusion_type="flow_matching")
+    ).clip_sample is False
+    assert get_diffusion(
+        dict(latent, diffusion_type="edm")
+    ).clip_sample is False
+    # explicit key wins either way
+    assert get_diffusion(dict(latent, clip_sample=True)).clip_sample is True
+
+
+def test_unclipped_sampler_reaches_out_of_range_targets():
+    """Functional check: with clip_sample=False a DDIM sampler can land
+    on x0 values far outside [-1, 1] (a latent-scale point mass), with
+    and without CFG; the clipped sampler cannot."""
+    from diffusion_models_collection_tpu.diffusion import DDIM
+
+    kw = dict(num_timesteps=30, beta_start=1e-4, beta_end=0.02,
+              beta_schedule="linear", num_inference_steps=8)
+    target = 3.0
+
+    def x0_model(x, t, y=None):
+        return jnp.full_like(x, target)
+
+    fn = jax.tree_util.Partial(x0_model)
+    shape = (2, 4, 4, 2)
+    rng = jax.random.PRNGKey(0)
+    free = DDIM(prediction_type="x0", clip_sample=False, **kw)
+    out = free.sample(fn, shape, rng)
+    np.testing.assert_allclose(np.asarray(out), target, atol=5e-3)
+    y = jnp.array([1, 2], jnp.int32)
+    out_cfg = free.sample_with_cfg(fn, shape, y, rng, cfg_scale=2.0)
+    np.testing.assert_allclose(np.asarray(out_cfg), target, atol=5e-3)
+    clipped = DDIM(prediction_type="x0", **kw)
+    assert np.asarray(clipped.sample(fn, shape, rng)).max() <= 1.0 + 1e-5
+
+
 def test_latent_trainer_end_to_end(vae_ckpt, tmp_path):
     """The diffusion trainer encodes batches into latent space inside the
     jitted step and decodes in-training sample grids back to pixels."""

@@ -113,6 +113,18 @@ def test_trainer_loss_decreases_and_recon_grid(tmp_path):
     assert (tmp_path / "recon" / "vae_epoch_0001.png").exists()
 
 
+def test_remat_trains(tmp_path):
+    """remat: true must survive the jitted train step (nn.remat needs
+    static_argnums for the bool train arg — review finding)."""
+    trainer = _trainer(tmp_path, model_params={
+        "in_channels": 3, "base_channels": 8, "channel_mult": (1, 2),
+        "latent_channels": 2, "num_res_blocks": 1,
+    }, remat=True)
+    assert trainer.model.remat
+    loss, rec, kl = trainer.train_epoch(1)
+    assert np.isfinite(loss) and np.isfinite(rec) and np.isfinite(kl)
+
+
 def test_trainer_checkpoint_roundtrip(tmp_path):
     trainer = _trainer(tmp_path)
     trainer.train_epoch(1)
