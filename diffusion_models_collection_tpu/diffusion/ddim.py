@@ -315,6 +315,67 @@ class DDIM:
             desc=f"DDIM sampling with CFG scale {cfg_scale}",
         )
 
+    def invert(
+        self,
+        model_fn,
+        images,
+        y=None,
+        num_steps: Optional[int] = None,
+        progress: bool = False,
+    ):
+        """DDIM inversion (extension): run the deterministic update with
+        the grid ASCENDING, mapping a clean image to the noise latent
+        whose forward DDIM trajectory reproduces it (exactly in the
+        continuum limit; O(1/S) discretization error at S steps). The
+        basis of prompt/label-preserving editing: `sample(init_noise=
+        invert(x))` returns ~x. Unguided or conditional (y passed to the
+        model directly — CFG is intentionally not applied: guided
+        inversion diverges from the guided sampling trajectory).
+        eta must be 0 (the stochastic update has no deterministic
+        inverse)."""
+        if self.eta != 0.0:
+            raise ValueError("DDIM inversion requires eta = 0")
+        images = jnp.asarray(images, jnp.float32)
+        if num_steps is None:
+            grid = self.inference_timesteps
+        else:
+            grid = ddim_timesteps(self.num_timesteps, int(num_steps))
+        # ascending pairs (t_i -> t_{i+1}); the first move leaves t = -1
+        # ("clean") through the model evaluated at the smallest grid t,
+        # mirroring the last step of sampling in reverse
+        asc = grid[::-1]
+        t_from = jnp.concatenate(
+            [jnp.full((1,), -1, asc.dtype), asc[:-1]]
+        )
+        # ddim_step reads alpha at `t` (clip to 0: alpha_bar[0] ~ 1 is
+        # the t = -1 convention) and targets alpha at t_next
+        packed = jnp.stack(
+            [jnp.arange(asc.shape[0], dtype=jnp.int32),
+             jnp.clip(t_from, 0).astype(jnp.int32),
+             asc.astype(jnp.int32)],
+            axis=1,
+        )
+        fn = self._pair_fn(model_fn)
+        rng = jax.random.PRNGKey(0)  # eta = 0: never used
+
+        def segment(img, packed_seg):
+            scan_ins = (
+                packed_seg[:, 0], packed_seg[:, 1], packed_seg[:, 2]
+            )
+            return _scan_segment(
+                self.schedule, fn, img, scan_ins, rng, y,
+                jnp.float32(0.0), None,
+                eta=0.0, use_cfg=False, p_threshold=None,
+                clip_denoised=False,  # inversion must not bend x0
+                return_all_timesteps=False,
+            )
+
+        from .ddpm import _run_segments
+
+        return _run_segments(
+            segment, images, packed, False, progress, "DDIM inversion"
+        )
+
     def img2img(
         self,
         model_fn,
