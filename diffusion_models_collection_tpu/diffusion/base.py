@@ -293,6 +293,20 @@ def validate_guidance_rescale(value) -> float:
     return v
 
 
+def validate_cfg_interval(value, num_timesteps: int):
+    """Validate a `cfg_interval: [t_lo, t_hi]` config value (static
+    int pair, 0 <= lo <= hi < T) or None."""
+    if value is None:
+        return None
+    lo, hi = (int(value[0]), int(value[1]))
+    if not (0 <= lo <= hi < num_timesteps):
+        raise ValueError(
+            f"cfg_interval must satisfy 0 <= lo <= hi < {num_timesteps}, "
+            f"got {value!r}"
+        )
+    return (lo, hi)
+
+
 def cfg_eps_x0(
     pair_fn: Callable,
     x: jnp.ndarray,
@@ -301,6 +315,7 @@ def cfg_eps_x0(
     cfg_scale: float,
     guidance_rescale: float = 0.0,
     schedule: Optional[NoiseSchedule] = None,
+    cfg_interval=None,
 ):
     """Classifier-free guidance on an (eps, x0) pair, fused batch.
 
@@ -319,6 +334,12 @@ def cfg_eps_x0(
     (eps = (x - a*x0)/b) so the pair stays self-consistent for samplers
     that use both. phi must be a static Python float; 0 is bit-exact with
     the unrescaled path.
+
+    `cfg_interval` (extension; Kynkaanniemi et al. 2024): a static
+    (t_lo, t_hi) pair limiting guidance to that noise range — outside it
+    the CONDITIONAL prediction is used unguided (the scale-1 limit).
+    Guiding only the middle noise levels improves FID at high scales in
+    the paper; None (default) guides everywhere (reference parity).
     """
     x2 = jnp.concatenate([x, x], axis=0)
     t2 = jnp.concatenate([t, t], axis=0)
@@ -335,6 +356,13 @@ def cfg_eps_x0(
         a = extract(schedule.sqrt_alphas_cumprod, t, x.ndim)
         b = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x.ndim)
         eps_g = (x - a * x0_g) / jnp.maximum(b, 1e-12)
+    if cfg_interval is not None:
+        lo, hi = cfg_interval
+        gate = ((t >= lo) & (t <= hi)).reshape(
+            -1, *((1,) * (x.ndim - 1))
+        )
+        eps_g = jnp.where(gate, eps_g, eps_c)
+        x0_g = jnp.where(gate, x0_g, x0_c)
     return eps_g, x0_g
 
 

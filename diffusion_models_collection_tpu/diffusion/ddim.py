@@ -63,6 +63,7 @@ def ddim_step(
         "p_threshold",
         "clip_denoised",
         "guidance_rescale",
+        "cfg_interval",
     ),
 )
 def _scan_segment(
@@ -80,6 +81,7 @@ def _scan_segment(
     p_threshold: Optional[float],
     clip_denoised: bool,
     guidance_rescale: float = 0.0,
+    cfg_interval=None,
     return_all_timesteps: bool,
 ):
     """A segment of the DDIM trajectory (parity: ddim.py:210-346);
@@ -101,6 +103,7 @@ def _scan_segment(
             eps, x0 = base.cfg_eps_x0(
                 model_fn, img, t, y, cfg_scale,
                 guidance_rescale=guidance_rescale, schedule=schedule,
+                cfg_interval=cfg_interval,
             )
             x0 = base.constrain_x0(x0, p_threshold, clip_denoised)
         else:
@@ -145,6 +148,7 @@ class DDIM:
         karras_rho: float = 7.0,
         guidance_rescale: float = 0.0,
         clip_sample: bool = True,
+        cfg_interval=None,
     ):
         if prediction_type not in base.VALID_PREDICTION_TYPES:
             raise ValueError(
@@ -180,6 +184,9 @@ class DDIM:
         self.guidance_rescale = base.validate_guidance_rescale(guidance_rescale)
         # False for unbounded prediction spaces (latent diffusion)
         self.clip_sample = bool(clip_sample)
+        self.cfg_interval = base.validate_cfg_interval(
+            cfg_interval, num_timesteps
+        )
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule,
             zero_terminal_snr=zero_terminal_snr,
@@ -274,6 +281,7 @@ class DDIM:
                 eta=eta, use_cfg=use_cfg, p_threshold=p_threshold,
                 clip_denoised=clip_denoised,
                 guidance_rescale=self.guidance_rescale,
+                cfg_interval=self.cfg_interval,
                 return_all_timesteps=return_all_timesteps,
             )
 

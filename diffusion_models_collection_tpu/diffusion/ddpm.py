@@ -101,7 +101,7 @@ def _scan_segment(
 @functools.partial(
     jax.jit,
     static_argnames=("p_threshold", "guidance_rescale", "clip_denoised",
-                     "return_all_timesteps"),
+                     "cfg_interval", "return_all_timesteps"),
 )
 def _scan_segment_cfg(
     schedule: NoiseSchedule,
@@ -116,6 +116,7 @@ def _scan_segment_cfg(
     p_threshold: Optional[float],
     guidance_rescale: float = 0.0,
     clip_denoised: bool = True,
+    cfg_interval=None,
     return_all_timesteps: bool,
 ):
     """CFG + dynamic-thresholding segment (parity: ddpm.py:254-332)."""
@@ -127,6 +128,7 @@ def _scan_segment_cfg(
         _, x0 = base.cfg_eps_x0(
             model_fn, img, t, y, cfg_scale,
             guidance_rescale=guidance_rescale, schedule=schedule,
+            cfg_interval=cfg_interval,
         )
         x0 = base.constrain_x0(x0, p_threshold, clip_denoised)
         noise = jax.random.normal(jax.random.fold_in(rng, i), img.shape, img.dtype)
@@ -201,6 +203,7 @@ class DDPM:
         zero_terminal_snr: bool = False,
         guidance_rescale: float = 0.0,
         clip_sample: bool = True,
+        cfg_interval=None,
     ):
         if prediction_type not in base.VALID_PREDICTION_TYPES:
             raise ValueError(
@@ -230,6 +233,11 @@ class DDPM:
         # False for unbounded prediction spaces (latent diffusion): the
         # pixel [-1, 1] clamp / dynamic thresholding would corrupt latents
         self.clip_sample = bool(clip_sample)
+        # extension: guidance limited to a (t_lo, t_hi) noise interval
+        # (Kynkaanniemi et al. 2024); None = guide everywhere (parity)
+        self.cfg_interval = base.validate_cfg_interval(
+            cfg_interval, num_timesteps
+        )
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule,
             zero_terminal_snr=zero_terminal_snr,
@@ -330,6 +338,7 @@ class DDPM:
                 p_threshold=p_threshold,
                 guidance_rescale=self.guidance_rescale,
                 clip_denoised=self.clip_sample,
+                cfg_interval=self.cfg_interval,
                 return_all_timesteps=return_all_timesteps,
             )
 
@@ -407,6 +416,7 @@ class DDPM:
                     p_threshold=p_resolved,
                     guidance_rescale=self.guidance_rescale,
                     clip_denoised=self.clip_sample,
+                    cfg_interval=self.cfg_interval,
                     return_all_timesteps=return_all_timesteps,
                 )
             desc = f"DDPM img2img CFG {cfg_scale} (strength {strength})"

@@ -42,7 +42,8 @@ from .schedule import NoiseSchedule, ddim_timesteps, karras_timesteps
 @functools.partial(
     jax.jit,
     static_argnames=("use_cfg", "p_threshold", "clip_denoised",
-                     "guidance_rescale", "return_all_timesteps"),
+                     "guidance_rescale", "cfg_interval",
+                     "return_all_timesteps"),
 )
 def _solve(
     schedule: NoiseSchedule,
@@ -56,6 +57,7 @@ def _solve(
     p_threshold: Optional[float],
     clip_denoised: bool,
     guidance_rescale: float = 0.0,
+    cfg_interval=None,
     return_all_timesteps: bool,
 ):
     batch = img.shape[0]
@@ -74,6 +76,7 @@ def _solve(
             _, x0 = base.cfg_eps_x0(
                 model_fn, x, t, y, cfg_scale,
                 guidance_rescale=guidance_rescale, schedule=schedule,
+                cfg_interval=cfg_interval,
             )
             return base.constrain_x0(x0, p_threshold, clip_denoised)
         _, x0 = model_fn(x, t, y)
@@ -135,6 +138,7 @@ class DPMSolverPP:
         karras_rho: float = 7.0,
         guidance_rescale: float = 0.0,
         clip_sample: bool = True,
+        cfg_interval=None,
     ):
         del eta
         if prediction_type not in base.VALID_PREDICTION_TYPES:
@@ -170,6 +174,9 @@ class DPMSolverPP:
         self.guidance_rescale = base.validate_guidance_rescale(guidance_rescale)
         # False for unbounded prediction spaces (latent diffusion)
         self.clip_sample = bool(clip_sample)
+        self.cfg_interval = base.validate_cfg_interval(
+            cfg_interval, num_timesteps
+        )
         self.schedule = NoiseSchedule.create(
             num_timesteps, beta_start, beta_end, beta_schedule,
             zero_terminal_snr=zero_terminal_snr,
@@ -224,6 +231,7 @@ class DPMSolverPP:
             use_cfg=use_cfg, p_threshold=p_threshold,
             clip_denoised=clip_denoised,
             guidance_rescale=self.guidance_rescale,
+            cfg_interval=self.cfg_interval,
             return_all_timesteps=return_all_timesteps,
         )
 

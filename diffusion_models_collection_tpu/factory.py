@@ -117,6 +117,11 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
                 "prediction (Lin et al. 2023) and does not apply to "
                 "flow matching"
             )
+        if config.get("cfg_interval") is not None:
+            raise ValueError(
+                "cfg_interval is defined on the VP timestep grid and "
+                "does not apply to flow matching"
+            )
         return FlowMatching(
             num_timesteps=config["num_timesteps"],
             num_inference_steps=config.get("num_inference_steps", 50),
@@ -137,6 +142,11 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
             raise ValueError(
                 "prediction_type does not apply to EDM — the "
                 "preconditioned denoiser D is defined in x0 space"
+            )
+        if config.get("cfg_interval") is not None:
+            raise ValueError(
+                "cfg_interval is defined on the VP timestep grid and "
+                "does not apply to EDM (its noise levels are sigmas)"
             )
         return EDM(
             num_timesteps=config["num_timesteps"],
@@ -176,6 +186,9 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
         # §3.4); 0 (default) is bit-exact reference-parity CFG
         guidance_rescale=config.get("guidance_rescale", 0.0),
         clip_sample=clip_sample,
+        # extension: guide only inside a [t_lo, t_hi] noise interval
+        # (Kynkaanniemi et al. 2024); None (default) guides everywhere
+        cfg_interval=config.get("cfg_interval"),
     )
     # extension: Karras-spaced inference grid (Karras et al. 2022) for
     # the fast samplers; DDPM is always full-step so the key is ignored

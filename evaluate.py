@@ -80,6 +80,10 @@ def main():
     parser.add_argument("--guidance_rescale", type=float, default=None,
                         help="CFG contrast rescale phi in [0, 1] (Lin et "
                              "al. 2023; overrides the config key)")
+    parser.add_argument("--cfg_interval", type=str, default=None,
+                        help="Guide only inside this 'lo,hi' timestep "
+                             "interval (Kynkaanniemi et al. 2024); "
+                             "overrides the config key")
     parser.add_argument("--inception_weights", type=str, default=None,
                         help="torchvision inception_v3 .pth (or converted "
                              ".npz) to calibrate FID/IS; defaults to env "
@@ -99,6 +103,9 @@ def main():
         config["mixed_precision"] = args.mixed_precision
     if args.guidance_rescale is not None:
         config["guidance_rescale"] = args.guidance_rescale
+    if args.cfg_interval is not None:
+        lo, hi = (int(v) for v in args.cfg_interval.split(","))
+        config["cfg_interval"] = (lo, hi)
     config["image_size"] = resolve_image_size(config["image_size"])
 
     print("Creating model...")

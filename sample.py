@@ -128,6 +128,10 @@ def main():
                         help="CFG contrast rescale phi in [0, 1] (Lin et "
                              "al. 2023; overrides the config's "
                              "guidance_rescale key; 0 disables)")
+    parser.add_argument("--cfg_interval", type=str, default=None,
+                        help="Guide only inside this 'lo,hi' timestep "
+                             "interval (Kynkaanniemi et al. 2024); "
+                             "overrides the config key")
     parser.add_argument("--labels", type=str, default=None,
                         help="Comma-separated labels for conditional generation")
     parser.add_argument("--seed", type=int, default=42, help="Random seed")
@@ -172,6 +176,9 @@ def main():
         config["mixed_precision"] = args.mixed_precision
     if args.guidance_rescale is not None:
         config["guidance_rescale"] = args.guidance_rescale
+    if args.cfg_interval is not None:
+        lo, hi = (int(v) for v in args.cfg_interval.split(","))
+        config["cfg_interval"] = (lo, hi)
     config["image_size"] = resolve_image_size(config["image_size"])
 
     print("Creating model...")

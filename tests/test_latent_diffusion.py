@@ -205,6 +205,45 @@ def test_unclipped_sampler_reaches_out_of_range_targets():
     assert np.asarray(clipped.sample(fn, shape, rng)).max() <= 1.0 + 1e-5
 
 
+def test_compute_latent_scale_tool(vae_ckpt):
+    """tools/compute_latent_scale.py measures the LDM sigma
+    normalization: applying the suggested factor brings encoded latents
+    to ~unit std."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "compute_latent_scale", REPO / "tools" / "compute_latent_scale.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cfg = {
+        "vae_checkpoint": str(vae_ckpt),
+        "dataset": "synthetic", "data_root": "./data",
+        "image_size": SIZE, "conditional": False,
+        "batch_size": 8, "num_workers": 0, "seed": 0,
+        "model_params": {"in_channels": 3},
+    }
+    out = mod.compute_scale(cfg, batches=3)
+    scale = out["latent_scale_factor"]
+    assert scale > 0 and out["latent_std"] > 0
+    assert abs(scale * out["latent_std"] - 1.0) < 1e-3
+    # applying the factor: encoded latents land at ~unit std
+    from diffusion_models_collection_tpu.datasets import (
+        DataLoader, DiffusionDataset, ImageTransform,
+    )
+
+    codec = LatentCodec(str(vae_ckpt), scale_factor=scale)
+    ds = DiffusionDataset(
+        "synthetic", conditional=False,
+        transform=ImageTransform(SIZE, train=True),
+        image_size=SIZE, n_train=32, seed=0,
+    )
+    images = next(iter(DataLoader(ds, batch_size=16, seed=0, prefetch=0)))[0]
+    z = np.asarray(codec.encode_mode(jnp.asarray(images, jnp.float32)))
+    assert 0.7 < z.std() < 1.3
+
+
 def test_latent_trainer_end_to_end(vae_ckpt, tmp_path):
     """The diffusion trainer encodes batches into latent space inside the
     jitted step and decodes in-training sample grids back to pixels."""
