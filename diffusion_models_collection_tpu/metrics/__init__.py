@@ -6,11 +6,13 @@ from .fid import FIDScore
 from .inception import InceptionFeatures, InceptionV3
 from .inception_score import InceptionScore
 from .lpips_score import LPIPSScore, calculate_all_metrics
+from .precision_recall import PrecisionRecall
 
 __all__ = [
     "FIDScore",
     "InceptionScore",
     "LPIPSScore",
+    "PrecisionRecall",
     "calculate_all_metrics",
     "InceptionFeatures",
     "InceptionV3",

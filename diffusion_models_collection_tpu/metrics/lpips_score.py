@@ -231,23 +231,42 @@ def calculate_all_metrics(real_images, fake_images, weights_path=None,
                           lpips_weights_path=None):
     """FID + IS + LPIPS-diversity (parity: lpips_score.py:98-139 — note the
     reference computes LPIPS diversity of the fake set only, not
-    real-vs-fake)."""
+    real-vs-fake) + improved precision/recall (extension, Kynkaanniemi
+    et al. 2019)."""
+    import numpy as np
+
     from .fid import FIDScore
     from .inception import InceptionFeatures
     from .inception_score import InceptionScore
+    from .precision_recall import PrecisionRecall
 
     metrics = {}
 
-    # ONE InceptionV3 (params + compiled program) serves both FID and IS —
-    # two independent instances would double the 25M-param transfer and
-    # the jit compile (round-1 VERDICT weak-spot 4).
+    # ONE InceptionV3 (params + compiled program) serves FID, IS and
+    # precision/recall — independent instances would multiply the
+    # 25M-param transfer and the jit compile (round-1 VERDICT weak-spot
+    # 4); pool features are likewise extracted ONCE per image set and
+    # shared between FID and P&R.
     inception = InceptionFeatures(weights_path)
+    pr = PrecisionRecall(inception=inception)
+
+    print("\n=== Extracting features ===")
+    real_feats = pr.extract_features(real_images)
+    fake_feats = pr.extract_features(fake_images)
 
     print("\n=== Computing FID ===")
-    fid_calculator = FIDScore(inception=inception)
-    fid = fid_calculator.compute_fid(real_images, fake_images)
+    fid = FIDScore.calculate_frechet_distance(
+        np.mean(real_feats, axis=0), np.cov(real_feats, rowvar=False),
+        np.mean(fake_feats, axis=0), np.cov(fake_feats, rowvar=False),
+    )
     metrics["FID"] = float(fid)
     print(f"FID: {fid:.4f}")
+
+    print("\n=== Computing precision/recall ===")
+    precision, recall = pr.compute_from_features(real_feats, fake_feats)
+    metrics["precision"] = precision
+    metrics["recall"] = recall
+    print(f"Precision: {precision:.4f}  Recall: {recall:.4f}")
 
     print("\n=== Computing IS ===")
     is_calculator = InceptionScore(inception=inception)
