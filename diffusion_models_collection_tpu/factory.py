@@ -209,6 +209,14 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
             num_inference_steps=config.get("num_inference_steps", 20),
             **fast_common,
         )
+    if method in ("dpm++sde", "dpmpp_sde", "sde-dpm++", "dpm++_sde"):
+        # extension: SDE-DPM-Solver++(2M) — the stochastic variant
+        # (Lu et al. 2022b); re-injects matched noise each step
+        return DPMSolverPP(
+            num_inference_steps=config.get("num_inference_steps", 20),
+            sde=True,
+            **fast_common,
+        )
     return DDPM(**common)
 
 

@@ -108,8 +108,10 @@ def main():
     parser.add_argument("--config", type=str, default=None,
                         help="Path to config file (if not in checkpoint)")
     parser.add_argument("--sampling_method", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm++"],
-                        help="Sampling method (dpm++ = DPM-Solver++(2M), beyond the reference)")
+                        choices=["ddpm", "ddim", "dpm++", "dpm++sde"],
+                        help="Sampling method (dpm++ = DPM-Solver++(2M), "
+                             "dpm++sde = its stochastic SDE variant; both "
+                             "beyond the reference)")
     parser.add_argument("--num_inference_steps", type=int, default=50,
                         help="Number of inference steps for DDIM sampling")
     parser.add_argument("--num_samples", type=int, default=64,
@@ -169,8 +171,8 @@ def main():
     dtype_key = str(config.get("diffusion_type", "ddpm")).lower()
     is_flow = dtype_key in ("flow", "flow_matching", "rectified_flow")
     is_edm = dtype_key == "edm"
-    if (args.sampling_method.lower() in ("ddim", "dpm++") or is_flow
-            or is_edm) and args.num_inference_steps:
+    if (args.sampling_method.lower() in ("ddim", "dpm++", "dpm++sde")
+            or is_flow or is_edm) and args.num_inference_steps:
         config["num_inference_steps"] = args.num_inference_steps
     if args.mixed_precision is not None:
         config["mixed_precision"] = args.mixed_precision
@@ -217,10 +219,11 @@ def main():
     if args.mask and not args.init_image:
         raise SystemExit("--mask requires --init_image")
     if args.init_image:
-        if args.sampling_method.lower() == "dpm++" and not (is_flow or is_edm):
+        if (args.sampling_method.lower().startswith("dpm++")
+                and not (is_flow or is_edm)):
             raise SystemExit(
                 "img2img supports --sampling_method ddpm/ddim (and flow/"
-                "edm checkpoints), not dpm++"
+                "edm checkpoints), not dpm++/dpm++sde"
             )
         if not (0.0 < args.strength <= 1.0):
             raise SystemExit("--strength must be in (0, 1] for img2img")

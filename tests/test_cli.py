@@ -100,6 +100,27 @@ def test_sample_cli_dpmpp(workdir):
     assert any((out_dir / "intermediate").glob("step_*.png"))
 
 
+def test_sample_cli_dpmpp_sde(workdir):
+    """--sampling_method dpm++sde (extension): the stochastic
+    SDE-DPM-Solver++(2M) variant through the CLI."""
+    out_dir = workdir / "samples_dpmpp_sde"
+    run(
+        [
+            str(REPO / "sample.py"),
+            "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+            "--sampling_method", "dpm++sde",
+            "--num_inference_steps", "4",
+            "--num_samples", "4",
+            "--batch_size", "4",
+            "--use_ema",
+            "--output_dir", str(out_dir),
+            "--output_name", "out.png",
+        ],
+        cwd=str(workdir),
+    )
+    assert (out_dir / "out.png").exists()
+
+
 def test_sample_cli_gif_and_labels(workdir):
     out_dir = workdir / "samples_gif"
     run(
