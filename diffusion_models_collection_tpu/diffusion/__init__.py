@@ -9,6 +9,7 @@ from .base import (
     predict_x0_from_eps,
     q_sample,
 )
+from .consistency import ConsistencyModel
 from .ddim import DDIM
 from .ddpm import DDPM
 from .dpm_solver import DPMSolverPP
@@ -20,6 +21,7 @@ __all__ = [
     "DDPM",
     "DDIM",
     "DPMSolverPP",
+    "ConsistencyModel",
     "EDM",
     "FlowMatching",
     "NoiseSchedule",

@@ -15,7 +15,14 @@ import jax
 import jax.numpy as jnp
 
 from .datasets import CustomImageDataset, DataLoader, DiffusionDataset
-from .diffusion import DDIM, DDPM, DPMSolverPP, EDM, FlowMatching
+from .diffusion import (
+    DDIM,
+    DDPM,
+    DPMSolverPP,
+    EDM,
+    ConsistencyModel,
+    FlowMatching,
+)
 from .models import DiM, DiT, UNet, VAE
 from .parallel import mesh as pmesh
 from .utils.helpers import resolve_image_size
@@ -164,10 +171,26 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
             guidance_rescale=config.get("guidance_rescale", 0.0),
             clip_sample=clip_sample,
         )
+    if dtype_key == "consistency":
+        # extension: consistency model distilled by tools/distill.py
+        # (distill_method: 'consistency'); the key owns the stack —
+        # DDPM/DDIM sampling grids are meaningless for f(x, t) -> x0
+        return ConsistencyModel(
+            num_timesteps=config["num_timesteps"],
+            num_inference_steps=config.get("num_inference_steps", 2),
+            beta_start=config["beta_start"],
+            beta_end=config["beta_end"],
+            beta_schedule=config["beta_schedule"],
+            prediction_type=config.get("prediction_type", "eps"),
+            sigma_data=config.get("sigma_data", 0.5),
+            timestep_scaling=config.get("timestep_scaling", 10.0),
+            zero_terminal_snr=config.get("zero_terminal_snr", False),
+            clip_sample=clip_sample,
+        )
     if dtype_key not in ("ddpm", "diffusion"):
         raise ValueError(
             f"Unknown diffusion_type: {config.get('diffusion_type')!r} "
-            "(expected 'ddpm', 'flow_matching' or 'edm')"
+            "(expected 'ddpm', 'flow_matching', 'edm' or 'consistency')"
         )
     common = dict(
         num_timesteps=config["num_timesteps"],

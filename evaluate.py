@@ -117,8 +117,10 @@ def main():
     dtype_key = str(config.get("diffusion_type", "ddpm")).lower()
     is_flow = dtype_key in ("flow", "flow_matching", "rectified_flow")
     is_edm = dtype_key == "edm"
+    is_cm = dtype_key == "consistency"
     if args.num_inference_steps is not None:
-        if args.sampling_method == "ddpm" and not (is_flow or is_edm):
+        if args.sampling_method == "ddpm" and not (is_flow or is_edm
+                                                   or is_cm):
             raise SystemExit(
                 "--num_inference_steps has no effect with the default DDPM "
                 "eval protocol (always full-step) — pass --sampling_method "

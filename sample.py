@@ -171,8 +171,9 @@ def main():
     dtype_key = str(config.get("diffusion_type", "ddpm")).lower()
     is_flow = dtype_key in ("flow", "flow_matching", "rectified_flow")
     is_edm = dtype_key == "edm"
+    is_cm = dtype_key == "consistency"
     if (args.sampling_method.lower() in ("ddim", "dpm++", "dpm++sde")
-            or is_flow or is_edm) and args.num_inference_steps:
+            or is_flow or is_edm or is_cm) and args.num_inference_steps:
         config["num_inference_steps"] = args.num_inference_steps
     if args.mixed_precision is not None:
         config["mixed_precision"] = args.mixed_precision
@@ -219,6 +220,12 @@ def main():
     if args.mask and not args.init_image:
         raise SystemExit("--mask requires --init_image")
     if args.init_image:
+        if is_cm:
+            raise SystemExit(
+                "img2img is not defined for consistency checkpoints "
+                "(f(x, t) maps straight to x0 — there is no partial "
+                "trajectory to start from)"
+            )
         if (args.sampling_method.lower().startswith("dpm++")
                 and not (is_flow or is_edm)):
             raise SystemExit(

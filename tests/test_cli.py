@@ -121,6 +121,54 @@ def test_sample_cli_dpmpp_sde(workdir):
     assert (out_dir / "out.png").exists()
 
 
+def test_distill_cli_consistency_then_sample(workdir):
+    """tools/distill.py with distill_method 'consistency' (extension):
+    distill the smoke checkpoint into a 2-step consistency model, then
+    sample it through the ordinary sample CLI (diffusion_type:
+    'consistency' factory dispatch)."""
+    cd_dir = workdir / "cd"
+    cfg_path = workdir / "cd_config.py"
+    cfg_path.write_text(
+        "config = {\n"
+        f"    'teacher_checkpoint': {str(workdir / 'ckpt' / 'best_model.ckpt')!r},\n"
+        "    'distill_method': 'consistency',\n"
+        "    'consistency_grid_size': 8,\n"
+        "    'distill_cfg_scale': 1.5,\n"
+        "    'consistency_sample_steps': 2,\n"
+        "    'epochs': 1,\n"
+        "    'dataset': 'synthetic', 'data_root': './data',\n"
+        "    'image_size': 16, 'batch_size': 16, 'n_train': 32,\n"
+        "    'optimizer': 'adamw', 'learning_rate': 1e-3,\n"
+        "    'weight_decay': 0.0, 'use_scheduler': False,\n"
+        f"    'save_dir': {str(cd_dir)!r},\n"
+        "    'seed': 0, 'use_swanlab': False,\n"
+        "}\n"
+    )
+    out = run(
+        [str(REPO / "tools" / "distill.py"), "--config", str(cfg_path)],
+        cwd=str(workdir),
+    )
+    assert "Consistency distillation completed!" in out
+    ckpt = cd_dir / "consistency_model.ckpt"
+    assert ckpt.exists()
+
+    out_dir = workdir / "samples_cd"
+    run(
+        [
+            str(REPO / "sample.py"),
+            "--checkpoint", str(ckpt),
+            "--num_inference_steps", "2",
+            "--num_samples", "4",
+            "--batch_size", "4",
+            "--use_ema",
+            "--output_dir", str(out_dir),
+            "--output_name", "out.png",
+        ],
+        cwd=str(workdir),
+    )
+    assert (out_dir / "out.png").exists()
+
+
 def test_sample_cli_gif_and_labels(workdir):
     out_dir = workdir / "samples_gif"
     run(

@@ -53,8 +53,10 @@ def test_get_model_dit_dim_img_size():
 
 
 def test_get_model_unknown_type():
+    # NOTE: 'vae' used to be the unknown probe here; it became a real
+    # model type with latent diffusion, so probe something nonexistent
     with pytest.raises(ValueError):
-        get_model({**BASE, "model_type": "vae", "model_params": {}})
+        get_model({**BASE, "model_type": "resnet", "model_params": {}})
 
 
 def test_get_diffusion_training_vs_sampling():

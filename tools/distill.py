@@ -1,4 +1,12 @@
-"""Progressive-distillation entry point (extension beyond the reference).
+"""Distillation entry point (extension beyond the reference): two
+methods, selected by the config key `distill_method`.
+
+- 'progressive' (default; Salimans & Ho 2022): halve the DDIM step
+  count per stage. Keys: `distill_steps`, `distill_stages`.
+- 'consistency' (Song et al. 2023): distill into a 1-4-step consistency
+  model. Keys: `consistency_grid_size`, `distill_cfg_scale`,
+  `consistency_sample_steps`, `target_ema_decay`, `sigma_data`,
+  `timestep_scaling` (see utils/consistency_trainer.py).
 
 Usage:
     python tools/distill.py --config configs/my_distill.py
@@ -6,7 +14,8 @@ Usage:
 The config supplies `teacher_checkpoint`, the dataset/loader keys (same
 schema as training configs) and the distillation keys
 (`distill_steps`, `distill_stages`, `epochs`, optimizer settings).
-Each stage writes `distilled_{N:04d}step.ckpt` into `save_dir`; sample
+Each progressive stage writes `distilled_{N:04d}step.ckpt` into
+`save_dir` (consistency writes `consistency_model.ckpt`); sample
 with the ordinary CLI:
 
     python sample.py --checkpoint <save_dir>/distilled_0004step.ckpt \
@@ -31,6 +40,9 @@ from diffusion_models_collection_tpu.platform_setup import apply_platform_env
 apply_platform_env()
 
 from diffusion_models_collection_tpu.factory import get_dataloader, get_dataset
+from diffusion_models_collection_tpu.utils.consistency_trainer import (
+    ConsistencyDistillationTrainer,
+)
 from diffusion_models_collection_tpu.utils.distill_trainer import (
     DistillationTrainer,
 )
@@ -57,7 +69,16 @@ def main():
     loader = get_dataloader(
         config, dataset, train=True, seed=config.get("seed", 42)
     )
-    trainer = DistillationTrainer(loader, config, rng=rng)
+    method = str(config.get("distill_method", "progressive")).lower()
+    if method == "consistency":
+        trainer = ConsistencyDistillationTrainer(loader, config, rng=rng)
+    elif method == "progressive":
+        trainer = DistillationTrainer(loader, config, rng=rng)
+    else:
+        raise ValueError(
+            f"Unknown distill_method: {method!r} "
+            "(expected 'progressive' or 'consistency')"
+        )
     trainer.distill()
 
 

@@ -87,6 +87,12 @@ def main():
         trainer.cleanup()
         return
 
+    if str(config.get("diffusion_type", "ddpm")).lower() == "consistency":
+        raise SystemExit(
+            "diffusion_type 'consistency' is produced by distillation, "
+            "not direct training — run tools/distill.py with "
+            "distill_method: 'consistency' on a trained DDPM checkpoint"
+        )
     diffusion = get_diffusion(config)  # training always DDPM (train.py:59-70)
 
     # The trainer builds its own mesh from the config: a 1-D 'data' mesh
