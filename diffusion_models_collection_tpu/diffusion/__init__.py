@@ -16,12 +16,14 @@ from .dpm_solver import DPMSolverPP
 from .edm import EDM
 from .flow_matching import FlowMatching
 from .schedule import NoiseSchedule, ddim_timesteps, karras_timesteps, make_betas
+from .unipc import UniPC
 
 __all__ = [
     "DDPM",
     "DDIM",
     "DPMSolverPP",
     "ConsistencyModel",
+    "UniPC",
     "EDM",
     "FlowMatching",
     "NoiseSchedule",

@@ -22,6 +22,7 @@ from .diffusion import (
     EDM,
     ConsistencyModel,
     FlowMatching,
+    UniPC,
 )
 from .models import DiM, DiT, UNet, VAE
 from .parallel import mesh as pmesh
@@ -230,6 +231,13 @@ def get_diffusion(config: dict, sampling_method: str = "ddpm"):
     if method in ("dpm++", "dpmpp", "dpm_solver++", "dpm-solver++"):
         return DPMSolverPP(
             num_inference_steps=config.get("num_inference_steps", 20),
+            **fast_common,
+        )
+    if method in ("unipc", "uni-pc", "uni_pc"):
+        # extension: UniPC (Zhao et al. 2023) — predictor-corrector,
+        # one model call per step, strongest at <10 steps
+        return UniPC(
+            num_inference_steps=config.get("num_inference_steps", 10),
             **fast_common,
         )
     if method in ("dpm++sde", "dpmpp_sde", "sde-dpm++", "dpm++_sde"):

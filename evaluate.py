@@ -67,11 +67,13 @@ def main():
     parser.add_argument("--device", type=str, default="tpu",
                         help="Accepted for parity; placement is automatic")
     parser.add_argument("--sampling_method", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm++", "dpm++sde"],
+                        choices=["ddpm", "ddim", "dpm++", "dpm++sde",
+                                 "unipc"],
                         help="Extension: the reference always evaluates with "
                              "DDPM full-step sampling (the default, kept for "
-                             "metric parity); ddim/dpm++/dpm++sde trade exact "
-                             "protocol parity for 20-60x faster generation")
+                             "metric parity); ddim/dpm++/dpm++sde/unipc "
+                             "trade exact protocol parity for 20-60x faster "
+                             "generation")
     parser.add_argument("--num_inference_steps", type=int, default=None,
                         help="Steps for ddim/dpm++ eval sampling "
                              "(default: config value)")

@@ -108,9 +108,11 @@ def main():
     parser.add_argument("--config", type=str, default=None,
                         help="Path to config file (if not in checkpoint)")
     parser.add_argument("--sampling_method", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm++", "dpm++sde"],
+                        choices=["ddpm", "ddim", "dpm++", "dpm++sde",
+                                 "unipc"],
                         help="Sampling method (dpm++ = DPM-Solver++(2M), "
-                             "dpm++sde = its stochastic SDE variant; both "
+                             "dpm++sde = its stochastic SDE variant, "
+                             "unipc = UniPC predictor-corrector; all "
                              "beyond the reference)")
     parser.add_argument("--num_inference_steps", type=int, default=50,
                         help="Number of inference steps for DDIM sampling")
@@ -172,7 +174,8 @@ def main():
     is_flow = dtype_key in ("flow", "flow_matching", "rectified_flow")
     is_edm = dtype_key == "edm"
     is_cm = dtype_key == "consistency"
-    if (args.sampling_method.lower() in ("ddim", "dpm++", "dpm++sde")
+    if (args.sampling_method.lower() in ("ddim", "dpm++", "dpm++sde",
+                                         "unipc")
             or is_flow or is_edm or is_cm) and args.num_inference_steps:
         config["num_inference_steps"] = args.num_inference_steps
     if args.mixed_precision is not None:
@@ -226,11 +229,12 @@ def main():
                 "(f(x, t) maps straight to x0 — there is no partial "
                 "trajectory to start from)"
             )
-        if (args.sampling_method.lower().startswith("dpm++")
+        if ((args.sampling_method.lower().startswith("dpm++")
+             or args.sampling_method.lower() == "unipc")
                 and not (is_flow or is_edm)):
             raise SystemExit(
                 "img2img supports --sampling_method ddpm/ddim (and flow/"
-                "edm checkpoints), not dpm++/dpm++sde"
+                "edm checkpoints), not dpm++/dpm++sde/unipc"
             )
         if not (0.0 < args.strength <= 1.0):
             raise SystemExit("--strength must be in (0, 1] for img2img")

@@ -272,7 +272,8 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=16,
                         help="Fixed serving batch (requests pad to it)")
     parser.add_argument("--sampling_method", type=str, default="ddim",
-                        choices=["ddpm", "ddim", "dpm++", "dpm++sde"])
+                        choices=["ddpm", "ddim", "dpm++", "dpm++sde",
+                                 "unipc"])
     parser.add_argument("--num_inference_steps", type=int, default=None)
     parser.add_argument("--use_ema", action="store_true")
     parser.add_argument("--mixed_precision", type=str, default=None,

@@ -121,6 +121,26 @@ def test_sample_cli_dpmpp_sde(workdir):
     assert (out_dir / "out.png").exists()
 
 
+def test_sample_cli_unipc(workdir):
+    """--sampling_method unipc (extension): UniPC predictor-corrector."""
+    out_dir = workdir / "samples_unipc"
+    run(
+        [
+            str(REPO / "sample.py"),
+            "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+            "--sampling_method", "unipc",
+            "--num_inference_steps", "4",
+            "--num_samples", "4",
+            "--batch_size", "4",
+            "--use_ema",
+            "--output_dir", str(out_dir),
+            "--output_name", "out.png",
+        ],
+        cwd=str(workdir),
+    )
+    assert (out_dir / "out.png").exists()
+
+
 def test_distill_cli_consistency_then_sample(workdir):
     """tools/distill.py with distill_method 'consistency' (extension):
     distill the smoke checkpoint into a 2-step consistency model, then

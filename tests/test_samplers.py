@@ -406,3 +406,116 @@ class TestSDEDPMSolverPP:
                                 cfg_scale=2.0)
         assert out.shape == (2, 8, 8, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+# ----------------------------------------------------------------- UniPC
+class TestUniPC:
+    """UniPC (Zhao et al. 2023): predictor-corrector, order 2."""
+
+    def _model_fn(self, schedule):
+        """Same smooth analytic denoiser as the DPM++ tests."""
+        ab = schedule.alphas_cumprod
+
+        def fn(x, t, y):
+            a = jnp.sqrt(ab[t]).reshape(-1, 1, 1, 1)
+            s = jnp.sqrt(1.0 - ab[t]).reshape(-1, 1, 1, 1)
+            x0 = 0.5 * jnp.tanh(x)
+            return (x - a * x0) / jnp.clip(s, min=1e-6)
+
+        return jax.tree_util.Partial(fn)
+
+    def _point_mass_fn(self, schedule, c):
+        ab = schedule.alphas_cumprod
+
+        def fn(x, t, y):
+            a = jnp.sqrt(ab[t]).reshape(-1, 1, 1, 1)
+            b = jnp.sqrt(1.0 - ab[t]).reshape(-1, 1, 1, 1)
+            return (x - a * c) / jnp.clip(b, min=1e-6)
+
+        return jax.tree_util.Partial(fn)
+
+    def test_shapes_and_determinism(self):
+        from diffusion_models_collection_tpu.diffusion import UniPC
+
+        d = UniPC(num_timesteps=100, num_inference_steps=8)
+        fn = self._model_fn(d.schedule)
+        rng = jax.random.PRNGKey(0)
+        out1 = d.sample(fn, (2, 8, 8, 3), rng)
+        out2 = d.sample(fn, (2, 8, 8, 3), rng)
+        assert out1.shape == (2, 8, 8, 3)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_point_mass_exact_any_steps(self):
+        """Constant x0: predictor AND corrector integrate exactly (both
+        quadratures are exact for x0 affine in lambda), so the sampler
+        lands on the point at every step count."""
+        from diffusion_models_collection_tpu.diffusion import UniPC
+
+        for steps in (1, 2, 5, 20):
+            d = UniPC(num_timesteps=100, num_inference_steps=steps)
+            fn = self._point_mass_fn(d.schedule, 0.3)
+            out = d.sample(fn, (2, 8, 8, 3), jax.random.PRNGKey(3))
+            np.testing.assert_allclose(np.asarray(out), 0.3, atol=5e-4)
+
+    def test_corrector_beats_dpmpp_at_low_steps(self):
+        """Same ODE, same model evals per step: the corrector must make
+        UniPC at least as accurate as DPM-Solver++(2M) at few steps,
+        and strictly better than DDIM; plus monotone self-convergence."""
+        from diffusion_models_collection_tpu.diffusion import (
+            DDIM, DPMSolverPP, UniPC,
+        )
+
+        kw = dict(num_timesteps=200, beta_start=1e-4, beta_end=0.02,
+                  beta_schedule="linear")
+        fn = self._model_fn(DDIM(**kw).schedule)
+        noise = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3))
+
+        ref = UniPC(num_inference_steps=200, **kw).sample(
+            fn, (2, 8, 8, 3), jax.random.PRNGKey(0), init_noise=noise)
+
+        def err(sampler, steps, **extra):
+            out = sampler(num_inference_steps=steps, **extra, **kw).sample(
+                fn, (2, 8, 8, 3), jax.random.PRNGKey(0), init_noise=noise)
+            return float(jnp.max(jnp.abs(out - ref)))
+
+        ddim = lambda **k: DDIM(eta=0.0, **k)  # noqa: E731
+        for steps in (6, 8):
+            e_uni = err(UniPC, steps)
+            assert e_uni < err(ddim, steps)
+            assert e_uni <= err(DPMSolverPP, steps) * 1.05, (
+                steps, e_uni, err(DPMSolverPP, steps)
+            )
+        assert err(UniPC, 24) < err(UniPC, 8)
+        # consistency: dense UniPC and dense DPM++ agree on the ODE
+        dense_dpm = DPMSolverPP(num_inference_steps=200, **kw).sample(
+            fn, (2, 8, 8, 3), jax.random.PRNGKey(0), init_noise=noise)
+        assert float(jnp.max(jnp.abs(ref - dense_dpm))) < 0.01
+
+    def test_cfg_runs_and_return_all(self):
+        from diffusion_models_collection_tpu.diffusion import UniPC
+
+        d = UniPC(num_timesteps=50, num_inference_steps=6)
+        fn = self._model_fn(d.schedule)
+        y = jnp.array([1, 2], jnp.int32)
+        out = d.sample_with_cfg(fn, (2, 8, 8, 3), y,
+                                jax.random.PRNGKey(1), cfg_scale=2.0)
+        assert out.shape == (2, 8, 8, 3)
+        assert np.isfinite(np.asarray(out)).all()
+        traj = d.sample(fn, (2, 8, 8, 3), jax.random.PRNGKey(1),
+                        return_all_timesteps=True)
+        assert traj.shape == (6, 2, 8, 8, 3)
+        final = d.sample(fn, (2, 8, 8, 3), jax.random.PRNGKey(1))
+        np.testing.assert_allclose(np.asarray(traj[-1]), np.asarray(final),
+                                   rtol=1e-6)
+
+    def test_factory_dispatch_and_karras(self):
+        from diffusion_models_collection_tpu.diffusion import UniPC
+        from diffusion_models_collection_tpu.factory import get_diffusion
+
+        cfg = {"num_timesteps": 100, "beta_start": 1e-4, "beta_end": 0.02,
+               "beta_schedule": "linear", "num_inference_steps": 7,
+               "timestep_spacing": "karras"}
+        d = get_diffusion(cfg, sampling_method="unipc")
+        assert isinstance(d, UniPC)
+        assert d.num_inference_steps == 7
+        assert d.timestep_spacing == "karras"
