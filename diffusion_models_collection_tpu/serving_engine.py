@@ -1,0 +1,293 @@
+"""Continuous-batching serving engine (beyond the reference).
+
+The reference (and `serve.py`'s default mode) serves whole sampler
+trajectories per request: a request waits for the previous batch to run
+all S denoising steps, then occupies the chip for S more. This engine
+instead runs ONE jitted per-step program over a fixed pool of B slots,
+where every slot carries its OWN grid position — the LLM-style
+continuous-batching idea applied to diffusion:
+
+- a new request is admitted into free slots at the next tick (latency
+  to first compute ~1 step, not ~S steps);
+- slots finishing step S deliver their image and free up immediately,
+  so the chip never idles between requests under load;
+- heterogeneous progress costs nothing extra on TPU: the denoiser and
+  the DDIM update already take PER-SAMPLE timestep arrays (the batch
+  simply contains mixed t values — one compiled program, static shapes).
+
+Design (all device state, one tick = one XLA program):
+    x      [B, H, W, C]  current latents/images per slot
+    pos    [B] int32     grid index (0..S); S means done/idle
+    y      [B] int32     label (+1 shifted; 0 = unconditional null)
+    cfg    [B] f32       per-slot CFG scale (fused [cond; uncond] batch)
+    active [B] bool      slot occupied
+
+The update rule is deterministic DDIM (eta = 0), so each slot's
+trajectory is bit-identical to `DDIM.sample`/`sample_with_cfg` with the
+same init noise — slot independence and solo-vs-engine parity are
+tested. Admission writes slots via donated `.at[idx].set` scatters
+inside jit; the host thread only moves tiny [B] vectors per tick.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .diffusion import base
+from .diffusion.ddim import ddim_step
+from .diffusion.schedule import NoiseSchedule, ddim_timesteps
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_cfg", "clip_denoised", "p_threshold"),
+    donate_argnums=(1,),
+)
+def _tick(
+    schedule: NoiseSchedule,
+    x: jnp.ndarray,
+    pos: jnp.ndarray,
+    y: jnp.ndarray,
+    cfg: jnp.ndarray,
+    active: jnp.ndarray,
+    grid: jnp.ndarray,
+    model_fn,
+    *,
+    use_cfg: bool,
+    clip_denoised: bool,
+    p_threshold: Optional[float],
+):
+    """Advance every active, unfinished slot by one DDIM step."""
+    n_steps = grid.shape[0]
+    idx = jnp.clip(pos, 0, n_steps - 1)
+    t = grid[idx]
+    # next grid time per slot; the final transition uses -1 (terminal
+    # alpha_bar = 1 convention shared with the scan sampler)
+    t_next = jnp.where(
+        idx + 1 < n_steps, grid[jnp.clip(idx + 1, 0, n_steps - 1)], -1
+    )
+
+    if use_cfg:
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        y2 = jnp.concatenate([y, jnp.zeros_like(y)], axis=0)
+        eps2, x02 = model_fn(x2, t2, y2)
+        eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+        x0_c, x0_u = jnp.split(x02, 2, axis=0)
+        s = cfg.reshape(-1, *((1,) * (x.ndim - 1)))
+        eps = eps_u + s * (eps_c - eps_u)
+        x0 = x0_u + s * (x0_c - x0_u)
+        # CFG parity with DDIM.sample_with_cfg: dynamic thresholding
+        # (reference ddim.py:299-327) when p_threshold is set
+        x0 = base.constrain_x0(x0, p_threshold, clip_denoised)
+    else:
+        eps, x0 = model_fn(x, t, y)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+
+    x_new = ddim_step(schedule, x, t, t_next, eps, x0, 0.0, None)
+    running = active & (pos < n_steps)
+    mask = running.reshape(-1, *((1,) * (x.ndim - 1)))
+    x = jnp.where(mask, x_new, x)
+    pos = jnp.where(running, pos + 1, pos)
+    return x, pos
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+def _admit(x, pos, y, cfg, active, slots, noise, labels, scales):
+    """Scatter fresh requests into free slots (donated state)."""
+    x = x.at[slots].set(noise)
+    pos = pos.at[slots].set(0)
+    y = y.at[slots].set(labels)
+    cfg = cfg.at[slots].set(scales)
+    active = active.at[slots].set(True)
+    return x, pos, y, cfg, active
+
+
+@jax.jit
+def _retire(active, slots):
+    return active.at[slots].set(False)
+
+
+@dataclass
+class _Request:
+    noise: np.ndarray           # (k, H, W, C)
+    labels: np.ndarray          # (k,) int32, already +1 shifted
+    cfg_scale: float
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    slots: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+
+
+class ContinuousBatchingEngine:
+    """Slot-based stepwise DDIM engine; thread-safe `submit`.
+
+    `model_fn` must be the (eps, x0) pair view (`base.wrap_model_as_eps_x0`
+    over an eval-mode apply); params ride as jit-closure constants like
+    everywhere else. The engine thread ticks only while slots are
+    active, so an idle server burns no device time.
+    """
+
+    def __init__(
+        self,
+        schedule: NoiseSchedule,
+        pair_fn,
+        *,
+        image_shape,             # (H, W, C)
+        num_slots: int = 16,
+        num_inference_steps: int = 50,
+        num_timesteps: int = 1000,
+        conditional: bool = False,
+        clip_denoised: bool = True,
+        p_threshold=base.AUTO_THRESHOLD,
+    ):
+        self.schedule = schedule
+        self.pair_fn = pair_fn
+        self.num_slots = int(num_slots)
+        self.conditional = bool(conditional)
+        self.clip_denoised = bool(clip_denoised)
+        # same CFG-path default as the scan samplers: AUTO resolves to
+        # 0.995 dynamic thresholding for pixel spaces, None for latent
+        self.p_threshold = base.resolve_p_threshold(
+            p_threshold, self.clip_denoised
+        )
+        self.grid = jnp.asarray(
+            ddim_timesteps(num_timesteps, num_inference_steps), jnp.int32
+        )
+        self.num_steps = int(self.grid.shape[0])
+        h, w, c = image_shape
+        self._x = jnp.zeros((self.num_slots, h, w, c), jnp.float32)
+        # idle slots park at pos = S (finished)
+        self._pos = jnp.full((self.num_slots,), self.num_steps, jnp.int32)
+        self._y = jnp.zeros((self.num_slots,), jnp.int32)
+        self._cfg = jnp.ones((self.num_slots,), jnp.float32)
+        self._active = jnp.zeros((self.num_slots,), jnp.bool_)
+
+        self._free = list(range(self.num_slots))
+        self._pending: list[_Request] = []
+        self._inflight: dict[int, _Request] = {}  # slot -> request
+        self._lock = threading.Lock()
+        self._work = threading.Event()
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        self.ticks = 0          # observability: total device steps run
+
+    # ------------------------------------------------------------- public
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop = True
+        self._work.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def submit(self, noise: np.ndarray, labels=None,
+               cfg_scale: float = 1.0, timeout: float = 300.0):
+        """Block until the request's images are ready; returns
+        (k, H, W, C) float32 model-space outputs (same convention as
+        DDIM.sample). `noise` is the request's init noise (k, H, W, C);
+        `labels` are +1-shifted ints or None (unconditional)."""
+        k = int(noise.shape[0])
+        if k < 1 or k > self.num_slots:
+            raise ValueError(f"request size must be in [1, {self.num_slots}]")
+        if labels is None:
+            labels = np.zeros((k,), np.int32)
+        req = _Request(
+            noise=np.asarray(noise, np.float32),
+            labels=np.asarray(labels, np.int32),
+            cfg_scale=float(cfg_scale),
+        )
+        with self._lock:
+            self._pending.append(req)
+        self._work.set()
+        if not req.event.wait(timeout):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    # -------------------------------------------------------------- loop
+    def _try_admit_locked(self):
+        """Assign free slots to pending requests (FIFO, all-or-nothing
+        per request so one oversized request can't starve)."""
+        admitted = []
+        while self._pending and len(self._free) >= len(
+            self._pending[0].labels
+        ):
+            req = self._pending.pop(0)
+            k = len(req.labels)
+            slots = np.asarray([self._free.pop() for _ in range(k)],
+                               np.int32)
+            req.slots = slots
+            for s in slots:
+                self._inflight[int(s)] = req
+            admitted.append(req)
+        return admitted
+
+    def _loop(self):
+        use_cfg = self.conditional
+        while not self._stop:
+            with self._lock:
+                admitted = self._try_admit_locked()
+                have_work = bool(self._inflight)
+            for req in admitted:
+                self._x, self._pos, self._y, self._cfg, self._active = (
+                    _admit(
+                        self._x, self._pos, self._y, self._cfg,
+                        self._active, jnp.asarray(req.slots),
+                        jnp.asarray(req.noise),
+                        jnp.asarray(req.labels, jnp.int32),
+                        jnp.full((len(req.slots),), req.cfg_scale,
+                                 jnp.float32),
+                    )
+                )
+            if not have_work:
+                self._work.wait(timeout=0.1)
+                self._work.clear()
+                continue
+
+            self._x, self._pos = _tick(
+                self.schedule, self._x, self._pos, self._y, self._cfg,
+                self._active, self.grid, self.pair_fn,
+                use_cfg=use_cfg, clip_denoised=self.clip_denoised,
+                p_threshold=self.p_threshold,
+            )
+            self.ticks += 1
+
+            # small host readback per tick: [B] ints/bools
+            pos = np.asarray(self._pos)
+            active = np.asarray(self._active)
+            done_slots = np.nonzero(active & (pos >= self.num_steps))[0]
+            if done_slots.size:
+                finished: dict[int, _Request] = {}
+                with self._lock:
+                    for s in done_slots:
+                        req = self._inflight.pop(int(s), None)
+                        if req is not None:
+                            finished[id(req)] = req
+                # a request completes when ALL its slots are done
+                # (same grid length -> they finish on the same tick)
+                images = np.asarray(self._x[jnp.asarray(done_slots)])
+                by_slot = {int(s): images[i]
+                           for i, s in enumerate(done_slots)}
+                self._active = _retire(self._active,
+                                       jnp.asarray(done_slots, jnp.int32))
+                with self._lock:
+                    self._free.extend(int(s) for s in done_slots)
+                for req in finished.values():
+                    req.result = np.stack(
+                        [by_slot[int(s)] for s in req.slots]
+                    )
+                    req.event.set()

@@ -59,7 +59,8 @@ class SamplerService:
     def __init__(self, checkpoint_path: str, *, sampling_method: str = "ddim",
                  num_inference_steps: int | None = None, batch_size: int = 16,
                  use_ema: bool = False, config: dict | None = None,
-                 mixed_precision: str | None = None, max_queue: int = 8):
+                 mixed_precision: str | None = None, max_queue: int = 8,
+                 continuous: bool = False):
         payload = load_checkpoint(checkpoint_path)
         self.config = config or payload.get("config")
         if self.config is None:
@@ -99,6 +100,31 @@ class SamplerService:
         # bounded queue: in-flight + waiting generates; beyond this -> 503
         self._slots = threading.BoundedSemaphore(max(1, int(max_queue)))
 
+        # continuous batching (extension): slot-based stepwise engine —
+        # requests join mid-flight instead of waiting for whole batches
+        self.engine = None
+        if continuous:
+            if sampling_method != "ddim":
+                raise ValueError(
+                    "--continuous runs the stepwise DDIM engine; pass "
+                    "--sampling_method ddim"
+                )
+            from diffusion_models_collection_tpu.serving_engine import (
+                ContinuousBatchingEngine,
+            )
+
+            h, w = self.image_hw
+            self.engine = ContinuousBatchingEngine(
+                self.diffusion.schedule,
+                self.diffusion._pair_fn(self._model_fn),
+                image_shape=(h, w, self.channels),
+                num_slots=self.batch_size,
+                num_inference_steps=self.diffusion.num_inference_steps,
+                num_timesteps=self.diffusion.num_timesteps,
+                conditional=self.conditional,
+                clip_denoised=self.diffusion.clip_sample,
+            ).start()
+
     def warmup(self):
         t0 = time.time()
         self.generate(1, labels=[0] if self.conditional else None, seed=0)
@@ -118,6 +144,46 @@ class SamplerService:
         ):
             raise ValueError("labels must be a list of integers")
         h, w = self.image_hw
+
+        if self.engine is not None:
+            # continuous batching: submit and let the engine schedule;
+            # no padding, no service-level lock — slots interleave
+            rng = jax.random.PRNGKey(int(seed))
+            _, init_rng = jax.random.split(rng)
+            noise = np.asarray(jax.random.normal(
+                init_rng, (num_samples, h, w, self.channels), jnp.float32
+            ))
+            if self.conditional:
+                if labels is None:
+                    labels = [
+                        i % (self.num_classes or 1)
+                        for i in range(num_samples)
+                    ]
+                if len(labels) != num_samples:
+                    raise ValueError("labels length must equal num_samples")
+                if self.num_classes and any(
+                    not (0 <= l < self.num_classes) for l in labels
+                ):
+                    raise ValueError(
+                        f"labels must be in [0, {self.num_classes})"
+                    )
+                out = self.engine.submit(
+                    noise, np.asarray(labels, np.int32) + 1,
+                    cfg_scale=float(
+                        self.default_cfg if cfg_scale is None else cfg_scale
+                    ),
+                )
+            else:
+                if labels is not None or cfg_scale is not None:
+                    raise ValueError(
+                        "this model is unconditional: labels/cfg_scale "
+                        "are not supported"
+                    )
+                out = self.engine.submit(noise)
+            if self.codec is not None:
+                out = np.asarray(self.codec.decode(jnp.asarray(out)))
+            return np.clip((out + 1.0) / 2.0, 0.0, 1.0).astype(np.float32)
+
         shape = (self.batch_size, h, w, self.channels)
         rng = jax.random.PRNGKey(int(seed))
         # multi-device host: shard the fixed serving batch over a 'data'
@@ -282,6 +348,11 @@ def main(argv=None):
                              "dtype (bf16 inference on fp32 checkpoints)")
     parser.add_argument("--max_queue", type=int, default=8,
                         help="Max queued generate requests before 503")
+    parser.add_argument("--continuous", action="store_true",
+                        help="Continuous batching (extension): a stepwise "
+                             "DDIM engine over --batch_size slots; requests "
+                             "join mid-flight instead of waiting for whole "
+                             "batch trajectories")
     args = parser.parse_args(argv)
 
     service = SamplerService(
@@ -292,6 +363,7 @@ def main(argv=None):
         use_ema=args.use_ema,
         mixed_precision=args.mixed_precision,
         max_queue=args.max_queue,
+        continuous=args.continuous,
     )
     print("Warming up (compiling the sampler)...", flush=True)
     dt = service.warmup()
