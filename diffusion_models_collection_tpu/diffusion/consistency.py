@@ -318,7 +318,7 @@ class ConsistencyModel:
         )
 
     def sample_with_cfg(self, model_fn, shape, y, rng, cfg_scale=1.0,
-                        p_threshold=None, init_noise=None,
+                        p_threshold=base.AUTO_THRESHOLD, init_noise=None,
                         return_all_timesteps=False, progress=False):
         """f-space CFG. NOTE: guided distillation (`distill_cfg_scale`)
         bakes the guidance in — sample with cfg_scale <= 1 (or via

@@ -56,6 +56,37 @@ from . import base
 from .schedule import NoiseSchedule, ddim_timesteps, karras_timesteps
 
 
+def make_x0_fn(schedule, model_fn, y, cfg_scale, *, use_cfg, p_threshold,
+               clip_denoised, guidance_rescale, cfg_interval):
+    """Constrained-x0 view of the model — the per-step evaluation shared
+    by the multistep ODE solvers (DPM-Solver++ and UniPC)."""
+
+    def x0_at(x, t):
+        if use_cfg:
+            _, x0 = base.cfg_eps_x0(
+                model_fn, x, t, y, cfg_scale,
+                guidance_rescale=guidance_rescale, schedule=schedule,
+                cfg_interval=cfg_interval,
+            )
+            return base.constrain_x0(x0, p_threshold, clip_denoised)
+        _, x0 = model_fn(x, t, y)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        return x0
+
+    return x0_at
+
+
+def multistep_D(x0, x0_prev, h, h_prev, have_prev, final):
+    """DPM-Solver++(2M) extrapolated data combination (shared with
+    UniPC's predictor): first step, degenerate h, and the FINAL step (no
+    well-defined h there — lower_order_final) use first order."""
+    r = h_prev / jnp.clip(h, min=1e-12)
+    coef = 1.0 / jnp.clip(2.0 * r, min=1e-12)
+    use_ms = have_prev & (h > 1e-12) & jnp.logical_not(final)
+    return jnp.where(use_ms, (1.0 + coef) * x0 - coef * x0_prev, x0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("use_cfg", "p_threshold", "clip_denoised",
@@ -90,18 +121,11 @@ def _solve(
         [timesteps[1:], jnp.full((1,), -1, dtype=timesteps.dtype)]
     )
 
-    def x0_at(x, t):
-        if use_cfg:
-            _, x0 = base.cfg_eps_x0(
-                model_fn, x, t, y, cfg_scale,
-                guidance_rescale=guidance_rescale, schedule=schedule,
-                cfg_interval=cfg_interval,
-            )
-            return base.constrain_x0(x0, p_threshold, clip_denoised)
-        _, x0 = model_fn(x, t, y)
-        if clip_denoised:
-            x0 = jnp.clip(x0, -1.0, 1.0)
-        return x0
+    x0_at = make_x0_fn(
+        schedule, model_fn, y, cfg_scale, use_cfg=use_cfg,
+        p_threshold=p_threshold, clip_denoised=clip_denoised,
+        guidance_rescale=guidance_rescale, cfg_interval=cfg_interval,
+    )
 
     def step(carry, scan_in):
         x, x0_prev, lam_prev, have_prev = carry
@@ -116,12 +140,7 @@ def _solve(
         h = lam_next - lam_t
         h_prev = lam_t - lam_prev
 
-        # multistep combination; first step, degenerate h, and the FINAL
-        # step (no real h there — lower_order_final) use first order
-        r = h_prev / jnp.clip(h, min=1e-12)
-        coef = 1.0 / jnp.clip(2.0 * r, min=1e-12)
-        use_ms = have_prev & (h > 1e-12) & jnp.logical_not(final)
-        D = jnp.where(use_ms, (1.0 + coef) * x0 - coef * x0_prev, x0)
+        D = multistep_D(x0, x0_prev, h, h_prev, have_prev, final)
 
         sig_ratio = s[tn] / jnp.clip(s[t_scalar], min=1e-12)
         if sde:

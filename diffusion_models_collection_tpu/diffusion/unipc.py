@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from . import base
+from .dpm_solver import make_x0_fn, multistep_D
 from .schedule import NoiseSchedule, ddim_timesteps, karras_timesteps
 
 
@@ -77,18 +78,11 @@ def _solve(
         [timesteps[1:], jnp.full((1,), -1, dtype=timesteps.dtype)]
     )
 
-    def x0_at(x, t):
-        if use_cfg:
-            _, x0 = base.cfg_eps_x0(
-                model_fn, x, t, y, cfg_scale,
-                guidance_rescale=guidance_rescale, schedule=schedule,
-                cfg_interval=cfg_interval,
-            )
-            return base.constrain_x0(x0, p_threshold, clip_denoised)
-        _, x0 = model_fn(x, t, y)
-        if clip_denoised:
-            x0 = jnp.clip(x0, -1.0, 1.0)
-        return x0
+    x0_at = make_x0_fn(
+        schedule, model_fn, y, cfg_scale, use_cfg=use_cfg,
+        p_threshold=p_threshold, clip_denoised=clip_denoised,
+        guidance_rescale=guidance_rescale, cfg_interval=cfg_interval,
+    )
 
     def step(carry, scan_in):
         x_pred, x_prev, x0_prev, lam_prev, t_prev, have_prev = carry
@@ -113,16 +107,13 @@ def _solve(
         )
         x_cur = jnp.where(have_prev, x_corr, x_pred)
 
-        # UniP-2 (DPM-Solver++(2M) form): extrapolated D from history;
-        # first step, degenerate h, and the FINAL step use first order
+        # UniP-2 (the shared DPM-Solver++(2M) combination), anchored at
+        # the corrected current sample
         final = t_next_scalar < 0
         tn = jnp.clip(t_next_scalar, 0)
         lam_next = jnp.where(final, lam_t + 1.0, lam[tn])  # finite dummy
         h = lam_next - lam_t
-        r = h_prev / jnp.clip(h, min=1e-12)
-        coef = 1.0 / jnp.clip(2.0 * r, min=1e-12)
-        use_ms = have_prev & (h > 1e-12) & jnp.logical_not(final)
-        D = jnp.where(use_ms, (1.0 + coef) * x0 - coef * x0_prev, x0)
+        D = multistep_D(x0, x0_prev, h, h_prev, have_prev, final)
 
         sig_ratio = s[tn] / jnp.clip(s[t_scalar], min=1e-12)
         x_new = sig_ratio * x_cur - a[tn] * (jnp.exp(-h) - 1.0) * D
@@ -266,7 +257,7 @@ class UniPC:
         )
 
     def sample_with_cfg(self, model_fn, shape, y, rng, cfg_scale=1.0,
-                        p_threshold=None, init_noise=None,
+                        p_threshold=base.AUTO_THRESHOLD, init_noise=None,
                         return_all_timesteps=False, progress=False):
         return self._run(
             model_fn, shape, rng, y, jnp.asarray(cfg_scale, jnp.float32),

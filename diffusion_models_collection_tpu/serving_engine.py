@@ -48,7 +48,8 @@ from .diffusion.schedule import NoiseSchedule, ddim_timesteps
 
 @functools.partial(
     jax.jit,
-    static_argnames=("use_cfg", "clip_denoised", "p_threshold"),
+    static_argnames=("use_cfg", "clip_denoised", "p_threshold",
+                     "guidance_rescale", "cfg_interval"),
     donate_argnums=(1,),
 )
 def _tick(
@@ -64,6 +65,8 @@ def _tick(
     use_cfg: bool,
     clip_denoised: bool,
     p_threshold: Optional[float],
+    guidance_rescale: float,
+    cfg_interval,
 ):
     """Advance every active, unfinished slot by one DDIM step."""
     n_steps = grid.shape[0]
@@ -76,15 +79,16 @@ def _tick(
     )
 
     if use_cfg:
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        y2 = jnp.concatenate([y, jnp.zeros_like(y)], axis=0)
-        eps2, x02 = model_fn(x2, t2, y2)
-        eps_c, eps_u = jnp.split(eps2, 2, axis=0)
-        x0_c, x0_u = jnp.split(x02, 2, axis=0)
+        # the scan samplers' exact CFG path (fused [cond; uncond] batch,
+        # guidance rescale, cfg interval), with a PER-SLOT scale — the
+        # lerp/rescale/gate are all per-sample ops, so a broadcastable
+        # [B, 1, 1, 1] scale composes for free
         s = cfg.reshape(-1, *((1,) * (x.ndim - 1)))
-        eps = eps_u + s * (eps_c - eps_u)
-        x0 = x0_u + s * (x0_c - x0_u)
+        eps, x0 = base.cfg_eps_x0(
+            model_fn, x, t, y, s,
+            guidance_rescale=guidance_rescale, schedule=schedule,
+            cfg_interval=cfg_interval,
+        )
         # CFG parity with DDIM.sample_with_cfg: dynamic thresholding
         # (reference ddim.py:299-327) when p_threshold is set
         x0 = base.constrain_x0(x0, p_threshold, clip_denoised)
@@ -126,6 +130,7 @@ class _Request:
     result: Optional[np.ndarray] = None
     slots: Optional[np.ndarray] = None
     error: Optional[Exception] = None
+    cancelled: bool = False     # submit() timed out; drop on admission
 
 
 class ContinuousBatchingEngine:
@@ -149,6 +154,9 @@ class ContinuousBatchingEngine:
         conditional: bool = False,
         clip_denoised: bool = True,
         p_threshold=base.AUTO_THRESHOLD,
+        timesteps=None,
+        guidance_rescale: float = 0.0,
+        cfg_interval=None,
     ):
         self.schedule = schedule
         self.pair_fn = pair_fn
@@ -160,8 +168,18 @@ class ContinuousBatchingEngine:
         self.p_threshold = base.resolve_p_threshold(
             p_threshold, self.clip_denoised
         )
+        self.guidance_rescale = base.validate_guidance_rescale(
+            guidance_rescale
+        )
+        self.cfg_interval = base.validate_cfg_interval(
+            cfg_interval, num_timesteps
+        )
+        # honor the sampler's grid (e.g. karras spacing) when given;
+        # fall back to the uniform DDIM grid
         self.grid = jnp.asarray(
-            ddim_timesteps(num_timesteps, num_inference_steps), jnp.int32
+            timesteps if timesteps is not None
+            else ddim_timesteps(num_timesteps, num_inference_steps),
+            jnp.int32,
         )
         self.num_steps = int(self.grid.shape[0])
         h, w, c = image_shape
@@ -178,6 +196,7 @@ class ContinuousBatchingEngine:
         self._lock = threading.Lock()
         self._work = threading.Event()
         self._stop = False
+        self._error: Optional[Exception] = None  # engine-fatal failure
         self._thread: Optional[threading.Thread] = None
         self.ticks = 0          # observability: total device steps run
 
@@ -199,6 +218,10 @@ class ContinuousBatchingEngine:
         (k, H, W, C) float32 model-space outputs (same convention as
         DDIM.sample). `noise` is the request's init noise (k, H, W, C);
         `labels` are +1-shifted ints or None (unconditional)."""
+        if self._error is not None:
+            raise RuntimeError(
+                f"serving engine is dead: {self._error!r}"
+            ) from self._error
         k = int(noise.shape[0])
         if k < 1 or k > self.num_slots:
             raise ValueError(f"request size must be in [1, {self.num_slots}]")
@@ -213,6 +236,12 @@ class ContinuousBatchingEngine:
             self._pending.append(req)
         self._work.set()
         if not req.event.wait(timeout):
+            # drop the abandoned request so it can't occupy slots later;
+            # if it was already admitted, its slots finish and recycle
+            with self._lock:
+                req.cancelled = True
+                if req in self._pending:
+                    self._pending.remove(req)
             raise TimeoutError("generation timed out")
         if req.error is not None:
             raise req.error
@@ -227,6 +256,8 @@ class ContinuousBatchingEngine:
             self._pending[0].labels
         ):
             req = self._pending.pop(0)
+            if req.cancelled:  # submit() timed out while queued
+                continue
             k = len(req.labels)
             slots = np.asarray([self._free.pop() for _ in range(k)],
                                np.int32)
@@ -237,6 +268,19 @@ class ContinuousBatchingEngine:
         return admitted
 
     def _loop(self):
+        try:
+            self._loop_body()
+        except Exception as e:  # engine-fatal: fail fast, loudly
+            self._error = e
+            with self._lock:
+                doomed = list(self._inflight.values()) + self._pending
+                self._inflight.clear()
+                self._pending.clear()
+            for req in {id(r): r for r in doomed}.values():
+                req.error = RuntimeError(f"serving engine died: {e!r}")
+                req.event.set()
+
+    def _loop_body(self):
         use_cfg = self.conditional
         while not self._stop:
             with self._lock:
@@ -263,6 +307,8 @@ class ContinuousBatchingEngine:
                 self._active, self.grid, self.pair_fn,
                 use_cfg=use_cfg, clip_denoised=self.clip_denoised,
                 p_threshold=self.p_threshold,
+                guidance_rescale=self.guidance_rescale,
+                cfg_interval=self.cfg_interval,
             )
             self.ticks += 1
 

@@ -245,9 +245,11 @@ class ConsistencyDistillationTrainer:
         out_cfg["sigma_data"] = self.sigma_data
         out_cfg["timestep_scaling"] = self.timestep_scaling
         if self.distill_cfg_scale > 0.0:
-            # provenance: guidance is baked in — sample WITHOUT CFG
+            # provenance: guidance is baked in — downstream CFG should
+            # run at the scale-1 conditional limit (0 would select the
+            # unconditional branch and silently drop requested labels)
             out_cfg["distilled_cfg_scale"] = self.distill_cfg_scale
-            out_cfg["cfg_scale"] = 0.0
+            out_cfg["cfg_scale"] = 1.0
 
         def write(path):
             ckpt_lib.save_checkpoint(

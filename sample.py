@@ -114,8 +114,11 @@ def main():
                              "dpm++sde = its stochastic SDE variant, "
                              "unipc = UniPC predictor-corrector; all "
                              "beyond the reference)")
-    parser.add_argument("--num_inference_steps", type=int, default=50,
-                        help="Number of inference steps for DDIM sampling")
+    parser.add_argument("--num_inference_steps", type=int, default=None,
+                        help="Number of inference steps (default: 50 for "
+                             "ddim — reference-parity CLI behavior; other "
+                             "methods and flow/edm/consistency checkpoints "
+                             "default to the config's embedded count)")
     parser.add_argument("--num_samples", type=int, default=64,
                         help="Number of samples to generate")
     parser.add_argument("--batch_size", type=int, default=16,
@@ -174,10 +177,18 @@ def main():
     is_flow = dtype_key in ("flow", "flow_matching", "rectified_flow")
     is_edm = dtype_key == "edm"
     is_cm = dtype_key == "consistency"
-    if (args.sampling_method.lower() in ("ddim", "dpm++", "dpm++sde",
-                                         "unipc")
-            or is_flow or is_edm or is_cm) and args.num_inference_steps:
-        config["num_inference_steps"] = args.num_inference_steps
+    if args.num_inference_steps is not None:
+        if (args.sampling_method.lower() in ("ddim", "dpm++", "dpm++sde",
+                                             "unipc")
+                or is_flow or is_edm or is_cm):
+            config["num_inference_steps"] = args.num_inference_steps
+    elif args.sampling_method.lower() == "ddim" and not (
+            is_flow or is_edm or is_cm):
+        # reference parity: the sample CLI's own DDIM default of 50
+        # overrides the checkpoint's embedded count (reference
+        # sample.py:69-87); checkpoints that OWN their step count
+        # (flow/edm/consistency, distilled students) keep it
+        config["num_inference_steps"] = 50
     if args.mixed_precision is not None:
         config["mixed_precision"] = args.mixed_precision
     if args.guidance_rescale is not None:

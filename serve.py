@@ -104,14 +104,30 @@ class SamplerService:
         # requests join mid-flight instead of waiting for whole batches
         self.engine = None
         if continuous:
+            from diffusion_models_collection_tpu.diffusion import DDIM
+            from diffusion_models_collection_tpu.serving_engine import (
+                ContinuousBatchingEngine,
+            )
+
             if sampling_method != "ddim":
                 raise ValueError(
                     "--continuous runs the stepwise DDIM engine; pass "
                     "--sampling_method ddim"
                 )
-            from diffusion_models_collection_tpu.serving_engine import (
-                ContinuousBatchingEngine,
-            )
+            # the factory gives flow/edm/consistency checkpoints their
+            # own process class regardless of sampling_method — stepping
+            # those with DDIM updates would silently produce garbage
+            if not isinstance(self.diffusion, DDIM):
+                raise ValueError(
+                    "--continuous requires a VP (DDPM/DDIM-family) "
+                    "checkpoint; this one has diffusion_type="
+                    f"{self.config.get('diffusion_type', 'ddpm')!r}"
+                )
+            if float(self.diffusion.eta) != 0.0:
+                raise ValueError(
+                    "--continuous is the deterministic (eta = 0) engine; "
+                    f"this config sets ddim_eta={self.diffusion.eta}"
+                )
 
             h, w = self.image_hw
             self.engine = ContinuousBatchingEngine(
@@ -119,11 +135,30 @@ class SamplerService:
                 self.diffusion._pair_fn(self._model_fn),
                 image_shape=(h, w, self.channels),
                 num_slots=self.batch_size,
-                num_inference_steps=self.diffusion.num_inference_steps,
                 num_timesteps=self.diffusion.num_timesteps,
+                # honor the sampler's exact grid (karras spacing etc.)
+                timesteps=self.diffusion.inference_timesteps,
+                guidance_rescale=self.diffusion.guidance_rescale,
+                cfg_interval=self.diffusion.cfg_interval,
                 conditional=self.conditional,
                 clip_denoised=self.diffusion.clip_sample,
             ).start()
+
+    def _resolve_labels(self, num_samples: int, labels):
+        """Default + validate request labels (shared by both modes)."""
+        if labels is None:
+            # round-robin default, wrapping at num_classes (the
+            # sample.py per-row convention)
+            labels = [
+                i % (self.num_classes or 1) for i in range(num_samples)
+            ]
+        if len(labels) != num_samples:
+            raise ValueError("labels length must equal num_samples")
+        if self.num_classes and any(
+            not (0 <= l < self.num_classes) for l in labels
+        ):
+            raise ValueError(f"labels must be in [0, {self.num_classes})")
+        return labels
 
     def warmup(self):
         t0 = time.time()
@@ -154,19 +189,7 @@ class SamplerService:
                 init_rng, (num_samples, h, w, self.channels), jnp.float32
             ))
             if self.conditional:
-                if labels is None:
-                    labels = [
-                        i % (self.num_classes or 1)
-                        for i in range(num_samples)
-                    ]
-                if len(labels) != num_samples:
-                    raise ValueError("labels length must equal num_samples")
-                if self.num_classes and any(
-                    not (0 <= l < self.num_classes) for l in labels
-                ):
-                    raise ValueError(
-                        f"labels must be in [0, {self.num_classes})"
-                    )
+                labels = self._resolve_labels(num_samples, labels)
                 out = self.engine.submit(
                     noise, np.asarray(labels, np.int32) + 1,
                     cfg_scale=float(
@@ -195,20 +218,7 @@ class SamplerService:
         )
 
         if self.conditional:
-            if labels is None:
-                # round-robin default, wrapping at num_classes (the
-                # sample.py per-row convention)
-                labels = [
-                    i % (self.num_classes or 1) for i in range(num_samples)
-                ]
-            if len(labels) != num_samples:
-                raise ValueError("labels length must equal num_samples")
-            if self.num_classes and any(
-                not (0 <= l < self.num_classes) for l in labels
-            ):
-                raise ValueError(
-                    f"labels must be in [0, {self.num_classes})"
-                )
+            labels = self._resolve_labels(num_samples, labels)
             y = np.zeros((self.batch_size,), np.int32)
             y[:num_samples] = np.asarray(labels) + 1  # +1 shift, 0 = null
             y = jnp.asarray(y)

@@ -173,11 +173,10 @@ def test_distill_cli_consistency_then_sample(workdir):
     assert ckpt.exists()
 
     out_dir = workdir / "samples_cd"
-    run(
+    out = run(
         [
             str(REPO / "sample.py"),
             "--checkpoint", str(ckpt),
-            "--num_inference_steps", "2",
             "--num_samples", "4",
             "--batch_size", "4",
             "--use_ema",
@@ -187,6 +186,9 @@ def test_distill_cli_consistency_then_sample(workdir):
         cwd=str(workdir),
     )
     assert (out_dir / "out.png").exists()
+    # without --num_inference_steps the checkpoint's embedded count (2)
+    # must win — the CLI's DDIM-parity default of 50 must NOT clobber it
+    assert "Consistency sampling" in out and "2 steps" in out, out
 
 
 def test_sample_cli_gif_and_labels(workdir):

@@ -303,7 +303,9 @@ def test_consistency_distillation_end_to_end(tmp_path):
     assert out_cfg["diffusion_type"] == "consistency"
     assert out_cfg["num_inference_steps"] == 2
     assert out_cfg["distilled_cfg_scale"] == 1.5
-    assert out_cfg["cfg_scale"] == 0.0  # guidance baked in
+    # guidance baked in: downstream CFG runs at the conditional
+    # scale-1 limit (0 would silently drop requested labels)
+    assert out_cfg["cfg_scale"] == 1.0
 
     model = get_model(out_cfg)
     fn = eval_model_fn(model, payload["ema_model_state_dict"])

@@ -201,8 +201,6 @@ def test_service_rejects_continuous_non_ddim(tmp_path):
     import serve as serve_mod
 
     with pytest.raises(ValueError, match="ddim"):
-        # checkpoint path unused before the validation fires? it IS used
-        # (loaded first), so build a real one
         from diffusion_models_collection_tpu.factory import (
             get_model, init_model_params,
         )
@@ -231,3 +229,115 @@ def test_service_rejects_continuous_non_ddim(tmp_path):
         serve_mod.SamplerService(
             str(path), sampling_method="dpm++", continuous=True,
         )
+
+
+def test_engine_honors_karras_grid_and_guidance_rescale():
+    """The engine must reproduce a karras-spaced, guidance-rescaled DDIM
+    trajectory when given the sampler's own grid and knobs."""
+    ddim = DDIM(num_timesteps=T, num_inference_steps=STEPS, eta=0.0,
+                timestep_spacing="karras", guidance_rescale=0.5)
+    engine = ContinuousBatchingEngine(
+        ddim.schedule,
+        ddim._pair_fn(_model_fn()),
+        image_shape=(H, W, C),
+        num_slots=4,
+        num_timesteps=T,
+        timesteps=ddim.inference_timesteps,
+        guidance_rescale=ddim.guidance_rescale,
+        conditional=True,
+        clip_denoised=True,
+    ).start()
+    try:
+        noise = _noise(4, 2)
+        labels = np.array([1, 2], np.int32)
+        out = engine.submit(noise, labels, cfg_scale=3.0)
+        ref = ddim.sample_with_cfg(
+            _model_fn(), (2, H, W, C), jnp.asarray(labels),
+            jax.random.PRNGKey(0), cfg_scale=3.0,
+            init_noise=jnp.asarray(noise),
+        )
+        np.testing.assert_allclose(out, np.asarray(ref), atol=1e-5)
+    finally:
+        engine.stop()
+
+
+def test_engine_death_fails_requests_loudly():
+    """A fatal error on the engine thread must fail in-flight requests
+    with the cause (not hang) and make later submits raise immediately."""
+    ddim, _ = _make(conditional=False)
+
+    def bad_fn(x, t, y):
+        raise RuntimeError("boom")
+
+    engine = ContinuousBatchingEngine(
+        ddim.schedule, jax.tree_util.Partial(bad_fn),
+        image_shape=(H, W, C), num_slots=2,
+        num_inference_steps=STEPS, num_timesteps=T,
+        conditional=False,
+    ).start()
+    try:
+        with pytest.raises(RuntimeError, match="engine died"):
+            engine.submit(_noise(0, 1), timeout=60)
+        with pytest.raises(RuntimeError, match="engine is dead"):
+            engine.submit(_noise(1, 1))
+    finally:
+        engine.stop()
+
+
+def test_timed_out_request_is_dropped_from_queue():
+    """A submit() that times out while queued must never be admitted —
+    abandoned work must not compete with live requests."""
+    ddim, engine = _make(conditional=False, num_slots=1)
+    engine.start()
+    try:
+        results = {}
+
+        def run_a():
+            results["a"] = engine.submit(_noise(0, 1))
+
+        th = threading.Thread(target=run_a)
+        th.start()
+        time.sleep(0.05)  # A claims the only slot
+        with pytest.raises(TimeoutError):
+            engine.submit(_noise(1, 1), timeout=0.01)
+        th.join(timeout=120)
+        assert not th.is_alive() and "a" in results
+        # the cancelled request is gone, not waiting for slots
+        assert engine._pending == []
+        # give the loop a beat: nothing new should be admitted
+        time.sleep(0.3)
+        assert not engine._inflight
+    finally:
+        engine.stop()
+
+
+def test_service_continuous_rejects_non_vp_checkpoint(tmp_path):
+    """A consistency checkpoint must be refused by --continuous (the
+    engine would DDIM-step a non-denoiser and emit garbage silently)."""
+    import serve as serve_mod
+    from diffusion_models_collection_tpu.factory import (
+        get_model, init_model_params,
+    )
+    from diffusion_models_collection_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = {
+        "model_type": "unet",
+        "model_params": {
+            "in_channels": 3, "model_channels": 8, "out_channels": 3,
+            "num_res_blocks": 1, "attention_resolutions": (4,),
+            "channel_mult": (1, 2), "dropout": 0.0,
+        },
+        "image_size": (8, 8), "conditional": False,
+        "num_timesteps": T, "beta_start": 1e-4, "beta_end": 0.02,
+        "beta_schedule": "linear", "num_inference_steps": 2,
+        "diffusion_type": "consistency",
+    }
+    model = get_model(cfg)
+    params = init_model_params(model, jax.random.PRNGKey(0), (8, 8), 3,
+                               False)
+    path = tmp_path / "cm.ckpt"
+    ckpt_lib.save_checkpoint(path, epoch=1, params=params, opt_state=None,
+                             best_loss=1.0, config=cfg)
+    with pytest.raises(ValueError, match="diffusion_type"):
+        serve_mod.SamplerService(str(path), sampling_method="ddim",
+                                 continuous=True)
