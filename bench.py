@@ -23,7 +23,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+from diffusion_models_collection_tpu.platform_setup import (
+    host_fingerprinted_cache_dir,
+)
+
+# Host-fingerprinted subdir: foreign-host XLA:CPU AOT entries (machine
+# swaps) can SIGILL/SIGABRT on load; TPU entries just recompile once.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    host_fingerprinted_cache_dir("/root/.jax_cache"),
+)
 
 from diffusion_models_collection_tpu.factory import (
     eval_model_fn,

@@ -5,12 +5,14 @@ reference's latent bug noted in SURVEY.md §2)."""
 from .fid import FIDScore
 from .inception import InceptionFeatures, InceptionV3
 from .inception_score import InceptionScore
+from .kid import KIDScore
 from .lpips_score import LPIPSScore, calculate_all_metrics
 from .precision_recall import PrecisionRecall
 
 __all__ = [
     "FIDScore",
     "InceptionScore",
+    "KIDScore",
     "LPIPSScore",
     "PrecisionRecall",
     "calculate_all_metrics",

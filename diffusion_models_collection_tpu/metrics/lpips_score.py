@@ -268,6 +268,18 @@ def calculate_all_metrics(real_images, fake_images, weights_path=None,
     metrics["recall"] = recall
     print(f"Precision: {precision:.4f}  Recall: {recall:.4f}")
 
+    print("\n=== Computing KID ===")
+    from .kid import KIDScore
+
+    # reuses the pool features extracted above — no extra device work
+    # beyond the (subsets) batched kernel matmuls
+    kid_mean, kid_std = KIDScore(inception=inception).compute_from_features(
+        real_feats, fake_feats
+    )
+    metrics["KID_mean"] = kid_mean
+    metrics["KID_std"] = kid_std
+    print(f"KID: {kid_mean:.6f} ± {kid_std:.6f}")
+
     print("\n=== Computing IS ===")
     is_calculator = InceptionScore(inception=inception)
     is_mean, is_std = is_calculator.compute_inception_score(fake_images)

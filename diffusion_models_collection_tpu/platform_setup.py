@@ -9,7 +9,32 @@ means what it says (tests rely on the virtual 8-device CPU mesh).
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def host_fingerprinted_cache_dir(base: str) -> str:
+    """Persistent-compile-cache dir keyed by the host CPU's feature set.
+
+    XLA:CPU AOT executables are microarchitecture-specific: loading cache
+    entries written by a host with a DIFFERENT CPU feature set logs
+    "could lead to execution errors such as SIGILL" and was observed to
+    SIGSEGV/SIGABRT mid-run when the cache volume outlived a machine
+    swap. Keying the directory on the CPU-flags hash makes foreign
+    entries unreachable (TPU executables are host-independent — they
+    just recompile once per new host into the new subdirectory).
+    """
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        flags = "unknown"
+    tag = hashlib.sha256(flags.encode()).hexdigest()[:12]
+    return os.path.join(base, f"host_{tag}")
 
 
 def apply_platform_env() -> None:

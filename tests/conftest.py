@@ -9,6 +9,8 @@ Must set env vars before jax initializes its backends, hence module scope.
 """
 
 import os
+import sys
+from pathlib import Path
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -26,7 +28,15 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 # Persistent compilation cache: identical train-step/sampler HLO across
-# tests (and across runs) compiles once.
-jax.config.update("jax_compilation_cache_dir", "/tmp/dmc_tpu_test_cache")
+# tests (and across runs) compiles once. The dir is fingerprinted by the
+# host CPU's feature set (see tests/cache_dir.py): XLA:CPU AOT
+# executables are microarchitecture-specific, and loading entries
+# written by a DIFFERENT host (possible when /tmp outlives a machine
+# swap) warns "could lead to execution errors such as SIGILL" and was
+# observed to SIGSEGV/SIGABRT mid-suite.
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from cache_dir import cpu_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

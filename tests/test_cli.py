@@ -9,13 +9,15 @@ from pathlib import Path
 
 import pytest
 
+from cache_dir import cpu_cache_dir
+
 REPO = Path(__file__).resolve().parent.parent
 
 ENV = {
     **os.environ,
     "JAX_PLATFORMS": "cpu",
     "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
-    "JAX_COMPILATION_CACHE_DIR": "/tmp/dmc_tpu_test_cache",
+    "JAX_COMPILATION_CACHE_DIR": cpu_cache_dir(),
     "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.5",
 }
 

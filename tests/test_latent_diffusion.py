@@ -283,11 +283,13 @@ def test_latent_trainer_end_to_end(vae_ckpt, tmp_path):
 def test_cli_two_stage_train_and_sample(tmp_path):
     """Full pipeline through the real CLIs: train.py (VAE stage) ->
     train.py (latent diffusion) -> sample.py decodes pixels."""
+    from cache_dir import cpu_cache_dir
+
     env = {
         **os.environ,
         "JAX_PLATFORMS": "cpu",
         "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
-        "JAX_COMPILATION_CACHE_DIR": "/tmp/dmc_tpu_test_cache",
+        "JAX_COMPILATION_CACHE_DIR": cpu_cache_dir(),
         "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "0.5",
     }
 

@@ -45,7 +45,9 @@ WORKER = textwrap.dedent(
     # without it every worker recompiles the whole train program from
     # scratch, and two cold workers on a small CI host can blow the
     # communicate() timeout
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dmc_tpu_test_cache")
+    sys.path.insert(0, os.path.join(%(repo)r, "tests"))
+    from cache_dir import cpu_cache_dir
+    jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}", num_processes=2,
