@@ -158,6 +158,67 @@ def consistency_distill_loss(
     raise ValueError(f"Unknown consistency loss_type: {loss_type!r}")
 
 
+def consistency_training_loss(
+    schedule: NoiseSchedule,
+    student_pair_fn,
+    target_pair_fn,
+    x0: jnp.ndarray,
+    noise: jnp.ndarray,
+    t: jnp.ndarray,
+    t_next: jnp.ndarray,
+    y,
+    *,
+    sigma_data: float,
+    timestep_scaling: float,
+    loss_type: str = "huber",
+    huber_c: float = 0.03,
+    weighting: str = "uniform",
+):
+    """One consistency-TRAINING step's loss (Song et al. 2023 Alg. 3;
+    pseudo-Huber + optional 1/Δs weighting from Song & Dhariwal 2023).
+
+    Teacher-free: instead of a frozen teacher's ODE step, the adjacent
+    grid times are noised from the SAME data point with the SAME noise
+    draw — z_t = a_t x0 + b_t n and z_next = a_next x0 + b_next n share
+    eps = n, which is exactly the quantity the probability-flow ODE
+    preserves, so the pair is an unbiased surrogate for one ODE step
+    (exact in the point-mass limit, where both lie on one trajectory).
+
+        d( f_theta(z_t, t),  f_{theta^-}(z_next, t_next) )
+
+    `weighting='inverse_gap'` applies the iCT per-pair weight
+    lambda = 1/(s_t - s_next) (s = t / timestep_scaling): small gaps —
+    where the two f's are nearly equal and the gradient signal is weak —
+    are amplified so every grid pair contributes comparably.
+    """
+    z_t = base.q_sample(schedule, x0, t, noise)
+    z_next = base.q_sample(schedule, x0, t_next, noise)
+    f_target = jax.lax.stop_gradient(
+        consistency_apply(
+            target_pair_fn, z_next, t_next, y, sigma_data, timestep_scaling
+        )
+    )
+    f_student = consistency_apply(
+        student_pair_fn, z_t, t, y, sigma_data, timestep_scaling
+    )
+    diff = f_student - f_target
+    if loss_type == "huber":
+        per_sample = pseudo_huber(diff, float(huber_c))
+    elif loss_type == "l2":
+        per_sample = jnp.mean(diff**2, axis=tuple(range(1, diff.ndim)))
+    else:
+        raise ValueError(f"Unknown consistency loss_type: {loss_type!r}")
+    if weighting == "inverse_gap":
+        gap = (t - t_next).astype(jnp.float32) / float(timestep_scaling)
+        per_sample = per_sample / jnp.maximum(gap, 1e-8)
+    elif weighting != "uniform":
+        raise ValueError(
+            f"Unknown ct weighting: {weighting!r} "
+            "(expected 'uniform' or 'inverse_gap')"
+        )
+    return jnp.mean(per_sample)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -37,7 +37,12 @@ import numpy as np
 import optax
 
 from ..diffusion import base as dbase
-from ..diffusion.consistency import cd_grids, consistency_distill_loss
+from ..diffusion.consistency import (
+    cd_grids,
+    consistency_distill_loss,
+    consistency_training_loss,
+)
+from ..diffusion.schedule import NoiseSchedule
 from ..parallel import mesh as pmesh
 from . import checkpoint as ckpt_lib
 from .ema import ema_update
@@ -327,3 +332,307 @@ class ConsistencyDistillationTrainer:
             print("Consistency distillation completed!")
             self.tracker.finish()
         return state
+
+
+class ConsistencyTrainingTrainer:
+    """From-scratch consistency TRAINING (Song et al. 2023 Alg. 3, with
+    the pseudo-Huber / no-EMA / weighting improvements of Song &
+    Dhariwal 2023 available as config keys) — no teacher checkpoint.
+
+    Reached through the ordinary train CLI: a standard training config
+    with `diffusion_type: 'consistency'` routes here (train.py), so
+    "train a consistency model" and "train a diffusion model" are the
+    same user motion. The adjacent-time target pair shares one noise
+    draw (`consistency_training_loss`); theta^- is the EMA target
+    network (`target_ema_decay: 0.0` = the iCT choice, where the target
+    is the stop-gradient student itself).
+
+    Config keys beyond the shared trainer set (all defaults shown):
+      consistency_grid_size  : N grid points (default 50)
+      ct_grid_schedule       : staged grid sizes, e.g. [10, 20, 40] —
+                               epochs split evenly across stages
+                               (the paper's progressive N(k); each stage
+                               recompiles one jitted step)
+      target_ema_decay       : theta^- decay (default 0.95; 0.0 = iCT)
+      consistency_loss       : 'huber' (default) | 'l2'
+      huber_c                : pseudo-Huber constant (default 0.03)
+      ct_weighting           : 'uniform' | 'inverse_gap' (iCT lambda)
+      sigma_data, timestep_scaling : boundary scalings
+      consistency_sample_steps : num_inference_steps embedded in the
+                               output checkpoint (default 2)
+      cfg_dropout_prob       : label dropout for f-space CFG capability
+
+    Checkpoints use the standard schema with `diffusion_type:
+    'consistency'`, so sample.py/evaluate.py/serving run them unchanged
+    (--use_ema selects theta^-, the paper's sampling choice).
+    """
+
+    def __init__(
+        self,
+        model,
+        train_loader,
+        config: dict,
+        rng: Optional[jax.Array] = None,
+        tracker: Optional[Tracker] = None,
+    ):
+        from ..factory import init_model_params
+
+        cfg = dict(config)
+        self.config = cfg
+        self.model = model
+        self.train_loader = train_loader
+
+        self.prediction_type = str(cfg.get("prediction_type", "eps"))
+        zero_snr = bool(cfg.get("zero_terminal_snr", False))
+        if zero_snr and self.prediction_type == "eps":
+            raise ValueError(
+                "zero_terminal_snr requires prediction_type 'v' or 'x0' "
+                "(eps carries no signal at SNR 0)"
+            )
+        self.num_timesteps = int(cfg.get("num_timesteps", 1000))
+        self.schedule = NoiseSchedule.create(
+            self.num_timesteps,
+            cfg.get("beta_start", 1e-4),
+            cfg.get("beta_end", 0.02),
+            cfg.get("beta_schedule", "linear"),
+            zero_terminal_snr=zero_snr,
+        )
+
+        grid_schedule = cfg.get("ct_grid_schedule")
+        if grid_schedule is None:
+            grid_schedule = [int(cfg.get("consistency_grid_size", 50))]
+        self.grid_schedule = [int(n) for n in grid_schedule]
+        if not self.grid_schedule or min(self.grid_schedule) < 2:
+            raise ValueError("ct_grid_schedule needs grid sizes >= 2")
+        self.sigma_data = float(cfg.get("sigma_data", 0.5))
+        self.timestep_scaling = float(cfg.get("timestep_scaling", 10.0))
+        self.loss_type = str(cfg.get("consistency_loss", "huber"))
+        self.huber_c = float(cfg.get("huber_c", 0.03))
+        self.weighting = str(cfg.get("ct_weighting", "uniform"))
+        if self.weighting not in ("uniform", "inverse_gap"):
+            raise ValueError(
+                f"Unknown ct_weighting: {self.weighting!r} "
+                "(expected 'uniform' or 'inverse_gap')"
+            )
+        self.target_ema_decay = float(cfg.get("target_ema_decay", 0.95))
+        if not 0.0 <= self.target_ema_decay < 1.0:
+            raise ValueError("target_ema_decay must be in [0, 1)")
+        self.sample_steps = int(cfg.get("consistency_sample_steps", 2))
+        self.epochs = int(cfg.get("epochs", 1))
+        self.save_dir = Path(cfg.get("save_dir", "./checkpoints"))
+        self.conditional = bool(cfg.get("conditional", False))
+        self.num_classes = cfg.get("num_classes")
+        self.cfg_dropout_prob = float(cfg.get("cfg_dropout_prob", 0.0))
+        self.image_size = resolve_image_size(cfg["image_size"])
+        self.channels = cfg.get("model_params", {}).get("in_channels", 3)
+
+        self.mesh = pmesh.data_parallel_mesh()
+        self.is_main_process = pmesh.process_index() == 0
+        self.rng = rng if rng is not None else jax.random.PRNGKey(
+            cfg.get("seed", 42)
+        )
+        self.rng, init_rng = jax.random.split(self.rng)
+        self.init_params = init_model_params(
+            model, init_rng, self.image_size, self.channels,
+            self.conditional,
+        )
+        if self.is_main_process:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            print(
+                f"Consistency training from scratch "
+                f"({count_parameters(self.init_params):,} params): "
+                f"grids {self.grid_schedule}, "
+                f"mu={self.target_ema_decay}, {self.weighting} weighting"
+            )
+        if tracker is not None:
+            self.tracker = tracker
+        elif self.is_main_process:
+            self.tracker = build_tracker(cfg, str(self.save_dir))
+        else:
+            self.tracker = NullTracker()
+        self.step_timer = StepTimer()
+
+    # ---------------------------------------------------------------- step
+    def _build_step(self, grid_size: int):
+        model = self.model
+        schedule = self.schedule
+        prediction_type = self.prediction_type
+        optimizer = self.optimizer
+        conditional = self.conditional
+        cfg_dropout = self.cfg_dropout_prob
+        num_classes = self.num_classes
+        sigma_data = self.sigma_data
+        timestep_scaling = self.timestep_scaling
+        loss_type = self.loss_type
+        huber_c = self.huber_c
+        weighting = self.weighting
+        target_decay = self.target_ema_decay
+        t_arr, t_next_arr = cd_grids(self.num_timesteps, grid_size)
+        n_pairs = int(t_arr.shape[0])
+
+        def pair_of(params, dropout_rng=None):
+            def fn(x, t, y=None):
+                if dropout_rng is not None:
+                    kwargs = dict(train=True, rngs={"dropout": dropout_rng})
+                else:
+                    kwargs = dict(train=False)
+                return model.apply({"params": params}, x, t, y, **kwargs)
+
+            return dbase.wrap_model_as_eps_x0(schedule, fn, prediction_type)
+
+        def train_step(state: TrainState, images, labels, rng):
+            i_rng, noise_rng, drop_rng, dropout_rng = jax.random.split(rng, 4)
+            batch = images.shape[0]
+            idx = jax.random.randint(i_rng, (batch,), 0, n_pairs)
+            t = t_arr[idx]
+            t_next = t_next_arr[idx]
+            noise = jax.random.normal(noise_rng, images.shape, images.dtype)
+
+            if conditional:
+                y = labels.astype(jnp.int32) + 1
+                if cfg_dropout > 0 and num_classes is not None:
+                    drop = jax.random.uniform(drop_rng, (batch,)) < cfg_dropout
+                    y = jnp.where(drop, 0, y)
+            else:
+                y = None
+
+            # theta^- — with decay 0 this IS the previous step's student
+            # (stop-gradient), the iCT formulation
+            target_pair = pair_of(jax.lax.stop_gradient(state.ema_params))
+
+            def loss_fn(params):
+                return consistency_training_loss(
+                    schedule,
+                    pair_of(params, dropout_rng),
+                    target_pair,
+                    images, noise, t, t_next, y,
+                    sigma_data=sigma_data,
+                    timestep_scaling=timestep_scaling,
+                    loss_type=loss_type,
+                    huber_c=huber_c,
+                    weighting=weighting,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            new_target = ema_update(
+                state.ema_params, new_params, target_decay
+            )
+            return (
+                TrainState(params=new_params, opt_state=new_opt_state,
+                           ema_params=new_target),
+                loss,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    # ----------------------------------------------------------- checkpoint
+    def _save(self, epoch, state, best_loss):
+        if not self.is_main_process:
+            return
+        out_cfg = dict(self.config)
+        out_cfg["diffusion_type"] = "consistency"
+        out_cfg["num_inference_steps"] = self.sample_steps
+        out_cfg["sigma_data"] = self.sigma_data
+        out_cfg["timestep_scaling"] = self.timestep_scaling
+
+        def write(path):
+            ckpt_lib.save_checkpoint(
+                path,
+                epoch=epoch,
+                params=state.params,
+                opt_state=state.opt_state,
+                best_loss=best_loss,
+                config=out_cfg,
+                ema_params=state.ema_params,
+                format=self.config.get("checkpoint_format", "pickle"),
+            )
+
+        write(self.save_dir / "consistency_model.ckpt")
+        write(self.save_dir / "current_model.ckpt")
+
+    # ---------------------------------------------------------------- train
+    def train(self):
+        """Run all grid stages; returns the final TrainState."""
+        num_batches = max(1, len(self.train_loader))
+        self.optimizer, self.lr_schedule, _ = build_optimizer(
+            self.config, num_batches
+        )
+        # copies: the jitted step donates its state, and init_params
+        # must survive (callers compare against it; donation would
+        # delete the original buffers)
+        params = jax.tree_util.tree_map(jnp.copy, self.init_params)
+        state = pmesh.replicate(
+            self.mesh,
+            TrainState(
+                params=params,
+                opt_state=self.optimizer.init(params),
+                # theta^- starts AT the student (paper initialization)
+                ema_params=jax.tree_util.tree_map(jnp.copy, params),
+            ),
+        )
+        n_stages = len(self.grid_schedule)
+        # epochs split evenly across grid stages, remainder to the last
+        per_stage = max(1, self.epochs // n_stages)
+        best = float("inf")
+        epoch = 0
+        for stage, grid_size in enumerate(self.grid_schedule):
+            step_fn = self._build_step(grid_size)
+            stage_epochs = (
+                per_stage if stage < n_stages - 1
+                else max(1, self.epochs - per_stage * (n_stages - 1))
+            )
+            for _ in range(stage_epochs):
+                epoch += 1
+                if hasattr(self.train_loader, "set_epoch"):
+                    self.train_loader.set_epoch(epoch)
+                t0 = time.time()
+                losses = []
+                for images, labels in self.train_loader:
+                    with self.step_timer.step():
+                        batch = pmesh.local_batch_to_global(
+                            self.mesh,
+                            (
+                                np.asarray(images, np.float32),
+                                np.asarray(
+                                    labels if labels is not None
+                                    else np.zeros(len(images)),
+                                    np.int32,
+                                ),
+                            ),
+                        )
+                        self.rng, step_rng = jax.random.split(self.rng)
+                        state, loss = step_fn(
+                            state, batch[0], batch[1], step_rng
+                        )
+                        losses.append(loss)
+                avg = float(jnp.mean(jnp.stack(losses))) if losses else (
+                    float("nan")
+                )
+                if not math.isfinite(avg):
+                    raise RuntimeError(
+                        f"non-finite consistency-training loss at "
+                        f"epoch {epoch}"
+                    )
+                best = min(best, avg)
+                if self.is_main_process:
+                    print(
+                        f"[ct] epoch {epoch}/{self.epochs} "
+                        f"(grid {grid_size}) - loss {avg:.5f} - "
+                        f"{time.time() - t0:.1f}s"
+                    )
+                    self.tracker.log(
+                        {"ct/loss": avg, "ct/grid_size": grid_size},
+                        step=epoch,
+                    )
+        self._save(epoch, state, best)
+        if self.is_main_process:
+            print("Consistency training completed!")
+            self.tracker.finish()
+        return state
+
+    def cleanup(self):
+        pass

@@ -19,4 +19,12 @@ from diffusion_models_collection_tpu.platform_setup import (  # noqa: E402
 
 
 def cpu_cache_dir() -> str:
-    return host_fingerprinted_cache_dir("/tmp/dmc_tpu_test_cache")
+    # DMC_TPU_TEST_CACHE_BASE: point a second concurrent pytest job at
+    # its own cache volume — two processes writing one cache dir can
+    # abort in the compile-cache writer.
+    import os
+
+    base = os.environ.get(
+        "DMC_TPU_TEST_CACHE_BASE", "/tmp/dmc_tpu_test_cache"
+    )
+    return host_fingerprinted_cache_dir(base)

@@ -88,11 +88,23 @@ def main():
         return
 
     if str(config.get("diffusion_type", "ddpm")).lower() == "consistency":
-        raise SystemExit(
-            "diffusion_type 'consistency' is produced by distillation, "
-            "not direct training — run tools/distill.py with "
-            "distill_method: 'consistency' on a trained DDPM checkpoint"
+        # extension: from-scratch consistency TRAINING (Song et al. 2023
+        # Alg. 3 — teacher-free, same-noise adjacent-time pairs).
+        # Consistency DISTILLATION of an existing DDPM checkpoint lives
+        # in tools/distill.py (distill_method: 'consistency').
+        from diffusion_models_collection_tpu.utils.consistency_trainer import (
+            ConsistencyTrainingTrainer,
         )
+
+        trainer = ConsistencyTrainingTrainer(
+            model=model,
+            train_loader=train_loader,
+            config=config,
+            rng=rng,
+        )
+        trainer.train()
+        trainer.cleanup()
+        return
     diffusion = get_diffusion(config)  # training always DDPM (train.py:59-70)
 
     # The trainer builds its own mesh from the config: a 1-D 'data' mesh
