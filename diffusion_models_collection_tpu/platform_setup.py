@@ -24,16 +24,22 @@ def host_fingerprinted_cache_dir(base: str) -> str:
     entries unreachable (TPU executables are host-independent — they
     just recompile once per new host into the new subdirectory).
     """
+    import platform
+
     try:
         flags = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 Linux: 'flags'; ARM Linux: 'Features' — without the
+                # ARM spelling every aarch64 host would hash identically
+                # and the protection would silently do nothing there
+                if line.startswith(("flags", "Features")):
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
                     break
     except OSError:
         flags = "unknown"
-    tag = hashlib.sha256(flags.encode()).hexdigest()[:12]
+    fingerprint = f"{platform.machine()}:{flags}"
+    tag = hashlib.sha256(fingerprint.encode()).hexdigest()[:12]
     return os.path.join(base, f"host_{tag}")
 
 

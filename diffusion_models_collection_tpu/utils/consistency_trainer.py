@@ -45,7 +45,7 @@ from ..diffusion.consistency import (
 from ..diffusion.schedule import NoiseSchedule
 from ..parallel import mesh as pmesh
 from . import checkpoint as ckpt_lib
-from .ema import ema_update
+from .ema import gated_ema_update
 from .helpers import count_parameters, resolve_image_size
 from .profiler import StepTimer
 from .tracker import NullTracker, Tracker, build_tracker
@@ -229,8 +229,9 @@ class ConsistencyDistillationTrainer:
                 grads, state.opt_state, state.params
             )
             new_params = optax.apply_updates(state.params, updates)
-            new_target = ema_update(
-                state.ema_params, new_params, target_decay
+            new_target = gated_ema_update(
+                optimizer, new_opt_state,
+                state.ema_params, new_params, target_decay,
             )
             return (
                 TrainState(params=new_params, opt_state=new_opt_state,
@@ -275,8 +276,11 @@ class ConsistencyDistillationTrainer:
     def distill(self):
         """Run consistency distillation; returns the final TrainState."""
         num_batches = max(1, len(self.train_loader))
+        # LR-schedule horizon counts real optimizer updates, not
+        # micro-steps (parity with DiffusionTrainer at trainer.py:428-431)
+        accum = int(self.config.get("gradient_accumulation_steps", 1))
         self.optimizer, self.lr_schedule, _ = build_optimizer(
-            self.config, num_batches
+            self.config, max(1, num_batches // accum)
         )
         student = jax.tree_util.tree_map(jnp.copy, self.teacher_params)
         state = pmesh.replicate(
@@ -374,6 +378,7 @@ class ConsistencyTrainingTrainer:
         config: dict,
         rng: Optional[jax.Array] = None,
         tracker: Optional[Tracker] = None,
+        resume_path: Optional[str] = None,
     ):
         from ..factory import init_model_params
 
@@ -381,6 +386,7 @@ class ConsistencyTrainingTrainer:
         self.config = cfg
         self.model = model
         self.train_loader = train_loader
+        self.resume_path = resume_path
 
         self.prediction_type = str(cfg.get("prediction_type", "eps"))
         zero_snr = bool(cfg.get("zero_terminal_snr", False))
@@ -404,6 +410,11 @@ class ConsistencyTrainingTrainer:
         self.grid_schedule = [int(n) for n in grid_schedule]
         if not self.grid_schedule or min(self.grid_schedule) < 2:
             raise ValueError("ct_grid_schedule needs grid sizes >= 2")
+        if int(cfg.get("epochs", 1)) < len(self.grid_schedule):
+            raise ValueError(
+                "epochs must cover ct_grid_schedule: need at least one "
+                f"epoch per grid stage ({len(self.grid_schedule)} stages)"
+            )
         self.sigma_data = float(cfg.get("sigma_data", 0.5))
         self.timestep_scaling = float(cfg.get("timestep_scaling", 10.0))
         self.loss_type = str(cfg.get("consistency_loss", "huber"))
@@ -518,8 +529,9 @@ class ConsistencyTrainingTrainer:
                 grads, state.opt_state, state.params
             )
             new_params = optax.apply_updates(state.params, updates)
-            new_target = ema_update(
-                state.ema_params, new_params, target_decay
+            new_target = gated_ema_update(
+                optimizer, new_opt_state,
+                state.ema_params, new_params, target_decay,
             )
             return (
                 TrainState(params=new_params, opt_state=new_opt_state,
@@ -554,81 +566,120 @@ class ConsistencyTrainingTrainer:
         write(self.save_dir / "consistency_model.ckpt")
         write(self.save_dir / "current_model.ckpt")
 
+    def _grid_for_epoch(self):
+        """Grid size per absolute epoch (1-indexed): epochs split evenly
+        across the stages, remainder to the last stage. Validated at
+        init so every stage gets >= 1 epoch and the total is EXACTLY
+        self.epochs."""
+        n_stages = len(self.grid_schedule)
+        per_stage = self.epochs // n_stages
+        grids = []
+        for stage, g in enumerate(self.grid_schedule):
+            n = (per_stage if stage < n_stages - 1
+                 else self.epochs - per_stage * (n_stages - 1))
+            grids.extend([g] * n)
+        assert len(grids) == self.epochs
+        return grids
+
     # ---------------------------------------------------------------- train
     def train(self):
         """Run all grid stages; returns the final TrainState."""
         num_batches = max(1, len(self.train_loader))
+        # LR-schedule horizon counts real optimizer updates, not
+        # micro-steps (parity with DiffusionTrainer at trainer.py:428-431)
+        accum = int(self.config.get("gradient_accumulation_steps", 1))
         self.optimizer, self.lr_schedule, _ = build_optimizer(
-            self.config, num_batches
+            self.config, max(1, num_batches // accum)
         )
-        # copies: the jitted step donates its state, and init_params
-        # must survive (callers compare against it; donation would
-        # delete the original buffers)
-        params = jax.tree_util.tree_map(jnp.copy, self.init_params)
+        start_epoch = 0
+        if self.resume_path:
+            payload = ckpt_lib.load_checkpoint(self.resume_path)
+            r_cfg = payload.get("config") or {}
+            if str(r_cfg.get("diffusion_type", "")).lower() != "consistency":
+                raise ValueError(
+                    "resume_path is not a consistency checkpoint "
+                    f"(diffusion_type={r_cfg.get('diffusion_type')!r})"
+                )
+            params = jax.tree_util.tree_map(
+                jnp.asarray, payload["model_state_dict"]
+            )
+            ema = payload.get("ema_model_state_dict")
+            ema = (jax.tree_util.tree_map(jnp.asarray, ema)
+                   if ema is not None
+                   else jax.tree_util.tree_map(jnp.copy, params))
+            opt_state = payload.get("optimizer_state_dict")
+            opt_state = (opt_state if opt_state is not None
+                         else self.optimizer.init(params))
+            start_epoch = int(payload.get("epoch", 0))
+            if self.is_main_process:
+                print(f"Resuming consistency training from "
+                      f"{self.resume_path} (epoch {start_epoch})")
+        else:
+            # copies: the jitted step donates its state, and init_params
+            # must survive (callers compare against it; donation would
+            # delete the original buffers)
+            params = jax.tree_util.tree_map(jnp.copy, self.init_params)
+            opt_state = self.optimizer.init(params)
+            # theta^- starts AT the student (paper initialization)
+            ema = jax.tree_util.tree_map(jnp.copy, params)
         state = pmesh.replicate(
             self.mesh,
-            TrainState(
-                params=params,
-                opt_state=self.optimizer.init(params),
-                # theta^- starts AT the student (paper initialization)
-                ema_params=jax.tree_util.tree_map(jnp.copy, params),
-            ),
+            TrainState(params=params, opt_state=opt_state, ema_params=ema),
         )
-        n_stages = len(self.grid_schedule)
-        # epochs split evenly across grid stages, remainder to the last
-        per_stage = max(1, self.epochs // n_stages)
         best = float("inf")
-        epoch = 0
-        for stage, grid_size in enumerate(self.grid_schedule):
-            step_fn = self._build_step(grid_size)
-            stage_epochs = (
-                per_stage if stage < n_stages - 1
-                else max(1, self.epochs - per_stage * (n_stages - 1))
-            )
-            for _ in range(stage_epochs):
-                epoch += 1
-                if hasattr(self.train_loader, "set_epoch"):
-                    self.train_loader.set_epoch(epoch)
-                t0 = time.time()
-                losses = []
-                for images, labels in self.train_loader:
-                    with self.step_timer.step():
-                        batch = pmesh.local_batch_to_global(
-                            self.mesh,
-                            (
-                                np.asarray(images, np.float32),
-                                np.asarray(
-                                    labels if labels is not None
-                                    else np.zeros(len(images)),
-                                    np.int32,
-                                ),
+        grids = self._grid_for_epoch()
+        step_fn, current_grid = None, None
+        for epoch in range(1, self.epochs + 1):
+            grid_size = grids[epoch - 1]
+            if epoch <= start_epoch:
+                continue  # resume: stage allocation consumed in order
+            if grid_size != current_grid:
+                step_fn = self._build_step(grid_size)
+                current_grid = grid_size
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(epoch)
+            t0 = time.time()
+            losses = []
+            for images, labels in self.train_loader:
+                with self.step_timer.step():
+                    batch = pmesh.local_batch_to_global(
+                        self.mesh,
+                        (
+                            np.asarray(images, np.float32),
+                            np.asarray(
+                                labels if labels is not None
+                                else np.zeros(len(images)),
+                                np.int32,
                             ),
-                        )
-                        self.rng, step_rng = jax.random.split(self.rng)
-                        state, loss = step_fn(
-                            state, batch[0], batch[1], step_rng
-                        )
-                        losses.append(loss)
-                avg = float(jnp.mean(jnp.stack(losses))) if losses else (
-                    float("nan")
+                        ),
+                    )
+                    self.rng, step_rng = jax.random.split(self.rng)
+                    state, loss = step_fn(
+                        state, batch[0], batch[1], step_rng
+                    )
+                    losses.append(loss)
+            avg = float(jnp.mean(jnp.stack(losses))) if losses else (
+                float("nan")
+            )
+            if not math.isfinite(avg):
+                raise RuntimeError(
+                    f"non-finite consistency-training loss at "
+                    f"epoch {epoch}"
                 )
-                if not math.isfinite(avg):
-                    raise RuntimeError(
-                        f"non-finite consistency-training loss at "
-                        f"epoch {epoch}"
-                    )
-                best = min(best, avg)
-                if self.is_main_process:
-                    print(
-                        f"[ct] epoch {epoch}/{self.epochs} "
-                        f"(grid {grid_size}) - loss {avg:.5f} - "
-                        f"{time.time() - t0:.1f}s"
-                    )
-                    self.tracker.log(
-                        {"ct/loss": avg, "ct/grid_size": grid_size},
-                        step=epoch,
-                    )
-        self._save(epoch, state, best)
+            best = min(best, avg)
+            if self.is_main_process:
+                print(
+                    f"[ct] epoch {epoch}/{self.epochs} "
+                    f"(grid {grid_size}) - loss {avg:.5f} - "
+                    f"{time.time() - t0:.1f}s"
+                )
+                self.tracker.log(
+                    {"ct/loss": avg, "ct/grid_size": grid_size},
+                    step=epoch,
+                )
+            # every epoch: a long CT run must survive interruption
+            # (resume_path consumes these)
+            self._save(epoch, state, best)
         if self.is_main_process:
             print("Consistency training completed!")
             self.tracker.finish()

@@ -35,7 +35,7 @@ from ..diffusion.distill import (
 )
 from ..parallel import mesh as pmesh
 from . import checkpoint as ckpt_lib
-from .ema import ema_update
+from .ema import gated_ema_update
 from .helpers import count_parameters, resolve_image_size
 from .profiler import StepTimer
 from .tracker import NullTracker, Tracker, build_tracker
@@ -196,7 +196,10 @@ class DistillationTrainer:
             new_params = optax.apply_updates(state.params, updates)
             new_ema = state.ema_params
             if use_ema:
-                new_ema = ema_update(state.ema_params, new_params, ema_decay)
+                new_ema = gated_ema_update(
+                    optimizer, new_opt_state,
+                    state.ema_params, new_params, ema_decay,
+                )
             return (
                 TrainState(params=new_params, opt_state=new_opt_state,
                            ema_params=new_ema),
@@ -237,8 +240,10 @@ class DistillationTrainer:
         for stage in range(self.stages):
             grids = distill_grids(self.diffusion.num_timesteps, steps)
             num_batches = max(1, len(self.train_loader))
+            # LR horizon counts real optimizer updates, not micro-steps
+            accum = int(self.config.get("gradient_accumulation_steps", 1))
             self.optimizer, self.lr_schedule, _ = build_optimizer(
-                self.config, num_batches
+                self.config, max(1, num_batches // accum)
             )
             student = jax.tree_util.tree_map(jnp.copy, teacher_params)
             state = pmesh.replicate(

@@ -40,7 +40,7 @@ from ..diffusion import base as dbase
 from ..diffusion.flow_matching import FlowMatching, interpolate
 from ..parallel import mesh as pmesh
 from . import checkpoint as ckpt_lib
-from .ema import ema_update
+from .ema import gated_ema_update
 from .helpers import count_parameters, resolve_image_size
 from .profiler import StepTimer
 from .tracker import NullTracker, Tracker, build_tracker
@@ -100,6 +100,8 @@ class ReflowTrainer:
 
         self.n_pairs = int(cfg.get("reflow_pairs", 2048))
         self.rounds = int(cfg.get("reflow_rounds", 1))
+        if self.rounds < 1:
+            raise ValueError("reflow_rounds must be >= 1")
         self.batch = int(cfg.get("pair_batch_size",
                                  cfg.get("batch_size", 64)))
         self.sample_steps = int(cfg.get(
@@ -116,6 +118,14 @@ class ReflowTrainer:
             raise ValueError("reflow_cfg_scale needs a conditional teacher")
         if self.n_pairs < self.batch:
             raise ValueError("reflow_pairs must be >= pair_batch_size")
+        # round UP to a batch multiple: synthesis runs whole device
+        # batches anyway (each an expensive ODE solve), so keep every
+        # synthesized pair and let every epoch consume all of them
+        rounded = math.ceil(self.n_pairs / self.batch) * self.batch
+        if rounded != self.n_pairs and pmesh.process_index() == 0:
+            print(f"reflow_pairs {self.n_pairs} -> {rounded} "
+                  f"(rounded up to a pair_batch_size multiple)")
+        self.n_pairs = rounded
         self.image_size = resolve_image_size(t_cfg["image_size"])
         self.channels = t_cfg.get("model_params", {}).get("in_channels", 3)
 
@@ -216,7 +226,10 @@ class ReflowTrainer:
             new_params = optax.apply_updates(state.params, updates)
             new_ema = state.ema_params
             if use_ema:
-                new_ema = ema_update(state.ema_params, new_params, ema_decay)
+                new_ema = gated_ema_update(
+                    optimizer, new_opt_state,
+                    state.ema_params, new_params, ema_decay,
+                )
             return (
                 TrainState(params=new_params, opt_state=new_opt_state,
                            ema_params=new_ema),
@@ -266,8 +279,10 @@ class ReflowTrainer:
                 )
 
             num_batches = len(x_hat) // self.batch
+            # LR horizon counts real optimizer updates, not micro-steps
+            accum = int(self.config.get("gradient_accumulation_steps", 1))
             self.optimizer, self.lr_schedule, _ = build_optimizer(
-                self.config, max(1, num_batches)
+                self.config, max(1, num_batches // accum)
             )
             student = jax.tree_util.tree_map(jnp.copy, teacher_params)
             state = pmesh.replicate(

@@ -353,7 +353,7 @@ def test_evaluate_cli(workdir):
         cwd=str(workdir),
     )
     metrics = json.loads(out_json.read_text())
-    assert set(metrics) == {"FID", "precision", "recall", "IS_mean", "IS_std", "LPIPS_diversity"}
+    assert set(metrics) == {"FID", "precision", "recall", "KID_mean", "KID_std", "IS_mean", "IS_std", "LPIPS_diversity"}
     assert all(v == v for v in metrics.values())  # no NaN
     assert (workdir / "eval_imgs" / "real").exists()
     assert (workdir / "eval_imgs" / "generate").exists()
@@ -377,7 +377,7 @@ def test_evaluate_cli_fast_sampler(workdir):
         cwd=str(workdir),
     )
     metrics = json.loads(out_json.read_text())
-    assert set(metrics) == {"FID", "precision", "recall", "IS_mean", "IS_std", "LPIPS_diversity"}
+    assert set(metrics) == {"FID", "precision", "recall", "KID_mean", "KID_std", "IS_mean", "IS_std", "LPIPS_diversity"}
     assert "evaluating with ddim sampling" in out
 
 

@@ -283,6 +283,92 @@ def test_ct_grid_schedule_and_mu_zero(tmp_path):
     assert max(jax.tree_util.tree_leaves(same)) == 0.0
 
 
+def test_gated_ema_freezes_on_multisteps_microsteps():
+    """With gradient accumulation the EMA must lerp once per REAL
+    optimizer update, not once per micro-step (decay would compound to
+    decay^k otherwise)."""
+    import optax
+
+    from diffusion_models_collection_tpu.utils.ema import (
+        ema_update, gated_ema_update,
+    )
+
+    params = {"w": jnp.ones((3,))}
+    ema = {"w": jnp.zeros((3,))}
+    opt = optax.MultiSteps(optax.sgd(0.1), every_k_schedule=2)
+    opt_state = opt.init(params)
+    grads = {"w": jnp.ones((3,))}
+
+    # micro-step 1: accumulation only — EMA must not move
+    _, opt_state = opt.update(grads, opt_state, params)
+    ema1 = gated_ema_update(opt, opt_state, ema, params, 0.5)
+    np.testing.assert_array_equal(np.asarray(ema1["w"]),
+                                  np.asarray(ema["w"]))
+    # micro-step 2: boundary — EMA lerps exactly once
+    _, opt_state = opt.update(grads, opt_state, params)
+    ema2 = gated_ema_update(opt, opt_state, ema1, params, 0.5)
+    np.testing.assert_allclose(
+        np.asarray(ema2["w"]),
+        np.asarray(ema_update(ema, params, 0.5)["w"]),
+    )
+    # non-MultiSteps optimizers keep plain lerp semantics
+    plain = optax.sgd(0.1)
+    pstate = plain.init(params)
+    out = gated_ema_update(plain, pstate, ema, params, 0.5)
+    np.testing.assert_allclose(np.asarray(out["w"]),
+                               np.asarray(ema_update(ema, params, 0.5)["w"]))
+
+
+def test_ct_resume_and_per_epoch_checkpoints(tmp_path):
+    """A CT run checkpoints EVERY epoch (long runs must survive
+    interruption) and resume_path continues the epoch/stage count
+    instead of silently restarting."""
+    from diffusion_models_collection_tpu.factory import get_model
+    from diffusion_models_collection_tpu.utils import checkpoint as ckpt_lib
+    from diffusion_models_collection_tpu.utils.consistency_trainer import (
+        ConsistencyTrainingTrainer,
+    )
+    from diffusion_models_collection_tpu.utils.tracker import NullTracker
+
+    cfg = _ct_config(tmp_path, epochs=1)
+    trainer = ConsistencyTrainingTrainer(
+        get_model(cfg), _loader(), cfg,
+        rng=jax.random.PRNGKey(0), tracker=NullTracker(),
+    )
+    trainer.train()
+    ckpt = tmp_path / "ct" / "current_model.ckpt"
+    assert ckpt.exists()
+    assert ckpt_lib.load_checkpoint(ckpt)["epoch"] == 1
+
+    # resume with a larger epoch target: exactly one more epoch runs
+    cfg2 = _ct_config(tmp_path, epochs=2)
+    trainer2 = ConsistencyTrainingTrainer(
+        get_model(cfg2), _loader(), cfg2,
+        rng=jax.random.PRNGKey(1), tracker=NullTracker(),
+        resume_path=str(ckpt),
+    )
+    state = trainer2.train()
+    assert state is not None
+    assert ckpt_lib.load_checkpoint(ckpt)["epoch"] == 2
+
+    # resuming from a non-consistency checkpoint is rejected
+    bad_cfg = dict(cfg)
+    bad_cfg["diffusion_type"] = "ddpm"
+    bad = tmp_path / "bad.ckpt"
+    payload = ckpt_lib.load_checkpoint(ckpt)
+    ckpt_lib.save_checkpoint(
+        bad, epoch=1, params=payload["model_state_dict"], opt_state=None,
+        best_loss=1.0, config=bad_cfg,
+    )
+    trainer3 = ConsistencyTrainingTrainer(
+        get_model(cfg2), _loader(), cfg2,
+        rng=jax.random.PRNGKey(2), tracker=NullTracker(),
+        resume_path=str(bad),
+    )
+    with pytest.raises(ValueError, match="consistency checkpoint"):
+        trainer3.train()
+
+
 def test_ct_trainer_validation(tmp_path):
     from diffusion_models_collection_tpu.factory import get_model
     from diffusion_models_collection_tpu.utils.consistency_trainer import (
@@ -303,6 +389,11 @@ def test_ct_trainer_validation(tmp_path):
     with pytest.raises(ValueError, match="zero_terminal_snr"):
         ConsistencyTrainingTrainer(
             model, [], _ct_config(tmp_path, zero_terminal_snr=True))
+    # more stages than epochs would overrun the configured epoch count
+    with pytest.raises(ValueError, match="one .*epoch per grid stage"):
+        ConsistencyTrainingTrainer(
+            model, [],
+            _ct_config(tmp_path, epochs=2, ct_grid_schedule=[4, 8, 16]))
 
 
 def test_ct_cli_train_then_sample(tmp_path):

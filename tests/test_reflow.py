@@ -170,3 +170,12 @@ def test_reflow_validation(tmp_path):
     with pytest.raises(ValueError, match="pair_batch_size"):
         ReflowTrainer({**base_cfg, "teacher_checkpoint": str(flow_path),
                        "reflow_pairs": 4, "pair_batch_size": 8})
+    # rounds 0 would be a silent no-op that still prints success
+    with pytest.raises(ValueError, match="reflow_rounds"):
+        ReflowTrainer({**base_cfg, "teacher_checkpoint": str(flow_path),
+                       "reflow_rounds": 0})
+    # pair counts round UP to a synthesis-batch multiple: nothing
+    # synthesized is discarded and every epoch consumes every pair
+    tr = ReflowTrainer({**base_cfg, "teacher_checkpoint": str(flow_path),
+                        "reflow_pairs": 10, "pair_batch_size": 8})
+    assert tr.n_pairs == 16

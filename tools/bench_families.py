@@ -11,6 +11,11 @@ does not depend on weight values):
   3. edm     : EDM Heun sampler, 18 steps (= 35 denoiser calls) with CFG
                on the pixel UNet
   4. dpm++   : DPM-Solver++(2M), 20 steps, fused CFG (fast-sampler row)
+  5. cm      : consistency-model multistep sampling at 2 and 1 steps
+               (the tools/distill.py 'consistency' / train.py
+               diffusion_type 'consistency' output format)
+  6. flow    : flow-matching Euler at 1 and 4 steps (1-step = the
+               tools/reflow.py target regime)
 
 Methodology mirrors bench.py: one warmup with a host readback (on the
 tunneled TPU `block_until_ready` alone can return early), median of 5
@@ -30,7 +35,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+from diffusion_models_collection_tpu.platform_setup import (
+    host_fingerprinted_cache_dir,
+)
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    host_fingerprinted_cache_dir("/root/.jax_cache"),
+)
 
 from diffusion_models_collection_tpu.factory import (
     eval_model_fn,
@@ -178,12 +190,53 @@ def leg_dpmpp():
     return timed(run)
 
 
+def _few_step_leg(diffusion):
+    model = pixel_unet()
+    params = init_model_params(model, jax.random.PRNGKey(0), (32, 32), 3, True)
+    fn = eval_model_fn(model, params)
+    shape = (NUM_IMAGES, 32, 32, 3)
+    labels = jnp.asarray((jnp.arange(NUM_IMAGES) % 10) + 1, jnp.int32)
+
+    def run(seed):
+        out = diffusion.sample_with_cfg(
+            fn, shape, labels, jax.random.PRNGKey(seed), cfg_scale=CFG_SCALE
+        )
+        return np.asarray(out[:1])
+
+    return timed(run)
+
+
+def leg_consistency(steps):
+    from diffusion_models_collection_tpu.diffusion import ConsistencyModel
+
+    return _few_step_leg(ConsistencyModel(
+        num_inference_steps=steps, **{
+            k: BASE_CONFIG[k]
+            for k in ("num_timesteps", "beta_start", "beta_end",
+                      "beta_schedule")
+        }
+    ))
+
+
+def leg_flow(steps):
+    from diffusion_models_collection_tpu.diffusion import FlowMatching
+
+    return _few_step_leg(FlowMatching(
+        num_timesteps=BASE_CONFIG["num_timesteps"],
+        num_inference_steps=steps,
+    ))
+
+
 def main():
     legs = {
         "pixel_unet_ddim50_cfg": leg_pixel_ddim,
         "latent_unet_ddim50_cfg_plus_decode": leg_latent_ddim,
         "pixel_unet_edm_heun18_cfg": leg_edm_heun,
         "pixel_unet_dpmpp20_cfg": leg_dpmpp,
+        "pixel_unet_consistency2_cfg": lambda: leg_consistency(2),
+        "pixel_unet_consistency1_cfg": lambda: leg_consistency(1),
+        "pixel_unet_flow_euler1_cfg": lambda: leg_flow(1),
+        "pixel_unet_flow_euler4_cfg": lambda: leg_flow(4),
     }
     for name, leg in legs.items():
         sps = leg()

@@ -32,7 +32,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+from diffusion_models_collection_tpu.platform_setup import (
+    host_fingerprinted_cache_dir,
+)
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    host_fingerprinted_cache_dir("/root/.jax_cache"),
+)
 
 from diffusion_models_collection_tpu.factory import (
     eval_model_fn,

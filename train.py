@@ -101,6 +101,7 @@ def main():
             train_loader=train_loader,
             config=config,
             rng=rng,
+            resume_path=config.get("resume_path"),
         )
         trainer.train()
         trainer.cleanup()
