@@ -251,3 +251,64 @@ def test_generate_queue_cap_503(checkpoint):
     service.release_slot()
     assert service.try_acquire_slot()
     service.release_slot()
+
+
+def test_serve_consistency_checkpoint(tmp_path):
+    """Few-step checkpoints serve through the same daemon: a
+    `diffusion_type: 'consistency'` checkpoint (the train.py CT /
+    tools/distill.py output format) dispatches to ConsistencyModel via
+    the factory and answers /generate."""
+    import jax
+
+    from diffusion_models_collection_tpu.diffusion import ConsistencyModel
+    from diffusion_models_collection_tpu.factory import init_model_params
+    from diffusion_models_collection_tpu.utils import (
+        checkpoint as ckpt_lib,
+    )
+
+    cfg = {
+        "model_type": "unet",
+        "model_params": {
+            "in_channels": 3, "model_channels": 16, "out_channels": 3,
+            "num_res_blocks": 1, "attention_resolutions": (4,),
+            "channel_mult": (1, 2), "dropout": 0.0,
+        },
+        "image_size": (8, 8), "conditional": True, "num_classes": 4,
+        "diffusion_type": "consistency",
+        "num_timesteps": 10, "beta_start": 1e-4, "beta_end": 0.02,
+        "beta_schedule": "linear", "num_inference_steps": 2,
+        "sigma_data": 0.5, "timestep_scaling": 10.0, "cfg_scale": 1.0,
+    }
+    params = init_model_params(
+        get_model(cfg), jax.random.PRNGKey(0), (8, 8), 3, True
+    )
+    path = tmp_path / "cm.ckpt"
+    ckpt_lib.save_checkpoint(path, epoch=1, params=params, opt_state=None,
+                             best_loss=1.0, config=cfg, ema_params=params)
+
+    service = serve_mod.SamplerService(str(path), batch_size=4,
+                                       use_ema=True)
+    assert isinstance(service.diffusion, ConsistencyModel)
+    assert service.diffusion.num_inference_steps == 2
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), serve_mod.make_handler(service)
+    )
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        status, ctype, data = _request(
+            httpd.server_address, "POST", "/generate",
+            {"num_samples": 2, "labels": [1, 2], "format": "npy"},
+        )
+        assert status == 200, data
+        arr = np.load(io.BytesIO(data))
+        assert arr.shape == (2, 8, 8, 3)
+        assert np.isfinite(arr).all()
+        # the stepwise DDIM engine must refuse non-VP checkpoints
+        with pytest.raises(ValueError, match="VP"):
+            serve_mod.SamplerService(str(path), batch_size=4,
+                                     continuous=True)
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
