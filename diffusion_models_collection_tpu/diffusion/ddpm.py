@@ -357,6 +357,8 @@ class DDPM:
         cfg_scale: Optional[float] = None,
         p_threshold=base.AUTO_THRESHOLD,
         mask=None,
+        repaint_jump: int = 0,
+        repaint_resample: int = 1,
         return_all_timesteps: bool = False,
         progress: bool = False,
     ):
@@ -371,9 +373,32 @@ class DDPM:
         (RePaint single-pass projection), ending exactly at the original
         values. `cfg_scale=None` runs unguided; a float runs fused-batch
         CFG (requires labels y).
+
+        `repaint_resample > 1` (with `repaint_jump = j >= 1`) enables
+        RePaint's full resampling schedule (Lugmayr et al. 2022 Alg. 2):
+        after every j denoising steps the image is renoised j levels back
+        up (one-shot — the forward process is Markov-Gaussian, so the
+        composed j-step kernel equals its marginal) and the j steps rerun,
+        `repaint_resample` times total, harmonizing the inpainted region
+        with the kept pixels. Requires a mask.
         """
         if not (0.0 <= float(strength) <= 1.0):
             raise ValueError("strength must be in [0, 1]")
+        repaint_jump = int(repaint_jump)
+        repaint_resample = int(repaint_resample)
+        if repaint_resample < 1:
+            raise ValueError("repaint_resample must be >= 1")
+        if repaint_resample > 1:
+            if mask is None:
+                raise ValueError(
+                    "repaint_resample > 1 is the RePaint inpainting "
+                    "schedule — it requires a mask"
+                )
+            if repaint_jump < 1:
+                raise ValueError(
+                    "repaint_resample > 1 requires repaint_jump >= 1 "
+                    "(the jump length j in RePaint Alg. 2)"
+                )
         init_image = jnp.asarray(init_image, jnp.float32)
         known = None
         if mask is not None:
@@ -394,9 +419,9 @@ class DDPM:
         fn = self._pair_fn(model_fn)
 
         if cfg_scale is None:
-            def segment(img, ts_seg):
+            def segment(img, ts_seg, seg_rng=rng):
                 return _scan_segment(
-                    self.schedule, fn, img, ts_seg, rng, y, known,
+                    self.schedule, fn, img, ts_seg, seg_rng, y, known,
                     return_all_timesteps=return_all_timesteps,
                     clip_denoised=self.clip_sample,
                 )
@@ -410,9 +435,10 @@ class DDPM:
                 p_threshold, self.clip_sample
             )
 
-            def segment(img, ts_seg):
+            def segment(img, ts_seg, seg_rng=rng):
                 return _scan_segment_cfg(
-                    self.schedule, fn, img, ts_seg, rng, yj, scale, known,
+                    self.schedule, fn, img, ts_seg, seg_rng, yj, scale,
+                    known,
                     p_threshold=p_resolved,
                     guidance_rescale=self.guidance_rescale,
                     clip_denoised=self.clip_sample,
@@ -421,6 +447,61 @@ class DDPM:
                 )
             desc = f"DDPM img2img CFG {cfg_scale} (strength {strength})"
 
+        if repaint_resample > 1:
+            return self._run_repaint(
+                segment, img, ts, rng,
+                jump=repaint_jump, resample=repaint_resample,
+                return_all_timesteps=return_all_timesteps,
+                progress=progress, desc=desc + " [RePaint]",
+            )
         return _run_segments(
             segment, img, ts, return_all_timesteps, progress, desc
         )
+
+    def _renoise(self, img, t_lo: int, t_hi: int, rng, fold: int):
+        """One-shot forward hop x_{t_lo} -> x_{t_hi} (t_lo may be -1 =
+        clean). The forward process is Markov-Gaussian, so the composed
+        per-step kernel equals this marginal: x_hi = sqrt(acp_hi/acp_lo)
+        * x_lo + sqrt(1 - acp_hi/acp_lo) * eps."""
+        acp = self.schedule.alphas_cumprod
+        a_hi = acp[t_hi]
+        a_lo = jnp.float32(1.0) if t_lo < 0 else acp[t_lo]
+        ratio = a_hi / a_lo
+        noise = jax.random.normal(
+            jax.random.fold_in(rng, 3_000_000 + fold), img.shape, img.dtype
+        )
+        return jnp.sqrt(ratio) * img + jnp.sqrt(1.0 - ratio) * noise
+
+    def _run_repaint(self, segment, img, ts, rng, *, jump, resample,
+                     return_all_timesteps, progress, desc):
+        """RePaint resampling driver: denoise j steps, renoise j levels,
+        repeat `resample` times, then advance (Lugmayr et al. 2022
+        Alg. 2). Per-repeat RNG offsets decorrelate the reruns; chunks
+        reuse the compiled segment scans (at most two distinct shapes)."""
+        total = int(ts.shape[0])
+        outs = []
+        pos = 0
+        hop = 0
+        while pos < total:
+            size = min(jump, total - pos)
+            chunk = ts[pos : pos + size]
+            for rep in range(resample):
+                seg_rng = jax.random.fold_in(rng, 5_000_000 + hop)
+                hop += 1
+                img, all_imgs = segment(img, chunk, seg_rng)
+                if return_all_timesteps:
+                    outs.append(all_imgs)
+                if rep < resample - 1:
+                    # back up from the level we arrived at (chunk[-1]-1,
+                    # possibly -1 = clean) to the chunk's top level
+                    img = self._renoise(
+                        img, int(chunk[-1]) - 1, int(chunk[0]), rng, hop
+                    )
+                    hop += 1
+            pos += size
+            if progress:
+                jax.block_until_ready(img)
+                print(f"{desc}: step {pos}/{total}", flush=True)
+        if return_all_timesteps:
+            return jnp.concatenate(outs, axis=0)
+        return img

@@ -38,6 +38,26 @@ def get_model(config: dict):
     model_params = dict(config.get("model_params", {}))
     image_size = resolve_image_size(config["image_size"])
 
+    # extension: SR3-style super-resolution stage (utils/sr.py) — the
+    # denoiser consumes [x_t ; upsampled-LR] so its input channels double
+    # while the predicted eps keeps the data channel count. Validated
+    # BEFORE the latent block so conflicts surface without touching the
+    # VAE checkpoint.
+    from .utils.sr import SRSpec
+
+    sr = SRSpec.from_config(config)
+    if sr is not None:
+        if model_type == "vae":
+            raise ValueError(
+                "super_resolution applies to denoisers, not the VAE stage"
+            )
+        if config.get("latent_diffusion"):
+            raise ValueError(
+                "super_resolution composes with pixel-space diffusion "
+                "only (the LR conditioning is defined on pixels, not on "
+                "a VAE's latent grid)"
+            )
+
     if config.get("latent_diffusion") and model_type != "vae":
         # extension: the denoiser lives in the frozen VAE's latent space —
         # its spatial size and channel count come from the VAE checkpoint,
@@ -56,6 +76,14 @@ def get_model(config: dict):
         model_params["in_channels"] = lc
         if model_type == "unet":
             model_params["out_channels"] = lc
+
+    if sr is not None:
+        data_ch = int(model_params.get("in_channels", 3))
+        model_params["in_channels"] = 2 * data_ch
+        if model_type == "unet":
+            model_params.setdefault("out_channels", data_ch)
+        else:
+            model_params["out_channels"] = data_ch
 
     if model_type in ("unet", "vae"):
         model_params["image_size"] = image_size

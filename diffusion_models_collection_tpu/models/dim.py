@@ -267,6 +267,10 @@ class DiM(nn.Module):
     use_attention_fallback: bool = False
     dtype: Optional[Dtype] = None
     remat: bool = False
+    # Output channels; None = in_channels (reference dim.py hardcodes them
+    # equal). Distinct values support concat-conditioned variants (e.g.
+    # super-resolution: input [x_t ; upsampled LR] = 2C, output eps = C).
+    out_channels: Optional[int] = None
 
     def _hw(self) -> Tuple[int, int]:
         if isinstance(self.img_size, int):
@@ -306,8 +310,9 @@ class DiM(nn.Module):
                 name=f"DiMBlock_{i}",
             )(x, c, train)
 
-        x = DiMFinalLayer(self.hidden_size, self.patch_size, self.in_channels,
+        out_ch = self.out_channels or self.in_channels
+        x = DiMFinalLayer(self.hidden_size, self.patch_size, out_ch,
                           self.dtype)(x, c)
-        x = unpatchify(x, h_tokens, w_tokens, self.patch_size, self.in_channels)
+        x = unpatchify(x, h_tokens, w_tokens, self.patch_size, out_ch)
         # uniform eps contract: fp32 out regardless of compute dtype
         return x.astype(jnp.float32)

@@ -183,6 +183,10 @@ class DiT(nn.Module):
     dropout: float = 0.1
     dtype: Optional[Dtype] = None
     remat: bool = False
+    # Output channels; None = in_channels (reference dit.py hardcodes them
+    # equal). Distinct values support concat-conditioned variants (e.g.
+    # super-resolution: input [x_t ; upsampled LR] = 2C, output eps = C).
+    out_channels: Optional[int] = None
     # Mixture-of-Experts extension (models/moe.py): num_experts > 0 swaps
     # every block's MLP for a top-k routed expert bank; expert parallelism
     # shards the stacked expert weights (parallel/expert_parallel.py).
@@ -230,8 +234,9 @@ class DiT(nn.Module):
                 name=f"DiTBlock_{i}",
             )(x, c, train)
 
-        x = FinalLayer(self.hidden_size, self.patch_size, self.in_channels,
+        out_ch = self.out_channels or self.in_channels
+        x = FinalLayer(self.hidden_size, self.patch_size, out_ch,
                        self.dtype)(x, c)
-        x = unpatchify(x, h_tokens, w_tokens, self.patch_size, self.in_channels)
+        x = unpatchify(x, h_tokens, w_tokens, self.patch_size, out_ch)
         # uniform eps contract: fp32 out regardless of compute dtype
         return x.astype(jnp.float32)

@@ -27,6 +27,12 @@ def _build_sampler_fn(model, config: dict, batch_size: int,
                       sampling_method: str, cfg_scale: float):
     """A pure (params, rng, labels) -> images function with everything
     else baked static."""
+    if config.get("super_resolution"):
+        raise ValueError(
+            "super-resolution checkpoints are not exportable as "
+            "self-contained samplers: they need a per-call LR "
+            "conditioning input (use sample.py --sr_source)"
+        )
     diffusion = get_diffusion(config, sampling_method=sampling_method)
     # Latent diffusion (extension): sample latents, decode inside the
     # exported program (the frozen VAE rides along as closure constants)

@@ -93,6 +93,12 @@ class ConsistencyDistillationTrainer:
                 "consistency distillation operates on the VP (DDPM/DDIM) "
                 f"family; teacher has diffusion_type={dtype_key!r}"
             )
+        if t_cfg.get("super_resolution"):
+            raise ValueError(
+                "consistency distillation does not support "
+                "super-resolution teachers (the student would need the "
+                "LR conditioning threaded through every pair)"
+            )
         self.teacher_config = t_cfg
         self.model = get_model(t_cfg)
         self.diffusion = get_diffusion(t_cfg)  # schedule + prediction_type
@@ -388,6 +394,12 @@ class ConsistencyTrainingTrainer:
         self.train_loader = train_loader
         self.resume_path = resume_path
 
+        if cfg.get("super_resolution"):
+            raise ValueError(
+                "super_resolution is supported by the standard diffusion "
+                "trainer (ddpm/flow/edm objectives), not consistency "
+                "training"
+            )
         self.prediction_type = str(cfg.get("prediction_type", "eps"))
         zero_snr = bool(cfg.get("zero_terminal_snr", False))
         if zero_snr and self.prediction_type == "eps":

@@ -74,6 +74,12 @@ class DistillationTrainer:
                 "progressive distillation operates on the VP (DDPM/DDIM) "
                 f"family; teacher has diffusion_type={dtype_key!r}"
             )
+        if t_cfg.get("super_resolution"):
+            raise ValueError(
+                "progressive distillation does not support "
+                "super-resolution teachers (the student would need the "
+                "LR conditioning threaded through every pair)"
+            )
         self.teacher_config = t_cfg
         self.model = get_model(t_cfg)
         self.diffusion = get_diffusion(t_cfg)  # schedule + prediction_type

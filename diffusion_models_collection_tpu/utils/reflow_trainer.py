@@ -86,6 +86,11 @@ class ReflowTrainer:
                 f"diffusion_type={dtype_key!r} (progressive/consistency "
                 "distillation cover the VP family)"
             )
+        if t_cfg.get("super_resolution"):
+            raise ValueError(
+                "reflow does not support super-resolution teachers (pair "
+                "synthesis would need an LR conditioning source)"
+            )
         self.teacher_config = t_cfg
         self.model = get_model(t_cfg)
         diffusion = get_diffusion(t_cfg)

@@ -143,6 +143,25 @@ class DiffusionTrainer:
             self.image_size = self.latent.latent_hw()
             self.in_channels = self.latent.latent_channels
 
+        # Super-resolution (extension): a `super_resolution` config block
+        # trains an SR3-style conditional upsampling stage — the LR
+        # conditioning is derived from each batch INSIDE the jitted step
+        # (area downsample + resize) and channel-concatenated to x_t
+        # (utils/sr.py). Composes with ddpm/flow/edm objectives because
+        # the conditioning wraps the model callable, not the loss.
+        from .sr import SRSpec
+
+        self.sr = SRSpec.from_config(cfg)
+        if self.sr is not None and self.latent is not None:
+            raise ValueError(
+                "super_resolution composes with pixel-space diffusion "
+                "only (the LR conditioning is defined on pixels)"
+            )
+        # host cache of one real batch: the conditioning source for
+        # in-training sample grids (filled by the first train batch)
+        self._sr_cond_images = None
+        self._sr_cond_saved = False
+
         # Tensor parallelism (extension beyond the reference): with
         # `tensor_parallel: N` the mesh becomes 2-D (data, model), params
         # shard by the Megatron rules (parallel/tensor_parallel.py) and
@@ -392,7 +411,10 @@ class DiffusionTrainer:
         from ..factory import init_model_params
 
         self.params = init_model_params(
-            model, init_rng, self.image_size, self.in_channels, self.conditional
+            model, init_rng, self.image_size,
+            # SR models consume [x_t ; upsampled LR] on the channel axis
+            self.in_channels * 2 if self.sr is not None else self.in_channels,
+            self.conditional,
         )
         self._pp_apply = None
         if self.pp > 1:
@@ -567,8 +589,18 @@ class DiffusionTrainer:
             )
 
         latent = self.latent
+        sr = self.sr
 
         def train_step(state: TrainState, images, labels, rng):
+            sr_cond = None
+            if sr is not None:
+                # SR-only split keeps non-SR runs' RNG streams exact
+                rng, sr_rng = jax.random.split(rng)
+                from . import sr as sr_lib
+
+                sr_cond = sr_lib.make_condition(
+                    sr, images.shape[1:3], hr_images=images, rng=sr_rng
+                )
             if latent is not None:
                 # pixel batch -> scaled latent posterior sample; the VAE
                 # params ride as frozen jit-closure constants (the 5-way
@@ -640,6 +672,11 @@ class DiffusionTrainer:
                             rngs={"dropout": dropout_rng},
                         )
 
+                if sr_cond is not None:
+                    from .sr import wrap_model_fn as _sr_wrap
+
+                    model_fn = _sr_wrap(model_fn, sr_cond)
+
                 main = diffusion.p_losses(
                     model_fn, images, t, noise, y=y, loss_type=loss_type
                 )
@@ -704,6 +741,12 @@ class DiffusionTrainer:
         losses = []
         try:
             for images, labels in self.train_loader:
+                if self.sr is not None and self._sr_cond_images is None:
+                    # conditioning source for in-training sample grids:
+                    # real images from the first batch seen
+                    self._sr_cond_images = np.asarray(
+                        images, np.float32
+                    )[: self.num_samples]
                 with self.step_timer.step():
                     batch = pmesh.local_batch_to_global(
                         self.mesh,
@@ -837,6 +880,12 @@ class DiffusionTrainer:
 
     def _sample_images_inner(self, epoch, num_samples, shape, nrow, model_fn,
                              sample_rng):
+        if self.sr is not None:
+            model_fn = self._sr_wrap_for_sampling(
+                model_fn, num_samples, nrow, sample_rng
+            )
+            if model_fn is None:
+                return None
         if self.conditional and self.num_classes:
             num_rows = (num_samples + nrow - 1) // nrow
             row_labels = np.arange(num_rows) % self.num_classes
@@ -865,6 +914,34 @@ class DiffusionTrainer:
             save_image_grid(samples, save_path, nrow=nrow)
             self.tracker.log_image("samples", str(save_path), step=epoch)
         return samples
+
+    def _sr_wrap_for_sampling(self, model_fn, num_samples, nrow, sample_rng):
+        """Condition the in-training sample grid on cached real images
+        (super-resolution runs). Returns the wrapped model_fn, or None
+        when no conditioning batch has been cached yet."""
+        from . import sr as sr_lib
+
+        if self._sr_cond_images is None:
+            if self.is_main_process:
+                print("SR sample grid skipped: no train batch seen yet")
+            return None
+        src = self._sr_cond_images
+        if len(src) < num_samples:
+            reps = -(-num_samples // len(src))
+            src = np.tile(src, (reps, 1, 1, 1))
+        src = src[:num_samples]
+        cond = sr_lib.make_condition(
+            self.sr, self.image_size, hr_images=jnp.asarray(src),
+            rng=jax.random.fold_in(sample_rng, 7),
+        )
+        if self.is_main_process and not self._sr_cond_saved:
+            # the LR view the model actually sees, for visual comparison
+            # against the generated grids
+            grid = np.clip((np.asarray(cond) + 1) / 2, 0, 1)
+            save_image_grid(grid, self.sample_dir / "sr_condition.png",
+                            nrow=nrow)
+            self._sr_cond_saved = True
+        return sr_lib.wrap_model_fn(model_fn, cond)
 
     # ---------------------------------------------------------- checkpoints
     @staticmethod

@@ -168,6 +168,16 @@ def main():
     else:
         labels_all = None
 
+    # Super-resolution checkpoints (extension, utils/sr.py): condition
+    # each generation batch on the downsampled REAL images — the metric
+    # then measures upsampling fidelity against the true HR distribution.
+    from diffusion_models_collection_tpu.utils import sr as sr_lib
+
+    sr_spec = sr_lib.SRSpec.from_config(config)
+    if sr_spec is not None:
+        print(f"Super-resolution checkpoint: conditioning on real images "
+              f"downsampled by {sr_spec.factor}x")
+
     print(f"Generating {args.num_samples} fake images...")
     # Latent diffusion (extension): sample latents, decode through the VAE
     from diffusion_models_collection_tpu.utils.latent import LatentCodec
@@ -211,16 +221,33 @@ def main():
             if batch_labels is not None:
                 batch_labels = jax.device_put(batch_labels, dp_sharding)
 
+        batch_model_fn = model_fn
+        if sr_spec is not None:
+            hr = real_images[start:end] * 2.0 - 1.0  # back to [-1, 1]
+            if len(hr) < args.batch_size:  # pad to the compiled shape
+                hr = np.concatenate(
+                    [hr, np.repeat(hr[-1:], args.batch_size - len(hr),
+                                   axis=0)],
+                    axis=0,
+                )
+            cond = sr_lib.make_condition(
+                sr_spec, config["image_size"],
+                hr_images=jnp.asarray(hr, jnp.float32),
+                rng=jax.random.fold_in(batch_rng, 17),
+            )
+            # cond is a Partial ARG (traced): batches don't retrace
+            batch_model_fn = sr_lib.wrap_model_fn(model_fn, cond)
+
         print(f"Generating batch {i + 1}/{num_batches}...")
         if args.cfg_scale > 0 and conditional:
             samples = diffusion.sample_with_cfg(
-                model_fn, shape, batch_labels, batch_rng,
+                batch_model_fn, shape, batch_labels, batch_rng,
                 cfg_scale=args.cfg_scale, init_noise=init_noise,
                 progress=True,
             )
         else:
             samples = diffusion.sample(
-                model_fn, shape, batch_rng, y=batch_labels,
+                batch_model_fn, shape, batch_rng, y=batch_labels,
                 init_noise=init_noise, progress=True,
             )
         if codec is not None:

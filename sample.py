@@ -90,6 +90,29 @@ def load_image_for_model(path, image_size, in_channels):
     return arr[None] * 2.0 - 1.0  # (1, H, W, C) in [-1, 1]
 
 
+def load_sr_sources(source, lr_hw, in_channels, num_samples):
+    """Load LR conditioning images for SR sampling: a single image file
+    (repeated) or a directory (sorted, cycled to num_samples). Returns
+    (num_samples, lr_h, lr_w, C) in [-1, 1]."""
+    src = Path(source)
+    if src.is_dir():
+        exts = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
+        files = sorted(
+            p for p in src.iterdir() if p.suffix.lower() in exts
+        )
+        if not files:
+            raise SystemExit(f"--sr_source directory {src} has no images")
+    elif src.is_file():
+        files = [src]
+    else:
+        raise SystemExit(f"--sr_source {src} does not exist")
+    imgs = [
+        load_image_for_model(files[i % len(files)], lr_hw, in_channels)[0]
+        for i in range(num_samples)
+    ]
+    return np.stack(imgs, axis=0)
+
+
 def load_mask_for_model(path, image_size):
     """Load an inpainting mask: white = regenerate (1), black = keep (0)."""
     from PIL import Image
@@ -151,6 +174,21 @@ def main():
     parser.add_argument("--mask", type=str, default=None,
                         help="Inpainting mask image (white = regenerate, "
                              "black = keep); requires --init_image")
+    parser.add_argument("--repaint_jump", type=int, default=0,
+                        help="RePaint jump length j (inpainting; requires "
+                             "--mask and --sampling_method ddpm)")
+    parser.add_argument("--repaint_resample", type=int, default=1,
+                        help="RePaint resample count r (Lugmayr et al. "
+                             "2022 Alg. 2): denoise j steps, renoise j "
+                             "levels, rerun r times — harmonizes the "
+                             "inpainted region; 1 = single pass (default)")
+    parser.add_argument("--sr_source", type=str, default=None,
+                        help="Super-resolution conditioning source (image "
+                             "file or directory): required for checkpoints "
+                             "trained with a super_resolution config block "
+                             "— inputs are resized to the LR grid and the "
+                             "model generates their high-resolution "
+                             "versions (SR3-style, beyond the reference)")
     parser.add_argument("--mixed_precision", type=str, default=None,
                         choices=["bf16", "none"],
                         help="Override the checkpoint config's compute "
@@ -230,9 +268,39 @@ def main():
         in_ch = config["model_params"]["in_channels"]
         shape = (args.batch_size, h, w, in_ch)  # ONE compiled shape for all batches
 
+    # Super-resolution checkpoints (extension, utils/sr.py): conditioning
+    # images are mandatory — the model generates HR versions of them.
+    from diffusion_models_collection_tpu.utils import sr as sr_lib
+
+    sr_spec = sr_lib.SRSpec.from_config(config)
+    sr_lr_all = None
+    if sr_spec is not None:
+        if not args.sr_source:
+            raise SystemExit(
+                "this checkpoint was trained with super_resolution: pass "
+                "--sr_source <image|directory> to condition on"
+            )
+        lr_hw = sr_spec.lr_hw(config["image_size"])
+        sr_lr_all = load_sr_sources(
+            args.sr_source, lr_hw, in_ch, args.num_samples
+        )
+        print(f"Super-resolving {len(sr_lr_all)} conditioning images "
+              f"{lr_hw} -> {tuple(config['image_size'])} "
+              f"(factor {sr_spec.factor})")
+    elif args.sr_source:
+        raise SystemExit(
+            "--sr_source requires a checkpoint trained with a "
+            "super_resolution config block"
+        )
+
     init_image = mask = None
     if args.mask and not args.init_image:
         raise SystemExit("--mask requires --init_image")
+    if args.repaint_resample > 1 and not args.mask:
+        raise SystemExit(
+            "--repaint_resample requires --init_image and --mask "
+            "(RePaint is an inpainting schedule)"
+        )
     if args.init_image:
         if is_cm:
             raise SystemExit(
@@ -249,6 +317,17 @@ def main():
             )
         if not (0.0 < args.strength <= 1.0):
             raise SystemExit("--strength must be in (0, 1] for img2img")
+        if args.repaint_resample > 1:
+            if not args.mask:
+                raise SystemExit("--repaint_resample requires --mask")
+            if args.sampling_method.lower() != "ddpm" or is_flow or is_edm:
+                raise SystemExit(
+                    "RePaint resampling is defined on the DDPM ancestral "
+                    "sampler (--sampling_method ddpm)"
+                )
+            if args.repaint_jump < 1:
+                raise SystemExit("--repaint_resample needs --repaint_jump "
+                                 ">= 1")
         init_image = load_image_for_model(
             args.init_image, config["image_size"], in_ch
         )
@@ -290,6 +369,24 @@ def main():
             if batch_labels is not None:
                 batch_labels = jax.device_put(batch_labels, dp_sharding)
 
+        batch_model_fn = model_fn
+        if sr_lr_all is not None:
+            batch_lr = sr_lr_all[start:end]
+            if len(batch_lr) < args.batch_size:  # pad to the compiled shape
+                batch_lr = np.concatenate(
+                    [batch_lr,
+                     np.repeat(batch_lr[-1:],
+                               args.batch_size - len(batch_lr), axis=0)],
+                    axis=0,
+                )
+            cond = sr_lib.make_condition(
+                sr_spec, config["image_size"],
+                lr_images=jnp.asarray(batch_lr),
+                rng=jax.random.fold_in(batch_rng, 17),
+            )
+            # cond is a Partial ARG (traced), so batches don't retrace
+            batch_model_fn = sr_lib.wrap_model_fn(model_fn, cond)
+
         if init_image is not None:
             use_cfg = args.cfg_scale > 0 and conditional
             batch_init = jnp.asarray(
@@ -310,25 +407,30 @@ def main():
             print(f"img2img batch {i + 1}/{num_batches}"
                   + (f" with CFG scale {args.cfg_scale}" if use_cfg else "")
                   + "...")
+            repaint_kw = {}
+            if args.repaint_resample > 1:
+                repaint_kw = dict(repaint_jump=args.repaint_jump,
+                                  repaint_resample=args.repaint_resample)
             samples = diffusion.img2img(
-                model_fn, batch_init, batch_rng, strength=args.strength,
+                batch_model_fn, batch_init, batch_rng,
+                strength=args.strength,
                 y=batch_labels,
                 cfg_scale=args.cfg_scale if use_cfg else None,
                 mask=batch_mask, return_all_timesteps=return_all,
-                progress=True,
+                progress=True, **repaint_kw,
             )
         elif args.cfg_scale > 0 and conditional:
             print(f"Sampling batch {i + 1}/{num_batches} with CFG scale "
                   f"{args.cfg_scale}...")
             samples = diffusion.sample_with_cfg(
-                model_fn, shape, batch_labels, batch_rng,
+                batch_model_fn, shape, batch_labels, batch_rng,
                 cfg_scale=args.cfg_scale, return_all_timesteps=return_all,
                 init_noise=init_noise, progress=True,
             )
         else:
             print(f"Sampling batch {i + 1}/{num_batches}...")
             samples = diffusion.sample(
-                model_fn, shape, batch_rng, y=batch_labels,
+                batch_model_fn, shape, batch_rng, y=batch_labels,
                 return_all_timesteps=return_all, init_noise=init_noise,
                 progress=True,
             )

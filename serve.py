@@ -67,6 +67,12 @@ class SamplerService:
             raise ValueError("checkpoint has no embedded config; pass one")
         if mixed_precision is not None:
             self.config = dict(self.config, mixed_precision=mixed_precision)
+        if self.config.get("super_resolution"):
+            raise ValueError(
+                "super-resolution checkpoints are not servable: each "
+                "request would need an LR conditioning image (use "
+                "sample.py --sr_source or tools/cascade.py)"
+            )
         self.model, params = load_model_for_inference(
             payload, self.config, use_ema
         )

@@ -946,3 +946,162 @@ def test_sample_cli_img2img_and_inpaint(workdir, tmp_path):
     assert "inpainting mask" in out
     grid = np.asarray(Image.open(tmp_path / "inpaint" / "samples.png"))
     assert grid.size > 0
+
+
+def test_sample_cli_repaint(workdir, tmp_path):
+    """--repaint_jump/--repaint_resample (RePaint resampling, Lugmayr et
+    al. 2022) through sample.py; validation without a mask."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    img = (rng.uniform(0, 255, size=(8, 8, 3))).astype(np.uint8)
+    init_path = tmp_path / "init.png"
+    Image.fromarray(img).save(init_path)
+    mask = np.zeros((8, 8), np.uint8)
+    mask[:4, :] = 255
+    mask_path = tmp_path / "mask.png"
+    Image.fromarray(mask, mode="L").save(mask_path)
+
+    ckpt = workdir / "ckpt" / "current_model.ckpt"
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "ddpm",
+         "--num_samples", "4", "--batch_size", "4", "--seed", "3",
+         "--init_image", str(init_path), "--strength", "1.0",
+         "--mask", str(mask_path),
+         "--repaint_jump", "10", "--repaint_resample", "2",
+         "--output_dir", str(tmp_path / "repaint")],
+        cwd=str(tmp_path),
+    )
+    assert "img2img" in out
+    assert (tmp_path / "repaint" / "samples.png").exists()
+
+    # validation: resampling without a mask is rejected
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--repaint_resample", "2", "--num_samples", "2",
+         "--batch_size", "2"],
+        cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "RePaint" in proc.stderr or "mask" in proc.stderr
+
+
+@pytest.fixture(scope="module")
+def sr_workdir(tmp_path_factory):
+    """Train a tiny 8->16 super-resolution stage on synthetic data."""
+    wd = tmp_path_factory.mktemp("sr_cli")
+    cfg = f"""
+config = {{
+    'model_type': 'unet',
+    'model_params': {{
+        'image_size': (16, 16), 'in_channels': 3, 'model_channels': 16,
+        'num_res_blocks': 1, 'attention_resolutions': (),
+        'channel_mult': (1, 2),
+    }},
+    'super_resolution': {{'factor': 2, 'noise_aug': 0.05}},
+    'dataset': 'synthetic', 'data_root': './data',
+    'image_size': (16, 16), 'conditional': False, 'num_classes': 0,
+    'num_timesteps': 50, 'beta_start': 0.0001, 'beta_end': 0.02,
+    'beta_schedule': 'linear', 'loss_type': 'l2', 'cfg_scale': 0.0,
+    'num_inference_steps': 6, 'ddim_eta': 0.0,
+    'epochs': 1, 'batch_size': 32, 'optimizer': 'adamw',
+    'learning_rate': 1e-3, 'weight_decay': 0.0,
+    'gradient_accumulation_steps': 1, 'use_ema': True, 'ema_decay': 0.99,
+    'cfg_dropout_prob': 0.0, 'use_scheduler': False,
+    'save_dir': {str(wd / 'ckpt')!r}, 'save_interval': 10,
+    'sample_dir': {str(wd / 'gen')!r}, 'sample_interval': 1,
+    'sample_start_epoch': 1, 'num_samples': 4,
+    'use_swanlab': False, 'seed': 0,
+}}
+"""
+    cfg_path = wd / "sr_smoke.py"
+    cfg_path.write_text(cfg)
+    out = run([str(REPO / "train.py"), "--config", str(cfg_path)], cwd=str(wd))
+    assert "Training completed!" in out
+    return wd
+
+
+def test_train_sr_checkpoint_and_condition_grid(sr_workdir):
+    assert (sr_workdir / "ckpt" / "current_model.ckpt").exists()
+    # the in-training grid run saves the LR-conditioning view once
+    assert (sr_workdir / "gen" / "sr_condition.png").exists()
+    assert (sr_workdir / "gen" / "epoch_0001.png").exists()
+
+
+def test_sample_cli_sr_source(sr_workdir, tmp_path):
+    """sample.py --sr_source: super-resolve a user image through an SR
+    checkpoint; missing --sr_source is rejected with guidance."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    src = (rng.uniform(0, 255, size=(8, 8, 3))).astype(np.uint8)
+    src_path = tmp_path / "lowres.png"
+    Image.fromarray(src).save(src_path)
+
+    ckpt = sr_workdir / "ckpt" / "current_model.ckpt"
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "ddim", "--num_inference_steps", "5",
+         "--num_samples", "4", "--batch_size", "4", "--use_ema",
+         "--sr_source", str(src_path),
+         "--output_dir", str(tmp_path / "sr_out")],
+        cwd=str(tmp_path),
+    )
+    assert "Super-resolving" in out
+    grid = np.asarray(Image.open(tmp_path / "sr_out" / "samples.png"))
+    # 4 samples at 16x16 in a 2x2 grid with 2px padding = 38x38
+    assert grid.shape[0] >= 32 and grid.shape[1] >= 32
+
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--num_samples", "2", "--batch_size", "2"],
+        cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "sr_source" in proc.stderr
+
+
+def test_cascade_cli(workdir, sr_workdir, tmp_path):
+    """tools/cascade.py: 8x8 base checkpoint -> 2x SR stage -> 16x16
+    grid, per-stage outputs written."""
+    import numpy as np
+    from PIL import Image
+
+    out = run(
+        [str(REPO / "tools" / "cascade.py"),
+         "--base_checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+         "--sr_checkpoint", str(sr_workdir / "ckpt" / "current_model.ckpt"),
+         "--num_samples", "4", "--batch_size", "4",
+         "--sampling_method", "ddim", "--num_inference_steps", "5",
+         "--sr_sampling_method", "ddim", "--sr_num_inference_steps", "5",
+         "--cfg_scale", "1.5", "--use_ema",
+         "--output_dir", str(tmp_path / "cascade")],
+        cwd=str(tmp_path),
+    )
+    assert "Cascade complete" in out
+    base_grid = np.asarray(
+        Image.open(tmp_path / "cascade" / "cascade_stage0.png")
+    )
+    final_grid = np.asarray(
+        Image.open(tmp_path / "cascade" / "cascade.png")
+    )
+    # the SR stage doubled the spatial size of the grid
+    assert final_grid.shape[0] > base_grid.shape[0]
+
+    # wrong order is rejected: an SR checkpoint cannot be the base
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "cascade.py"),
+         "--base_checkpoint",
+         str(sr_workdir / "ckpt" / "current_model.ckpt"),
+         "--sr_checkpoint", str(sr_workdir / "ckpt" / "current_model.ckpt"),
+         "--num_samples", "2", "--batch_size", "2"],
+        cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "super_resolution" in proc.stderr

@@ -139,3 +139,111 @@ def test_plain_sampler_unchanged_by_img2img_plumbing():
         t = jnp.full((SHAPE[0],), i, dtype=jnp.int32)
         img = ddpm.p_sample(dummy_model, img, t, jax.random.fold_in(rng_loop, i))
     np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-5)
+
+
+# ----------------------------------------------------- RePaint resampling
+def exact_model_for(target, schedule):
+    """The exact eps predictor for a point-mass data distribution at
+    `target`: eps = (x_t - sqrt(acp_t) * target) / sqrt(1 - acp_t)."""
+    from diffusion_models_collection_tpu.diffusion.schedule import extract
+
+    def fn(x, t, y=None):
+        a = extract(schedule.sqrt_alphas_cumprod, t, x.ndim)
+        s = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x.ndim)
+        return (x - a * target) / s
+
+    return fn
+
+
+@pytest.fixture
+def half_mask():
+    mask = np.zeros(SHAPE, np.float32)
+    mask[:, :, :4, :] = 1.0  # regenerate the left half, keep the right
+    return jnp.asarray(mask)
+
+
+def test_repaint_validation(init_image, half_mask):
+    ddpm = DDPM(num_timesteps=40)
+    with pytest.raises(ValueError, match="mask"):
+        ddpm.img2img(dummy_model, init_image, jax.random.PRNGKey(0),
+                     strength=1.0, repaint_resample=3, repaint_jump=5)
+    with pytest.raises(ValueError, match="repaint_jump"):
+        ddpm.img2img(dummy_model, init_image, jax.random.PRNGKey(0),
+                     strength=1.0, mask=half_mask, repaint_resample=3)
+    with pytest.raises(ValueError, match="repaint_resample"):
+        ddpm.img2img(dummy_model, init_image, jax.random.PRNGKey(0),
+                     strength=1.0, mask=half_mask, repaint_resample=0)
+
+
+def test_repaint_keeps_known_region_exact(init_image, half_mask):
+    """After the full RePaint schedule the kept pixels are EXACTLY the
+    originals (the final projection lands at t_next = -1 = clean)."""
+    ddpm = DDPM(num_timesteps=40)
+    out = ddpm.img2img(
+        dummy_model, init_image, jax.random.PRNGKey(3), strength=1.0,
+        mask=half_mask, repaint_jump=8, repaint_resample=3,
+    )
+    keep = np.asarray(half_mask) == 0.0
+    np.testing.assert_allclose(np.asarray(out)[keep],
+                               np.asarray(init_image)[keep], atol=1e-6)
+    # and the regenerated half moved
+    assert float(jnp.mean(jnp.abs(
+        out[:, :, :4, :] - init_image[:, :, :4, :]
+    ))) > 0.05
+
+
+def test_repaint_point_mass_recovery(half_mask):
+    """With the exact point-mass model, resampling must still converge to
+    the target in the regenerated region — the renoise hops are valid
+    forward marginals, so the chain stays on-distribution."""
+    ddpm = DDPM(num_timesteps=60)
+    target = jnp.full(SHAPE, 0.4, jnp.float32)
+    init = jnp.full(SHAPE, -0.2, jnp.float32)
+    model = exact_model_for(target, ddpm.schedule)
+    out = ddpm.img2img(
+        model, init, jax.random.PRNGKey(4), strength=1.0,
+        mask=half_mask, repaint_jump=10, repaint_resample=4,
+    )
+    out = np.asarray(out)
+    np.testing.assert_allclose(out[:, :, :4, :], 0.4, atol=0.12)
+    np.testing.assert_allclose(out[:, :, 4:, :], -0.2, atol=1e-6)
+
+
+def test_repaint_differs_from_single_pass_and_is_deterministic(
+    init_image, half_mask
+):
+    ddpm = DDPM(num_timesteps=40)
+    kw = dict(strength=1.0, mask=half_mask)
+    single = ddpm.img2img(dummy_model, init_image, jax.random.PRNGKey(5),
+                          **kw)
+    a = ddpm.img2img(dummy_model, init_image, jax.random.PRNGKey(5),
+                     repaint_jump=8, repaint_resample=3, **kw)
+    b = ddpm.img2img(dummy_model, init_image, jax.random.PRNGKey(5),
+                     repaint_jump=8, repaint_resample=3, **kw)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert float(jnp.max(jnp.abs(a[:, :, :4, :] - single[:, :, :4, :]))) > 1e-3
+
+
+def test_repaint_trajectory_length(init_image, half_mask):
+    """return_all_timesteps records every executed step: ceil(T'/j) chunks
+    x r repeats x j steps (T' = t0+1 = 40 here, j = 8, r = 3 -> 120)."""
+    ddpm = DDPM(num_timesteps=40)
+    traj = ddpm.img2img(
+        dummy_model, init_image, jax.random.PRNGKey(6), strength=1.0,
+        mask=half_mask, repaint_jump=8, repaint_resample=3,
+        return_all_timesteps=True,
+    )
+    assert traj.shape == (120,) + SHAPE
+
+
+def test_repaint_with_cfg(init_image, half_mask):
+    ddpm = DDPM(num_timesteps=40)
+    y = jnp.asarray([1, 2])
+    out = ddpm.img2img(
+        dummy_model, init_image, jax.random.PRNGKey(7), strength=1.0,
+        mask=half_mask, cfg_scale=2.0, y=y,
+        repaint_jump=8, repaint_resample=2,
+    )
+    keep = np.asarray(half_mask) == 0.0
+    np.testing.assert_allclose(np.asarray(out)[keep],
+                               np.asarray(init_image)[keep], atol=1e-6)
