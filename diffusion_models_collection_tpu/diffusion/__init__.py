@@ -15,6 +15,7 @@ from .ddpm import DDPM
 from .dpm_solver import DPMSolverPP
 from .edm import EDM
 from .flow_matching import FlowMatching
+from .guidance import classifier_guided_model_fn
 from .schedule import NoiseSchedule, ddim_timesteps, karras_timesteps, make_betas
 from .unipc import UniPC
 
@@ -37,4 +38,5 @@ __all__ = [
     "dynamic_threshold",
     "apply_x0_constraint",
     "cfg_eps",
+    "classifier_guided_model_fn",
 ]

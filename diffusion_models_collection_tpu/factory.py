@@ -24,11 +24,17 @@ from .diffusion import (
     FlowMatching,
     UniPC,
 )
-from .models import DiM, DiT, UNet, VAE
+from .models import DiM, DiT, NoisyClassifier, UNet, VAE
 from .parallel import mesh as pmesh
 from .utils.helpers import resolve_image_size
 
-MODEL_CLASSES = {"unet": UNet, "dit": DiT, "dim": DiM, "vae": VAE}
+MODEL_CLASSES = {
+    "unet": UNet,
+    "dit": DiT,
+    "dim": DiM,
+    "vae": VAE,
+    "classifier": NoisyClassifier,
+}
 
 
 def get_model(config: dict):
@@ -85,12 +91,26 @@ def get_model(config: dict):
         else:
             model_params["out_channels"] = data_ch
 
-    if model_type in ("unet", "vae"):
+    if model_type in ("unet", "vae", "classifier"):
         model_params["image_size"] = image_size
     elif model_type in ("dit", "dim"):
         model_params["img_size"] = image_size
 
-    if model_type != "vae":  # the autoencoder is unconditional by design
+    if model_type == "classifier":
+        # the guidance classifier (extension, models/classifier.py)
+        # always needs the real class count — labels are its TARGETS,
+        # not an input embedding, and there is no CFG null class
+        if sr is not None:
+            raise ValueError(
+                "super_resolution does not apply to the classifier"
+            )
+        nc = int(config.get("num_classes", 0) or 0)
+        if nc < 2:
+            raise ValueError(
+                "model_type 'classifier' needs num_classes >= 2"
+            )
+        model_params["num_classes"] = nc
+    elif model_type != "vae":  # the autoencoder is unconditional by design
         if config.get("conditional", False):
             model_params["num_classes"] = config.get("num_classes")
         else:

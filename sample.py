@@ -182,6 +182,15 @@ def main():
                              "2022 Alg. 2): denoise j steps, renoise j "
                              "levels, rerun r times — harmonizes the "
                              "inpainted region; 1 = single pass (default)")
+    parser.add_argument("--classifier_checkpoint", type=str, default=None,
+                        help="Noise-conditional classifier checkpoint "
+                             "(model_type 'classifier') for classifier "
+                             "guidance (Dhariwal & Nichol 2021, beyond "
+                             "the reference): shifts eps by the "
+                             "classifier score toward the target labels")
+    parser.add_argument("--classifier_scale", type=float, default=1.0,
+                        help="Classifier-guidance strength s (gradient "
+                             "scale); used with --classifier_checkpoint")
     parser.add_argument("--sr_source", type=str, default=None,
                         help="Super-resolution conditioning source (image "
                              "file or directory): required for checkpoints "
@@ -267,6 +276,77 @@ def main():
         h, w = config["image_size"]
         in_ch = config["model_params"]["in_channels"]
         shape = (args.batch_size, h, w, in_ch)  # ONE compiled shape for all batches
+
+    # Classifier guidance (extension, diffusion/guidance.py): load the
+    # noise-conditional classifier and build per-sample target labels.
+    classifier_fn = None
+    if args.classifier_checkpoint:
+        if is_flow or is_edm or is_cm:
+            raise SystemExit(
+                "classifier guidance is defined on the VP (DDPM/DDIM/"
+                "DPM++/UniPC) family's eps predictions — not flow/edm/"
+                "consistency checkpoints"
+            )
+        if str(config.get("prediction_type", "eps")) != "eps":
+            raise SystemExit(
+                "classifier guidance shifts the EPS prediction; this "
+                "checkpoint predicts "
+                f"{config.get('prediction_type')!r}"
+            )
+        from diffusion_models_collection_tpu.diffusion.guidance import (
+            classifier_guided_model_fn,
+        )
+        from diffusion_models_collection_tpu.factory import get_model
+
+        cls_payload = load_checkpoint(args.classifier_checkpoint)
+        cls_config = dict(cls_payload["config"])
+        if str(cls_config.get("model_type", "")).lower() != "classifier":
+            raise SystemExit(
+                "--classifier_checkpoint must be a model_type "
+                "'classifier' checkpoint (train one with "
+                "utils/classifier_trainer.py through train.py)"
+            )
+        for key in ("num_timesteps", "beta_start", "beta_end",
+                    "beta_schedule"):
+            if cls_config.get(key) != config.get(key):
+                raise SystemExit(
+                    f"classifier/diffusion schedule mismatch on {key!r}: "
+                    f"{cls_config.get(key)!r} vs {config.get(key)!r} — "
+                    "the classifier must be trained on the same noising "
+                    "schedule it guides"
+                )
+        cls_config["image_size"] = resolve_image_size(
+            cls_config["image_size"]
+        )
+        cls_model = get_model(cls_config)
+        cls_params = cls_payload.get("ema_model_state_dict")
+        if not args.use_ema or cls_params is None:
+            cls_params = cls_payload["model_state_dict"]
+        cls_params = jax.tree_util.tree_map(jnp.asarray, cls_params)
+
+        def _cls_call(p, x, t):
+            return cls_model.apply({"params": p}, x, t, train=False)
+
+        classifier_fn = jax.tree_util.Partial(_cls_call, cls_params)
+        cls_num_classes = int(cls_config["num_classes"])
+        print(f"Classifier guidance: scale {args.classifier_scale}, "
+              f"{cls_num_classes} classes")
+
+    # target labels for the classifier (raw 0..K-1, no +1/null shift)
+    guidance_labels_all = None
+    if classifier_fn is not None:
+        if labels is not None:
+            guidance_labels_all = labels.astype(np.int32) - 1
+        else:
+            fake = {"conditional": True, "num_classes": cls_num_classes}
+            guidance_labels_all = build_labels(
+                args, fake, nrow, num_rows
+            ).astype(np.int32) - 1
+        if int(guidance_labels_all.max()) >= cls_num_classes:
+            raise SystemExit(
+                f"label {int(guidance_labels_all.max())} is out of the "
+                f"classifier's range [0, {cls_num_classes})"
+            )
 
     # Super-resolution checkpoints (extension, utils/sr.py): conditioning
     # images are mandatory — the model generates HR versions of them.
@@ -386,6 +466,21 @@ def main():
             )
             # cond is a Partial ARG (traced), so batches don't retrace
             batch_model_fn = sr_lib.wrap_model_fn(model_fn, cond)
+
+        if classifier_fn is not None:
+            from diffusion_models_collection_tpu.diffusion.guidance import (
+                classifier_guided_model_fn,
+            )
+
+            gl = guidance_labels_all[start:end]
+            if len(gl) < args.batch_size:
+                gl = np.pad(gl, (0, args.batch_size - len(gl)),
+                            mode="edge")
+            # labels/scale are Partial ARGS (traced): no per-batch retrace
+            batch_model_fn = classifier_guided_model_fn(
+                batch_model_fn, classifier_fn, jnp.asarray(gl),
+                args.classifier_scale, diffusion.schedule,
+            )
 
         if init_image is not None:
             use_cfg = args.cfg_scale > 0 and conditional

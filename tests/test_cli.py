@@ -1105,3 +1105,67 @@ def test_cascade_cli(workdir, sr_workdir, tmp_path):
     )
     assert proc.returncode != 0
     assert "super_resolution" in proc.stderr
+
+
+@pytest.fixture(scope="module")
+def classifier_workdir(tmp_path_factory):
+    """Train a tiny noise-conditional classifier matched to the smoke
+    config's schedule (num_timesteps 50, linear 1e-4..0.02)."""
+    wd = tmp_path_factory.mktemp("classifier_cli")
+    cfg = f"""
+config = {{
+    'model_type': 'classifier',
+    'model_params': {{
+        'in_channels': 3, 'model_channels': 16, 'num_res_blocks': 1,
+        'attention_resolutions': (), 'channel_mult': (1, 2),
+        'dropout': 0.0,
+    }},
+    'dataset': 'synthetic', 'data_root': './data',
+    'image_size': (8, 8), 'conditional': True, 'num_classes': 10,
+    'num_timesteps': 50, 'beta_start': 0.0001, 'beta_end': 0.02,
+    'beta_schedule': 'linear',
+    'epochs': 1, 'batch_size': 32, 'optimizer': 'adamw',
+    'learning_rate': 1e-3, 'weight_decay': 0.0,
+    'gradient_accumulation_steps': 1, 'use_ema': True, 'ema_decay': 0.99,
+    'use_scheduler': False,
+    'save_dir': {str(wd / 'ckpt')!r}, 'save_interval': 10,
+    'use_swanlab': False, 'seed': 0,
+}}
+"""
+    cfg_path = wd / "classifier_smoke.py"
+    cfg_path.write_text(cfg)
+    out = run([str(REPO / "train.py"), "--config", str(cfg_path)], cwd=str(wd))
+    assert "Training completed!" in out
+    assert "Acc:" in out
+    return wd
+
+
+def test_sample_cli_classifier_guidance(workdir, classifier_workdir,
+                                        tmp_path):
+    """--classifier_checkpoint/--classifier_scale through sample.py
+    (classifier guidance, Dhariwal & Nichol 2021)."""
+    ckpt = workdir / "ckpt" / "best_model.ckpt"
+    cls_ckpt = classifier_workdir / "ckpt" / "current_model.ckpt"
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "ddim", "--num_inference_steps", "5",
+         "--num_samples", "4", "--batch_size", "4", "--use_ema",
+         "--labels", "2,7",
+         "--classifier_checkpoint", str(cls_ckpt),
+         "--classifier_scale", "2.0",
+         "--output_dir", str(tmp_path / "clsg")],
+        cwd=str(tmp_path),
+    )
+    assert "Classifier guidance: scale 2.0" in out
+    assert (tmp_path / "clsg" / "samples.png").exists()
+
+    # schedule mismatch is rejected: wrong checkpoint type as classifier
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--classifier_checkpoint", str(ckpt),
+         "--num_samples", "2", "--batch_size", "2"],
+        cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "classifier" in proc.stderr

@@ -87,6 +87,25 @@ def main():
         trainer.cleanup()
         return
 
+    if str(config.get("model_type", "")).lower() == "classifier":
+        # extension: noise-conditional classifier for classifier guidance
+        # (Dhariwal & Nichol 2021) — consumed by sample.py's
+        # --classifier_checkpoint/--classifier_scale flags
+        from diffusion_models_collection_tpu.utils.classifier_trainer import (
+            ClassifierTrainer,
+        )
+
+        trainer = ClassifierTrainer(
+            model=model,
+            train_loader=train_loader,
+            config=config,
+            rng=rng,
+            resume_path=config.get("resume_path"),
+        )
+        trainer.train()
+        trainer.cleanup()
+        return
+
     if str(config.get("diffusion_type", "ddpm")).lower() == "consistency":
         # extension: from-scratch consistency TRAINING (Song et al. 2023
         # Alg. 3 — teacher-free, same-noise adjacent-time pairs).
