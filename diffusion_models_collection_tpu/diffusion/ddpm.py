@@ -488,9 +488,15 @@ class DDPM:
             for rep in range(resample):
                 seg_rng = jax.random.fold_in(rng, 5_000_000 + hop)
                 hop += 1
-                img, all_imgs = segment(img, chunk, seg_rng)
-                if return_all_timesteps:
-                    outs.append(all_imgs)
+                # honor the per-program scan cap for very large jumps
+                # (same TPU program-size limit as _run_segments)
+                for sub in range(0, size, _MAX_STEPS_PER_SEGMENT):
+                    img, all_imgs = segment(
+                        img, chunk[sub : sub + _MAX_STEPS_PER_SEGMENT],
+                        seg_rng,
+                    )
+                    if return_all_timesteps:
+                        outs.append(all_imgs)
                 if rep < resample - 1:
                     # back up from the level we arrived at (chunk[-1]-1,
                     # possibly -1 = clean) to the chunk's top level

@@ -31,23 +31,30 @@ from .schedule import NoiseSchedule, extract
 def _guided_call(model_fn, classifier_fn, labels, scale, schedule,
                  x, t, y):
     eps = model_fn(x, t, y)
-    yy = labels
-    if x.shape[0] != yy.shape[0]:
-        # fused-CFG batch (2B): the same target class guides both branches
-        if x.shape[0] % yy.shape[0]:
+    b = labels.shape[0]
+    reps = 1
+    if x.shape[0] != b:
+        # fused-CFG batch: the samplers build it as [x ; x] (base.
+        # cfg_eps_x0 duplicates the SAME images for the cond/uncond
+        # branches), so the classifier gradient is computed ONCE on the
+        # first B rows and tiled — halving classifier cost per step.
+        if x.shape[0] % b:
             raise ValueError(
                 f"model batch {x.shape[0]} is not a multiple of the "
-                f"guidance-label batch {yy.shape[0]}"
+                f"guidance-label batch {b}"
             )
-        yy = jnp.concatenate([yy] * (x.shape[0] // yy.shape[0]), axis=0)
+        reps = x.shape[0] // b
+    x_b, t_b = x[:b], t[:b]
 
     def log_prob(xx):
-        logits = classifier_fn(xx, t)
+        logits = classifier_fn(xx, t_b)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        picked = jnp.take_along_axis(logp, yy[:, None], axis=-1)
+        picked = jnp.take_along_axis(logp, labels[:, None], axis=-1)
         return jnp.sum(picked)
 
-    grad = jax.grad(log_prob)(x)
+    grad = jax.grad(log_prob)(x_b)
+    if reps > 1:
+        grad = jnp.concatenate([grad] * reps, axis=0)
     s = extract(schedule.sqrt_one_minus_alphas_cumprod, t, x.ndim)
     return eps - scale * s * grad
 
@@ -66,6 +73,11 @@ def classifier_guided_model_fn(
     `labels` and `scale` ride as traced `tree_util.Partial` args, so
     per-batch labels / runtime scale changes never retrace the jitted
     trajectory scans.
+
+    Batch contract: calls at `len(labels)` rows guide each row; calls at
+    an integer multiple (the samplers' fused-CFG `[x ; x]` batch) assume
+    the halves are DUPLICATES of the same images — the gradient is
+    computed once on the first B rows and tiled.
     """
     labels = jnp.asarray(labels, jnp.int32)
     if labels.ndim != 1:

@@ -148,6 +148,51 @@ def make_condition(
     return cond
 
 
+def batch_condition(
+    spec: SRSpec,
+    hw,
+    source,
+    start: int,
+    end: int,
+    batch_size: int,
+    rng,
+    *,
+    source_is_hr: bool = False,
+    cycle: bool = False,
+):
+    """Shared CLI helper: slice `source[start:end]` (LR images, or HR
+    images to downsample with `source_is_hr`), edge-pad to the compiled
+    `batch_size`, and build the conditioning tensor. `cycle=True` wraps
+    indices modulo len(source) (evaluation sets smaller than the
+    requested sample count). One place owns the padding + RNG-fold
+    conventions for sample.py / evaluate.py / tools/cascade.py."""
+    import numpy as np
+
+    source = np.asarray(source, np.float32)
+    if len(source) == 0:
+        raise ValueError("SR conditioning source is empty")
+    if cycle:
+        idx = np.arange(start, end) % len(source)
+        batch = source[idx]
+    else:
+        batch = source[start:end]
+    if len(batch) == 0:
+        raise ValueError(
+            f"SR conditioning slice [{start}:{end}] is empty for a "
+            f"source of {len(source)} images (pass cycle=True to wrap)"
+        )
+    if len(batch) < batch_size:  # pad to the compiled shape
+        batch = np.concatenate(
+            [batch,
+             np.repeat(batch[-1:], batch_size - len(batch), axis=0)],
+            axis=0,
+        )
+    kw = {"hr_images" if source_is_hr else "lr_images": jnp.asarray(batch)}
+    return make_condition(
+        spec, hw, rng=jax.random.fold_in(rng, 17), **kw
+    )
+
+
 def _cond_call(model_fn, cond, x, t, y):
     c = cond.astype(x.dtype)
     if x.shape[0] != c.shape[0]:

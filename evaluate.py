@@ -110,6 +110,13 @@ def main():
         config["cfg_interval"] = (lo, hi)
     config["image_size"] = resolve_image_size(config["image_size"])
 
+    if str(config.get("model_type", "")).lower() == "classifier":
+        raise SystemExit(
+            "this is a noise-conditional CLASSIFIER checkpoint — it has "
+            "no sampler to evaluate (it guides sample.py via "
+            "--classifier_checkpoint)"
+        )
+
     print("Creating model...")
     model, params = load_model_for_inference(checkpoint, config, args.use_ema)
     model_fn = eval_model_fn(model, params)
@@ -223,17 +230,13 @@ def main():
 
         batch_model_fn = model_fn
         if sr_spec is not None:
-            hr = real_images[start:end] * 2.0 - 1.0  # back to [-1, 1]
-            if len(hr) < args.batch_size:  # pad to the compiled shape
-                hr = np.concatenate(
-                    [hr, np.repeat(hr[-1:], args.batch_size - len(hr),
-                                   axis=0)],
-                    axis=0,
-                )
-            cond = sr_lib.make_condition(
+            # cycle=True: the eval set may hold fewer images than
+            # --num_samples; conditioning wraps around modulo the set
+            cond = sr_lib.batch_condition(
                 sr_spec, config["image_size"],
-                hr_images=jnp.asarray(hr, jnp.float32),
-                rng=jax.random.fold_in(batch_rng, 17),
+                real_images * 2.0 - 1.0,  # back to [-1, 1]
+                start, end, args.batch_size, batch_rng,
+                source_is_hr=True, cycle=True,
             )
             # cond is a Partial ARG (traced): batches don't retrace
             batch_model_fn = sr_lib.wrap_model_fn(model_fn, cond)

@@ -220,6 +220,12 @@ def main():
     checkpoint = load_checkpoint(args.checkpoint)
     config = load_config(Path(args.config)) if args.config else checkpoint["config"]
 
+    if str(config.get("model_type", "")).lower() == "classifier":
+        raise SystemExit(
+            "this is a noise-conditional CLASSIFIER checkpoint — pass it "
+            "via --classifier_checkpoint alongside a diffusion checkpoint"
+        )
+
     dtype_key = str(config.get("diffusion_type", "ddpm")).lower()
     is_flow = dtype_key in ("flow", "flow_matching", "rectified_flow")
     is_edm = dtype_key == "edm"
@@ -292,6 +298,12 @@ def main():
                 "classifier guidance shifts the EPS prediction; this "
                 "checkpoint predicts "
                 f"{config.get('prediction_type')!r}"
+            )
+        if config.get("latent_diffusion"):
+            raise SystemExit(
+                "classifier guidance is defined on pixels — a latent-"
+                "diffusion checkpoint samples VAE latents the pixel "
+                "classifier cannot score"
             )
         from diffusion_models_collection_tpu.diffusion.guidance import (
             classifier_guided_model_fn,
@@ -451,27 +463,14 @@ def main():
 
         batch_model_fn = model_fn
         if sr_lr_all is not None:
-            batch_lr = sr_lr_all[start:end]
-            if len(batch_lr) < args.batch_size:  # pad to the compiled shape
-                batch_lr = np.concatenate(
-                    [batch_lr,
-                     np.repeat(batch_lr[-1:],
-                               args.batch_size - len(batch_lr), axis=0)],
-                    axis=0,
-                )
-            cond = sr_lib.make_condition(
-                sr_spec, config["image_size"],
-                lr_images=jnp.asarray(batch_lr),
-                rng=jax.random.fold_in(batch_rng, 17),
+            cond = sr_lib.batch_condition(
+                sr_spec, config["image_size"], sr_lr_all,
+                start, end, args.batch_size, batch_rng,
             )
             # cond is a Partial ARG (traced), so batches don't retrace
             batch_model_fn = sr_lib.wrap_model_fn(model_fn, cond)
 
         if classifier_fn is not None:
-            from diffusion_models_collection_tpu.diffusion.guidance import (
-                classifier_guided_model_fn,
-            )
-
             gl = guidance_labels_all[start:end]
             if len(gl) < args.batch_size:
                 gl = np.pad(gl, (0, args.batch_size - len(gl)),

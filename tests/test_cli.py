@@ -1169,3 +1169,15 @@ def test_sample_cli_classifier_guidance(workdir, classifier_workdir,
     )
     assert proc.returncode != 0
     assert "classifier" in proc.stderr
+
+    # and the swapped direction: a classifier checkpoint cannot be the
+    # main --checkpoint (clear message, not a shape error mid-scan)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "sample.py"),
+         "--checkpoint", str(cls_ckpt),
+         "--num_samples", "2", "--batch_size", "2"],
+        cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "--classifier_checkpoint" in proc.stderr

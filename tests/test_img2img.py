@@ -247,3 +247,23 @@ def test_repaint_with_cfg(init_image, half_mask):
     keep = np.asarray(half_mask) == 0.0
     np.testing.assert_allclose(np.asarray(out)[keep],
                                np.asarray(init_image)[keep], atol=1e-6)
+
+
+def test_repaint_large_jump_respects_segment_cap():
+    """repaint_jump beyond _MAX_STEPS_PER_SEGMENT still works — the
+    driver sub-splits each jump chunk to honor the per-program scan cap
+    (the renoise hop still spans the WHOLE jump)."""
+    from diffusion_models_collection_tpu.diffusion import ddpm as ddpm_mod
+
+    proc = DDPM(num_timesteps=260)
+    shape = (1, 4, 4, 3)
+    init = jnp.zeros(shape)
+    mask = jnp.ones(shape)  # regenerate everything
+    traj = proc.img2img(
+        dummy_model, init, jax.random.PRNGKey(8), strength=1.0,
+        mask=mask, repaint_jump=260, repaint_resample=2,
+        return_all_timesteps=True,
+    )
+    # 260 steps x 2 repeats, recorded across sub-segments of <= 250
+    assert traj.shape == (520,) + shape
+    assert ddpm_mod._MAX_STEPS_PER_SEGMENT == 250  # cap still the tested one

@@ -423,3 +423,41 @@ def test_sr_with_tensor_parallel(tmp_path):
     losses = [trainer.train_epoch(e) for e in range(1, 4)]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_batch_condition_helper_pads_and_cycles():
+    """The shared CLI helper: edge-padding to the compiled batch, modulo
+    cycling for small eval sets, and empty-source rejection."""
+    rng = np.random.default_rng(7)
+    spec = sr_lib.SRSpec(factor=2)
+    lr = rng.normal(size=(3, 4, 4, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+
+    # pad: slice [2:4] of a 3-image source -> 1 real + 1 padded copy
+    cond = sr_lib.batch_condition(spec, (8, 8), lr, 2, 4, 4, key)
+    assert cond.shape == (4, 8, 8, 3)
+    np.testing.assert_allclose(np.asarray(cond[1]), np.asarray(cond[2]))
+
+    # cycle: indices wrap modulo the source length
+    cond_wrap = sr_lib.batch_condition(spec, (8, 8), lr, 3, 5, 2, key,
+                                       cycle=True)
+    cond_head = sr_lib.batch_condition(spec, (8, 8), lr, 0, 2, 2, key)
+    np.testing.assert_allclose(np.asarray(cond_wrap), np.asarray(cond_head))
+
+    # without cycle, an out-of-range slice is a clear error (not a crash
+    # deep inside the jitted scan)
+    with pytest.raises(ValueError, match="empty"):
+        sr_lib.batch_condition(spec, (8, 8), lr, 5, 7, 2, key)
+    with pytest.raises(ValueError, match="empty"):
+        sr_lib.batch_condition(spec, (8, 8), lr[:0], 0, 2, 2, key)
+
+    # hr source path matches downsample-then-lr path
+    hr = rng.normal(size=(3, 8, 8, 3)).astype(np.float32)
+    via_hr = sr_lib.batch_condition(spec, (8, 8), hr, 0, 2, 2, key,
+                                    source_is_hr=True)
+    via_lr = sr_lib.batch_condition(
+        spec, (8, 8), np.asarray(sr_lib.downsample(jnp.asarray(hr), 2)),
+        0, 2, 2, key,
+    )
+    np.testing.assert_allclose(np.asarray(via_hr), np.asarray(via_lr),
+                               rtol=1e-5)

@@ -185,9 +185,9 @@ def main():
                 f"SR stage {k} expects LR {lr_hw} but the previous stage "
                 f"produces {prev_hw}"
             )
-        if cfg.get("model_params", {}).get("in_channels") != base_cfg.get(
-            "model_params", {}
-        ).get("in_channels"):
+        if int(cfg.get("model_params", {}).get("in_channels", 3)) != int(
+            base_cfg.get("model_params", {}).get("in_channels", 3)
+        ):
             raise SystemExit(
                 f"SR stage {k} channel count differs from the base stage"
             )
@@ -239,15 +239,9 @@ def main():
 
         def make_fn(start, end, batch_rng, fn=fn, cfg=cfg, spec=spec,
                     lr_all=lr_all):
-            lr = lr_all[start:end]
-            if len(lr) < args.batch_size:
-                lr = np.concatenate(
-                    [lr, np.repeat(lr[-1:], args.batch_size - len(lr),
-                                   axis=0)], axis=0,
-                )
-            cond = sr_lib.make_condition(
-                spec, cfg["image_size"], lr_images=jnp.asarray(lr),
-                rng=jax.random.fold_in(batch_rng, 17),
+            cond = sr_lib.batch_condition(
+                spec, cfg["image_size"], lr_all,
+                start, end, args.batch_size, batch_rng,
             )
             return sr_lib.wrap_model_fn(fn, cond)
 
