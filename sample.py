@@ -182,6 +182,17 @@ def main():
                              "2022 Alg. 2): denoise j steps, renoise j "
                              "levels, rerun r times — harmonizes the "
                              "inpainted region; 1 = single pass (default)")
+    parser.add_argument("--restarts", type=int, default=0,
+                        help="Restart Sampling (Xu et al. 2023, beyond "
+                             "the reference): re-inject noise and "
+                             "re-integrate the DDIM ODE K times inside "
+                             "--restart_interval; 0 = plain sampling")
+    parser.add_argument("--restart_interval", type=str, default=None,
+                        help="'t_min,t_max' training-timestep interval "
+                             "for --restarts (must contain >= 2 "
+                             "inference-grid points); default: the "
+                             "bottom 30%% of the schedule "
+                             "(1,0.3*num_timesteps)")
     parser.add_argument("--classifier_checkpoint", type=str, default=None,
                         help="Noise-conditional classifier checkpoint "
                              "(model_type 'classifier') for classifier "
@@ -336,10 +347,13 @@ def main():
             cls_params = cls_payload["model_state_dict"]
         cls_params = jax.tree_util.tree_map(jnp.asarray, cls_params)
 
-        def _cls_call(p, x, t):
-            return cls_model.apply({"params": p}, x, t, train=False)
+        # params as jit-closure constants (the eval_model_fn pattern):
+        # transferred once at compile, not re-fed per trajectory call
+        def _cls_call(x, t):
+            return cls_model.apply({"params": cls_params}, x, t,
+                                   train=False)
 
-        classifier_fn = jax.tree_util.Partial(_cls_call, cls_params)
+        classifier_fn = jax.tree_util.Partial(_cls_call)
         cls_num_classes = int(cls_config["num_classes"])
         print(f"Classifier guidance: scale {args.classifier_scale}, "
               f"{cls_num_classes} classes")
@@ -393,6 +407,20 @@ def main():
             "--repaint_resample requires --init_image and --mask "
             "(RePaint is an inpainting schedule)"
         )
+    if args.restarts > 0:
+        if args.sampling_method.lower() != "ddim" or is_flow or is_edm \
+                or is_cm:
+            raise SystemExit(
+                "--restarts is defined on the deterministic DDIM ODE "
+                "(--sampling_method ddim on a VP checkpoint)"
+            )
+        if args.init_image:
+            raise SystemExit(
+                "--restarts composes with from-noise sampling, not "
+                "img2img"
+            )
+        if float(config.get("ddim_eta", 0.0) or 0.0) != 0.0:
+            raise SystemExit("--restarts requires ddim_eta = 0")
     if args.init_image:
         if is_cm:
             raise SystemExit(
@@ -512,6 +540,25 @@ def main():
                 cfg_scale=args.cfg_scale if use_cfg else None,
                 mask=batch_mask, return_all_timesteps=return_all,
                 progress=True, **repaint_kw,
+            )
+        elif args.restarts > 0:
+            if args.restart_interval is not None:
+                lo, hi = (int(v) for v in args.restart_interval.split(","))
+            else:
+                # default: bottom 30% of THIS checkpoint's schedule (the
+                # paper restarts low-t intervals; scales with T)
+                lo, hi = 1, max(2, int(0.3 * diffusion.num_timesteps))
+            use_cfg = args.cfg_scale > 0 and conditional
+            print(f"Restart sampling batch {i + 1}/{num_batches} "
+                  f"({args.restarts} restarts in [{lo}, {hi}])"
+                  + (f" with CFG scale {args.cfg_scale}" if use_cfg
+                     else "") + "...")
+            samples = diffusion.sample_restart(
+                batch_model_fn, shape, batch_rng, y=batch_labels,
+                cfg_scale=args.cfg_scale if use_cfg else None,
+                restart_interval=(lo, hi), restarts=args.restarts,
+                init_noise=init_noise,
+                return_all_timesteps=return_all, progress=True,
             )
         elif args.cfg_scale > 0 and conditional:
             print(f"Sampling batch {i + 1}/{num_batches} with CFG scale "

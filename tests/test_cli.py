@@ -1181,3 +1181,31 @@ def test_sample_cli_classifier_guidance(workdir, classifier_workdir,
     )
     assert proc.returncode != 0
     assert "--classifier_checkpoint" in proc.stderr
+
+
+def test_sample_cli_restart(workdir, tmp_path):
+    """--restarts/--restart_interval (Restart Sampling, Xu et al. 2023)
+    through sample.py; rejected for non-ddim methods."""
+    ckpt = workdir / "ckpt" / "best_model.ckpt"
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "ddim", "--num_inference_steps", "10",
+         "--num_samples", "4", "--batch_size", "4", "--use_ema",
+         "--cfg_scale", "1.5",
+         "--restarts", "2",  # default interval: bottom 30% of T=50
+         "--output_dir", str(tmp_path / "restart")],
+        cwd=str(tmp_path),
+    )
+    assert "Restart sampling" in out
+    assert "[1, 15]" in out  # resolved from the checkpoint's schedule
+    assert (tmp_path / "restart" / "samples.png").exists()
+
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "dpm++", "--restarts", "2",
+         "--num_samples", "2", "--batch_size", "2"],
+        cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "ddim" in proc.stderr

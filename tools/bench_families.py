@@ -227,6 +227,89 @@ def leg_flow(steps):
     ))
 
 
+def sr_unet64():
+    """64px 2x-SR stage (configs/celeba64_sr_unet.py geometry at CIFAR
+    class count): consumes [x_t ; upsampled 32px conditioning]."""
+    return UNet(
+        image_size=(64, 64), in_channels=6, model_channels=128,
+        out_channels=3, num_res_blocks=2, attention_resolutions=(16, 8),
+        channel_mult=(1, 2, 2, 2), num_classes=10,
+    )
+
+
+def leg_sr_cascade():
+    """End-to-end 2-stage cascade: 32px base DDIM-50 CFG -> 2x SR stage
+    DDIM-50 (tools/cascade.py pipeline); throughput in 64px samples/s."""
+    from diffusion_models_collection_tpu.utils import sr as sr_lib
+
+    base = pixel_unet()
+    bparams = init_model_params(base, jax.random.PRNGKey(0), (32, 32), 3,
+                                True)
+    bfn = eval_model_fn(base, bparams)
+    sr = sr_unet64()
+    sparams = init_model_params(sr, jax.random.PRNGKey(1), (64, 64), 6,
+                                True)
+    sfn = eval_model_fn(sr, sparams)
+    spec = sr_lib.SRSpec(factor=2, noise_aug=0.0)
+    d32 = get_diffusion(dict(BASE_CONFIG, num_inference_steps=50), "ddim")
+    d64 = get_diffusion(dict(BASE_CONFIG, num_inference_steps=50), "ddim")
+    labels = jnp.asarray((jnp.arange(NUM_IMAGES) % 10) + 1, jnp.int32)
+
+    def run(seed):
+        base_out = d32.sample_with_cfg(
+            bfn, (NUM_IMAGES, 32, 32, 3), labels,
+            jax.random.PRNGKey(seed), cfg_scale=CFG_SCALE,
+        )
+        cond = sr_lib.make_condition(spec, (64, 64), lr_images=base_out)
+        out = d64.sample_with_cfg(
+            sr_lib.wrap_model_fn(sfn, cond), (NUM_IMAGES, 64, 64, 3),
+            labels, jax.random.PRNGKey(seed + 1000), cfg_scale=1.5,
+        )
+        return np.asarray(out[:1])
+
+    return timed(run)
+
+
+def leg_classifier_guided_ddim():
+    """DDIM-50 CFG with classifier guidance on top (diffusion/guidance
+    .py): the extra cost is one small classifier fwd+bwd fused into each
+    compiled step (configs/cifar10_classifier.py geometry)."""
+    from diffusion_models_collection_tpu.diffusion.guidance import (
+        classifier_guided_model_fn,
+    )
+    from diffusion_models_collection_tpu.models import NoisyClassifier
+
+    model = pixel_unet()
+    params = init_model_params(model, jax.random.PRNGKey(0), (32, 32), 3,
+                               True)
+    fn = eval_model_fn(model, params)
+    cls = NoisyClassifier(
+        image_size=(32, 32), in_channels=3, model_channels=64,
+        num_classes=10, num_res_blocks=2, attention_resolutions=(8,),
+        channel_mult=(1, 2, 2),
+    )
+    cls_params = init_model_params(cls, jax.random.PRNGKey(2), (32, 32),
+                                   3, False)
+
+    def _cls_call(x, t):
+        return cls.apply({"params": cls_params}, x, t, train=False)
+
+    d = get_diffusion(dict(BASE_CONFIG, num_inference_steps=50), "ddim")
+    shape = (NUM_IMAGES, 32, 32, 3)
+    labels = jnp.asarray((jnp.arange(NUM_IMAGES) % 10) + 1, jnp.int32)
+    guided = classifier_guided_model_fn(
+        fn, jax.tree_util.Partial(_cls_call), labels - 1, 2.0, d.schedule
+    )
+
+    def run(seed):
+        out = d.sample_with_cfg(guided, shape, labels,
+                                jax.random.PRNGKey(seed),
+                                cfg_scale=CFG_SCALE)
+        return np.asarray(out[:1])
+
+    return timed(run)
+
+
 def main():
     legs = {
         "pixel_unet_ddim50_cfg": leg_pixel_ddim,
@@ -237,6 +320,8 @@ def main():
         "pixel_unet_consistency1_cfg": lambda: leg_consistency(1),
         "pixel_unet_flow_euler1_cfg": lambda: leg_flow(1),
         "pixel_unet_flow_euler4_cfg": lambda: leg_flow(4),
+        "sr_cascade_32to64_ddim50x2_cfg": leg_sr_cascade,
+        "pixel_unet_ddim50_cfg_classifier_guided": leg_classifier_guided_ddim,
     }
     for name, leg in legs.items():
         sps = leg()
