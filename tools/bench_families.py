@@ -323,7 +323,10 @@ def main():
         "sr_cascade_32to64_ddim50x2_cfg": leg_sr_cascade,
         "pixel_unet_ddim50_cfg_classifier_guided": leg_classifier_guided_ddim,
     }
+    only = sys.argv[1:]  # optional substring filters: run matching legs
     for name, leg in legs.items():
+        if only and not any(s in name for s in only):
+            continue
         sps = leg()
         print(json.dumps({
             "metric": name, "value": round(sps, 2),
