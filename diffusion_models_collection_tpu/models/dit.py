@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import multihead_attention
+from ..ops import tome as tome_ops
 from . import initializers as init
 from .layers import (
     AdaLNModulation,
@@ -46,7 +47,7 @@ class SelfAttention(nn.Module):
     kv_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, key_sizes=None):
         dim = x.shape[-1]
         qkv = nn.Dense(
             3 * dim, dtype=self.dtype,
@@ -65,6 +66,7 @@ class SelfAttention(nn.Module):
             dropout_rate=self.dropout,
             deterministic=not train,
             dropout_rng=rng,
+            key_sizes=key_sizes,
         )
         return nn.Dense(
             dim, dtype=self.dtype,
@@ -113,17 +115,38 @@ class DiTBlock(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    # Token Merging (ops/tome.py, ToMeSD): merge spec.r redundant tokens
+    # before attention (proportional attention keeps merged multiplicity
+    # exact) and unmerge after, so the residual stream keeps all tokens.
+    # tome_mlp extends the merge around the MLP (fresh plan, bigger
+    # speedup, more approximation — ToMeSD's quality-vs-speed knob).
+    tome: Optional[tome_ops.ToMeSpec] = None
+    tome_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
+        if self.tome is not None and self.kv_axis is not None:
+            raise ValueError(
+                "token merging needs the full token set on one device — "
+                "it does not compose with sequence parallelism"
+            )
         (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = (
             AdaLNModulation(self.hidden_size, 6, dtype=self.dtype)(c)
         )
         h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
                          dtype=self.dtype)(x)
         h = modulate(h, shift_msa, scale_msa)
-        h = SelfAttention(self.num_heads, self.dropout, self.dtype,
-                          self.kv_axis)(h, train)
+        attn = SelfAttention(self.num_heads, self.dropout, self.dtype,
+                             self.kv_axis)
+        if self.tome is not None:
+            plan = tome_ops.build_plan(h, self.tome)
+            h = tome_ops.unmerge(
+                plan,
+                attn(tome_ops.merge(plan, h), train,
+                     key_sizes=tome_ops.sizes(plan)),
+            )
+        else:
+            h = attn(h, train)
         x = x + gate_msa[:, None, :] * h
 
         h = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
@@ -132,14 +155,19 @@ class DiTBlock(nn.Module):
         if self.num_experts > 0:
             from .moe import MoeMlp
 
-            h = MoeMlp(
+            mlp = MoeMlp(
                 int(self.hidden_size * self.mlp_ratio), self.hidden_size,
                 self.num_experts, self.moe_top_k, self.moe_capacity_factor,
                 self.dropout, self.dtype,
-            )(h, train)
+            )
         else:
-            h = Mlp(int(self.hidden_size * self.mlp_ratio), self.hidden_size,
-                    self.dropout, self.dtype)(h, train)
+            mlp = Mlp(int(self.hidden_size * self.mlp_ratio),
+                      self.hidden_size, self.dropout, self.dtype)
+        if self.tome is not None and self.tome_mlp:
+            plan = tome_ops.build_plan(h, self.tome)
+            h = tome_ops.unmerge(plan, mlp(tome_ops.merge(plan, h), train))
+        else:
+            h = mlp(h, train)
         x = x + gate_mlp[:, None, :] * h
         return x
 
@@ -193,6 +221,16 @@ class DiT(nn.Module):
     num_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
+    # Token Merging (ops/tome.py — training-free inference acceleration;
+    # no reference counterpart): fraction of patch tokens merged before
+    # every block's attention (and MLP when tome_mlp). Parameter-free —
+    # any checkpoint samples unchanged; intended for inference (set via
+    # sample.py/evaluate.py --tome_ratio), merging during training
+    # changes the objective.
+    tome_ratio: float = 0.0
+    tome_sx: int = 2
+    tome_sy: int = 2
+    tome_mlp: bool = False
 
     def _hw(self) -> Tuple[int, int]:
         if isinstance(self.img_size, int):
@@ -223,6 +261,13 @@ class DiT(nn.Module):
         block_cls = (
             nn.remat(DiTBlock, static_argnums=(3,)) if self.remat else DiTBlock
         )
+        tome_spec = (
+            tome_ops.ToMeSpec.from_ratio(
+                h_tokens, w_tokens, self.tome_ratio, self.tome_sx,
+                self.tome_sy,
+            )
+            if self.tome_ratio else None
+        )
         for i in range(self.depth):
             # explicit name keeps the param tree identical whether or not
             # remat wraps the class (checkpoints stay interchangeable)
@@ -231,6 +276,7 @@ class DiT(nn.Module):
                 self.dtype, num_experts=self.num_experts,
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
+                tome=tome_spec, tome_mlp=self.tome_mlp,
                 name=f"DiTBlock_{i}",
             )(x, c, train)
 

@@ -38,19 +38,26 @@ def dot_product_attention(
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
+    key_sizes: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over (B, H, L, Dh) tensors.
 
     Dropout is applied to the attention probabilities, matching torch
     `nn.MultiheadAttention(dropout=p)` semantics used by DiT blocks.
+
+    `key_sizes` (B, Lk) enables proportional attention (ToMe §3.2,
+    ops/tome.py): log(size) is added to the key logits so a merged key
+    representing s tokens attracts softmax mass as if present s times
+    (exact for duplicated tokens). All-ones is a no-op.
     """
     # Flash kernel (opt-in only — see module docstring): usable whenever
     # attention dropout is inactive (it has a custom_vjp flash backward
-    # but no probability-dropout path).
+    # but no probability-dropout path) and no key bias is requested.
     if (
         os.environ.get(_FORCE_FLASH_ENV, "0") == "1"
         and dispatch.pallas_enabled()
         and (deterministic or dropout_rate == 0.0)
+        and key_sizes is None
     ):
         from . import flash_attention
 
@@ -60,6 +67,10 @@ def dot_product_attention(
     head_dim = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, dtype=q.dtype))
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if key_sizes is not None:
+        logits = logits + jnp.log(key_sizes.astype(logits.dtype))[
+            :, None, None, :
+        ]
     probs = jax.nn.softmax(logits, axis=-1)
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
@@ -76,6 +87,7 @@ def multihead_attention(
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
+    key_sizes: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Attention over (B, L, D) tensors split into `num_heads` heads."""
     batch, length, dim = q.shape
@@ -91,5 +103,6 @@ def multihead_attention(
         dropout_rate=dropout_rate,
         deterministic=deterministic,
         dropout_rng=dropout_rng,
+        key_sizes=key_sizes,
     )
     return out.transpose(0, 2, 1, 3).reshape(batch, length, dim)

@@ -67,6 +67,23 @@ def build_optimizer(config: dict, updates_per_epoch: int):
             optax.add_decayed_weights(wd) if wd else optax.identity(),
             optax.adam(learning_rate=lr_schedule),
         )
+    # extensions beyond the reference's adam/adamw (train.py:131-150):
+    # large-model optimizer-state levers. adafactor factors the second
+    # moment into row+col accumulators (O(n+m) instead of O(nm) state —
+    # the classic TPU HBM saver); lion keeps only momentum (half of
+    # adam's state) with sign updates.
+    elif opt_type == "adafactor":
+        core = optax.adafactor(
+            learning_rate=lr_schedule,
+            weight_decay_rate=wd if wd else None,
+            # diffusion LRs are absolute (config learning_rate), not
+            # parameter-scale-relative
+            multiply_by_parameter_scale=False,
+            # clip_by_global_norm below is the reference-parity clip;
+            # adafactor's internal update clipping stays at its default
+        )
+    elif opt_type == "lion":
+        core = optax.lion(learning_rate=lr_schedule, weight_decay=wd)
     else:
         raise ValueError(f"Unknown optimizer: {opt_type}")
     tx = optax.chain(optax.clip_by_global_norm(1.0), core)

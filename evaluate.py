@@ -86,6 +86,12 @@ def main():
                         help="Guide only inside this 'lo,hi' timestep "
                              "interval (Kynkaanniemi et al. 2024); "
                              "overrides the config key")
+    parser.add_argument("--tome_ratio", type=float, default=0.0,
+                        help="Token Merging (DiT only): merge this "
+                             "fraction of patch tokens per block during "
+                             "generation — measures ToMe's quality cost")
+    parser.add_argument("--tome_mlp", action="store_true",
+                        help="extend --tome_ratio merging to block MLPs")
     parser.add_argument("--inception_weights", type=str, default=None,
                         help="torchvision inception_v3 .pth (or converted "
                              ".npz) to calibrate FID/IS; defaults to env "
@@ -103,6 +109,16 @@ def main():
     config = load_config(Path(args.config)) if args.config else checkpoint["config"]
     if args.mixed_precision is not None:
         config["mixed_precision"] = args.mixed_precision
+    if args.tome_ratio > 0:
+        # Token Merging (ops/tome.py): evaluate.py is where its
+        # quality-vs-speed trade gets measured against the metrics
+        if str(config.get("model_type", "")).lower() != "dit":
+            raise SystemExit("--tome_ratio applies to DiT checkpoints")
+        mp = dict(config.get("model_params", {}))
+        mp["tome_ratio"] = args.tome_ratio
+        if args.tome_mlp:
+            mp["tome_mlp"] = True
+        config["model_params"] = mp
     if args.guidance_rescale is not None:
         config["guidance_rescale"] = args.guidance_rescale
     if args.cfg_interval is not None:

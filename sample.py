@@ -193,6 +193,15 @@ def main():
                              "inference-grid points); default: the "
                              "bottom 30%% of the schedule "
                              "(1,0.3*num_timesteps)")
+    parser.add_argument("--tome_ratio", type=float, default=0.0,
+                        help="Token Merging (ToMe, beyond the reference; "
+                             "DiT checkpoints only): merge this fraction "
+                             "of patch tokens before every block's "
+                             "attention — training-free inference "
+                             "speedup; 0 = off")
+    parser.add_argument("--tome_mlp", action="store_true",
+                        help="extend --tome_ratio merging around each "
+                             "block's MLP too (faster, coarser)")
     parser.add_argument("--classifier_checkpoint", type=str, default=None,
                         help="Noise-conditional classifier checkpoint "
                              "(model_type 'classifier') for classifier "
@@ -255,6 +264,21 @@ def main():
         config["num_inference_steps"] = 50
     if args.mixed_precision is not None:
         config["mixed_precision"] = args.mixed_precision
+    if args.tome_ratio > 0:
+        # Token Merging (ops/tome.py): parameter-free, so it applies to
+        # any existing DiT checkpoint — model fields only, params as-is
+        if str(config.get("model_type", "")).lower() != "dit":
+            raise SystemExit(
+                "--tome_ratio is a DiT token-merging knob (the UNet has "
+                "no token stream; DiM's scan is already linear in L)"
+            )
+        mp = dict(config.get("model_params", {}))
+        mp["tome_ratio"] = args.tome_ratio
+        if args.tome_mlp:
+            mp["tome_mlp"] = True
+        config["model_params"] = mp
+        print(f"Token merging: ratio {args.tome_ratio}"
+              + (" (attention + MLP)" if args.tome_mlp else " (attention)"))
     if args.guidance_rescale is not None:
         config["guidance_rescale"] = args.guidance_rescale
     if args.cfg_interval is not None:

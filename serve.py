@@ -60,13 +60,24 @@ class SamplerService:
                  num_inference_steps: int | None = None, batch_size: int = 16,
                  use_ema: bool = False, config: dict | None = None,
                  mixed_precision: str | None = None, max_queue: int = 8,
-                 continuous: bool = False):
+                 continuous: bool = False, tome_ratio: float = 0.0,
+                 tome_mlp: bool = False):
         payload = load_checkpoint(checkpoint_path)
         self.config = config or payload.get("config")
         if self.config is None:
             raise ValueError("checkpoint has no embedded config; pass one")
         if mixed_precision is not None:
             self.config = dict(self.config, mixed_precision=mixed_precision)
+        if tome_ratio > 0:
+            # Token Merging (ops/tome.py) — parameter-free DiT serving
+            # acceleration; rejected for other model types
+            if str(self.config.get("model_type", "")).lower() != "dit":
+                raise ValueError("tome_ratio applies to DiT checkpoints")
+            mp = dict(self.config.get("model_params", {}),
+                      tome_ratio=float(tome_ratio))
+            if tome_mlp:
+                mp["tome_mlp"] = True
+            self.config = dict(self.config, model_params=mp)
         if self.config.get("super_resolution"):
             raise ValueError(
                 "super-resolution checkpoints are not servable: each "
@@ -369,6 +380,12 @@ def main(argv=None):
                              "DDIM engine over --batch_size slots; requests "
                              "join mid-flight instead of waiting for whole "
                              "batch trajectories")
+    parser.add_argument("--tome_ratio", type=float, default=0.0,
+                        help="Token Merging (DiT checkpoints): merge this "
+                             "fraction of patch tokens per block — "
+                             "training-free serving speedup; 0 = off")
+    parser.add_argument("--tome_mlp", action="store_true",
+                        help="extend --tome_ratio merging to block MLPs")
     args = parser.parse_args(argv)
 
     service = SamplerService(
@@ -380,6 +397,8 @@ def main(argv=None):
         mixed_precision=args.mixed_precision,
         max_queue=args.max_queue,
         continuous=args.continuous,
+        tome_ratio=args.tome_ratio,
+        tome_mlp=args.tome_mlp,
     )
     print("Warming up (compiling the sampler)...", flush=True)
     dt = service.warmup()

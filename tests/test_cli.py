@@ -1209,3 +1209,79 @@ def test_sample_cli_restart(workdir, tmp_path):
     )
     assert proc.returncode != 0
     assert "ddim" in proc.stderr
+
+
+def test_sample_cli_tome(workdir, tmp_path):
+    """--tome_ratio (Token Merging, ops/tome.py) on a DiT checkpoint
+    through sample.py; rejected for non-DiT checkpoints."""
+    cfg = {
+        "project_name": "diffusion-models",
+        "experiment_name": "tome-smoke-dit",
+        "model_type": "dit",
+        # patch 2 on 8x8 -> a 4x4 token grid: 4 ToMe dsts, 12 srcs
+        "model_params": {
+            "in_channels": 3, "patch_size": 2, "hidden_size": 32,
+            "depth": 2, "num_heads": 4,
+        },
+        "dataset": "synthetic",
+        "data_root": "./data",
+        "image_size": (8, 8),
+        "conditional": True,
+        "num_classes": 10,
+        "num_timesteps": 10,
+        "beta_start": 1e-4,
+        "beta_end": 0.02,
+        "beta_schedule": "linear",
+        "loss_type": "l2",
+        "cfg_scale": 1.4,
+        "num_inference_steps": 5,
+        "ddim_eta": 0.0,
+        "epochs": 1,
+        "batch_size": 16,
+        "optimizer": "adamw",
+        "learning_rate": 1e-3,
+        "weight_decay": 0.0,
+        "gradient_accumulation_steps": 1,
+        "use_ema": True,
+        "ema_decay": 0.99,
+        "cfg_dropout_prob": 0.2,
+        "use_scheduler": False,
+        "save_dir": str(tmp_path / "ckpt"),
+        "save_interval": 10,
+        "resume_path": None,
+        "sample_dir": str(tmp_path / "gen"),
+        "sample_interval": 100,
+        "sample_start_epoch": 100,
+        "num_samples": 4,
+        "use_swanlab": False,
+        "seed": 42,
+    }
+    cfg_path = tmp_path / "tome_dit.py"
+    cfg_path.write_text(f"config = {cfg!r}\n")
+    out = run([str(REPO / "train.py"), "--config", str(cfg_path)],
+              cwd=str(tmp_path))
+    assert "Training completed!" in out
+
+    out = run(
+        [str(REPO / "sample.py"),
+         "--checkpoint", str(tmp_path / "ckpt" / "best_model.ckpt"),
+         "--sampling_method", "ddim", "--num_inference_steps", "5",
+         "--num_samples", "4", "--batch_size", "4", "--use_ema",
+         "--cfg_scale", "1.5", "--tome_ratio", "0.5", "--tome_mlp",
+         "--output_dir", str(tmp_path / "tome_out")],
+        cwd=str(tmp_path),
+    )
+    assert "Token merging: ratio 0.5" in out
+    assert (tmp_path / "tome_out" / "samples.png").exists()
+
+    # non-DiT checkpoint (the shared UNet workdir) is rejected
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "sample.py"),
+         "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+         "--sampling_method", "ddim", "--tome_ratio", "0.5",
+         "--num_samples", "2", "--batch_size", "2"],
+        cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "DiT" in proc.stderr

@@ -312,3 +312,10 @@ def test_serve_consistency_checkpoint(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_tome_rejected_for_non_dit(checkpoint):
+    """--tome_ratio (ops/tome.py) is a DiT knob; the UNet checkpoint is
+    refused at service construction, before any compile."""
+    with pytest.raises(ValueError, match="DiT"):
+        serve_mod.SamplerService(checkpoint, batch_size=4, tome_ratio=0.5)

@@ -355,3 +355,21 @@ def test_pp_rejects_indivisible_num_samples(tmp_path):
     with pytest.raises(ValueError, match="num_samples"):
         make_trainer(tmp_path, model_type="dit", model_params=_DIT_PARAMS,
                      batch_size=16, num_samples=6, pipeline_parallel=2)
+
+
+@pytest.mark.parametrize("opt", ["adafactor", "lion"])
+def test_extension_optimizers_train(tmp_path, opt):
+    """Beyond the reference's adam/adamw: adafactor (factored second
+    moment — the TPU optimizer-HBM saver) and lion (momentum-only) train
+    the smoke model to a decreasing loss through the same jitted step."""
+    trainer, _ = make_trainer(tmp_path, optimizer=opt,
+                              weight_decay=1e-4, learning_rate=3e-4)
+    first = trainer.train_epoch(1)
+    last = trainer.train_epoch(2)
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first
+
+
+def test_unknown_optimizer_raises(tmp_path):
+    with pytest.raises(ValueError, match="optimizer"):
+        make_trainer(tmp_path, optimizer="sgdw")

@@ -310,6 +310,33 @@ def leg_classifier_guided_ddim():
     return timed(run)
 
 
+def leg_dit_tome(tome_ratio, tome_mlp=False, img=32):
+    """DiT (configs/cifar10_dit.py geometry: hidden 384, depth 12,
+    patch 2 -> L=(img/2)^2 tokens) DDIM-50 fused-CFG, with Token Merging
+    (ops/tome.py) at the given ratio; 0 = the ToMe-off baseline."""
+    from diffusion_models_collection_tpu.models import DiT
+
+    model = DiT(
+        img_size=(img, img), patch_size=2, in_channels=3,
+        hidden_size=384, depth=12, num_heads=6, num_classes=10,
+        dropout=0.0, tome_ratio=tome_ratio, tome_mlp=tome_mlp,
+    )
+    params = init_model_params(model, jax.random.PRNGKey(0), (img, img),
+                               3, True)
+    params = jax.device_put(params, jax.devices()[0])
+    fn = eval_model_fn(model, params)
+    d = get_diffusion(dict(BASE_CONFIG, num_inference_steps=50), "ddim")
+    shape = (NUM_IMAGES, img, img, 3)
+    labels = jnp.asarray((jnp.arange(NUM_IMAGES) % 10) + 1, jnp.int32)
+
+    def run(seed):
+        out = d.sample_with_cfg(fn, shape, labels, jax.random.PRNGKey(seed),
+                                cfg_scale=CFG_SCALE)
+        return np.asarray(out[:1])
+
+    return timed(run)
+
+
 def main():
     legs = {
         "pixel_unet_ddim50_cfg": leg_pixel_ddim,
@@ -322,6 +349,12 @@ def main():
         "pixel_unet_flow_euler4_cfg": lambda: leg_flow(4),
         "sr_cascade_32to64_ddim50x2_cfg": leg_sr_cascade,
         "pixel_unet_ddim50_cfg_classifier_guided": leg_classifier_guided_ddim,
+        "dit_ddim50_cfg_tome0": lambda: leg_dit_tome(0.0),
+        "dit_ddim50_cfg_tome50": lambda: leg_dit_tome(0.5),
+        "dit_ddim50_cfg_tome50_mlp": lambda: leg_dit_tome(0.5, True),
+        "dit64_ddim50_cfg_tome0": lambda: leg_dit_tome(0.0, img=64),
+        "dit64_ddim50_cfg_tome50_mlp": lambda: leg_dit_tome(
+            0.5, True, img=64),
     }
     only = sys.argv[1:]  # optional substring filters: run matching legs
     for name, leg in legs.items():
