@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from ..ops import multihead_attention
 from ..ops import tome as tome_ops
+from ..ops.quant import dense_layer
 from . import initializers as init
 from .layers import (
     AdaLNModulation,
@@ -45,12 +46,16 @@ class SelfAttention(nn.Module):
     # token shard; Q stays local while K/V are all-gathered over the axis
     # (one tiled all-gather each per block, riding ICI). No param change.
     kv_axis: Optional[str] = None
+    # int8 w8a8 inference (ops/quant.py): 'int8' swaps both projections
+    # for the MXU int8 path; param tree unchanged (fp32 checkpoints load
+    # as-is, weights quantize at compile as jit constants)
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, key_sizes=None):
         dim = x.shape[-1]
-        qkv = nn.Dense(
-            3 * dim, dtype=self.dtype,
+        qkv = dense_layer(
+            self.quant, 3 * dim, name="Dense_0", dtype=self.dtype,
             kernel_init=init.xavier_uniform, bias_init=init.zeros
         )(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -68,8 +73,8 @@ class SelfAttention(nn.Module):
             dropout_rng=rng,
             key_sizes=key_sizes,
         )
-        return nn.Dense(
-            dim, dtype=self.dtype,
+        return dense_layer(
+            self.quant, dim, name="Dense_1", dtype=self.dtype,
             kernel_init=init.xavier_uniform, bias_init=init.zeros
         )(out)
 
@@ -81,17 +86,18 @@ class Mlp(nn.Module):
     out_dim: int
     dropout: float = 0.1
     dtype: Optional[Dtype] = None
+    quant: Optional[str] = None  # see SelfAttention.quant
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Dense(
-            self.hidden_dim, dtype=self.dtype,
+        x = dense_layer(
+            self.quant, self.hidden_dim, name="Dense_0", dtype=self.dtype,
             kernel_init=init.xavier_uniform, bias_init=init.zeros
         )(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(
-            self.out_dim, dtype=self.dtype,
+        x = dense_layer(
+            self.quant, self.out_dim, name="Dense_1", dtype=self.dtype,
             kernel_init=init.xavier_uniform, bias_init=init.zeros
         )(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -122,6 +128,9 @@ class DiTBlock(nn.Module):
     # speedup, more approximation — ToMeSD's quality-vs-speed knob).
     tome: Optional[tome_ops.ToMeSpec] = None
     tome_mlp: bool = False
+    # int8 w8a8 inference (ops/quant.py): quantizes the block's four big
+    # matmuls (qkv/out/mlp); adaLN stays fp32 (tiny, conditioning-critical)
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
@@ -130,6 +139,11 @@ class DiTBlock(nn.Module):
                 "token merging needs the full token set on one device — "
                 "it does not compose with sequence parallelism"
             )
+        if self.quant is not None and train:
+            raise ValueError(
+                "quant='int8' is inference-only (rounding has no "
+                "gradient); train with fp32/bf16 and quantize at serving"
+            )
         (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = (
             AdaLNModulation(self.hidden_size, 6, dtype=self.dtype)(c)
         )
@@ -137,7 +151,7 @@ class DiTBlock(nn.Module):
                          dtype=self.dtype)(x)
         h = modulate(h, shift_msa, scale_msa)
         attn = SelfAttention(self.num_heads, self.dropout, self.dtype,
-                             self.kv_axis)
+                             self.kv_axis, quant=self.quant)
         if self.tome is not None:
             plan = tome_ops.build_plan(h, self.tome)
             h = tome_ops.unmerge(
@@ -162,7 +176,8 @@ class DiTBlock(nn.Module):
             )
         else:
             mlp = Mlp(int(self.hidden_size * self.mlp_ratio),
-                      self.hidden_size, self.dropout, self.dtype)
+                      self.hidden_size, self.dropout, self.dtype,
+                      quant=self.quant)
         if self.tome is not None and self.tome_mlp:
             plan = tome_ops.build_plan(h, self.tome)
             h = tome_ops.unmerge(plan, mlp(tome_ops.merge(plan, h), train))
@@ -231,6 +246,12 @@ class DiT(nn.Module):
     tome_sx: int = 2
     tome_sy: int = 2
     tome_mlp: bool = False
+    # int8 w8a8 inference (ops/quant.py — no reference counterpart):
+    # 'int8' contracts every block's qkv/out/mlp matmul through the v5e
+    # MXU int8 path (per-token dynamic activation scales, per-channel
+    # weight scales folded at compile). Param tree unchanged — any fp32
+    # checkpoint applies; set via sample.py/serve.py --quantize int8.
+    quant: Optional[str] = None
 
     def _hw(self) -> Tuple[int, int]:
         if isinstance(self.img_size, int):
@@ -276,7 +297,7 @@ class DiT(nn.Module):
                 self.dtype, num_experts=self.num_experts,
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
-                tome=tome_spec, tome_mlp=self.tome_mlp,
+                tome=tome_spec, tome_mlp=self.tome_mlp, quant=self.quant,
                 name=f"DiTBlock_{i}",
             )(x, c, train)
 

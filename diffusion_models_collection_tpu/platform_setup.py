@@ -27,18 +27,36 @@ def host_fingerprinted_cache_dir(base: str) -> str:
     import platform
 
     try:
-        flags = ""
+        flags = model = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
                 # x86 Linux: 'flags'; ARM Linux: 'Features' — without the
                 # ARM spelling every aarch64 host would hash identically
                 # and the protection would silently do nothing there
-                if line.startswith(("flags", "Features")):
+                if line.startswith(("flags", "Features")) and not flags:
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                # model name distinguishes CPUs whose feature-flag SETS
+                # hash identically but whose XLA target-feature choices
+                # differ (+prefer-no-scatter/-gather are uarch-dependent
+                # XLA decisions, invisible in cpuinfo flags) — a
+                # flags-only fingerprint segfaulted mid-suite
+                # deserializing such an entry
+                if line.startswith("model name") and not model:
+                    model = line.split(":", 1)[1].strip()
+                if flags and model:
                     break
     except OSError:
-        flags = "unknown"
-    fingerprint = f"{platform.machine()}:{flags}"
+        flags = model = "unknown"
+    # jaxlib version: the serialized-executable format is not stable
+    # across XLA releases — deserializing an old-format entry is another
+    # (observed) segfault class
+    try:
+        import jaxlib.version
+
+        jl = jaxlib.version.__version__
+    except Exception:
+        jl = "unknown"
+    fingerprint = f"{platform.machine()}:{model}:{jl}:{flags}"
     tag = hashlib.sha256(fingerprint.encode()).hexdigest()[:12]
     return os.path.join(base, f"host_{tag}")
 

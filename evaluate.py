@@ -92,6 +92,10 @@ def main():
                              "generation — measures ToMe's quality cost")
     parser.add_argument("--tome_mlp", action="store_true",
                         help="extend --tome_ratio merging to block MLPs")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="w8a8 int8 inference (DiT only) — measures "
+                             "the quantization quality cost")
     parser.add_argument("--inception_weights", type=str, default=None,
                         help="torchvision inception_v3 .pth (or converted "
                              ".npz) to calibrate FID/IS; defaults to env "
@@ -119,6 +123,12 @@ def main():
         if args.tome_mlp:
             mp["tome_mlp"] = True
         config["model_params"] = mp
+    if args.quantize:
+        if str(config.get("model_type", "")).lower() != "dit":
+            raise SystemExit("--quantize applies to DiT checkpoints")
+        config["model_params"] = dict(
+            config.get("model_params", {}), quant=args.quantize
+        )
     if args.guidance_rescale is not None:
         config["guidance_rescale"] = args.guidance_rescale
     if args.cfg_interval is not None:

@@ -202,6 +202,13 @@ def main():
     parser.add_argument("--tome_mlp", action="store_true",
                         help="extend --tome_ratio merging around each "
                              "block's MLP too (faster, coarser)")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="w8a8 int8 inference (beyond the reference; "
+                             "DiT checkpoints only): contract the block "
+                             "matmuls through the MXU int8 path — "
+                             "per-token dynamic activation scales, "
+                             "weights quantized at compile")
     parser.add_argument("--classifier_checkpoint", type=str, default=None,
                         help="Noise-conditional classifier checkpoint "
                              "(model_type 'classifier') for classifier "
@@ -279,6 +286,17 @@ def main():
         config["model_params"] = mp
         print(f"Token merging: ratio {args.tome_ratio}"
               + (" (attention + MLP)" if args.tome_mlp else " (attention)"))
+    if args.quantize:
+        # int8 w8a8 inference (ops/quant.py): parameter-free config-level
+        # switch, any fp32 DiT checkpoint applies
+        if str(config.get("model_type", "")).lower() != "dit":
+            raise SystemExit(
+                "--quantize int8 is implemented for DiT checkpoints (the "
+                "UNet is conv-bound; int8 convs showed no MXU win)"
+            )
+        mp = dict(config.get("model_params", {}), quant=args.quantize)
+        config["model_params"] = mp
+        print(f"Quantized inference: {args.quantize}")
     if args.guidance_rescale is not None:
         config["guidance_rescale"] = args.guidance_rescale
     if args.cfg_interval is not None:

@@ -61,7 +61,7 @@ class SamplerService:
                  use_ema: bool = False, config: dict | None = None,
                  mixed_precision: str | None = None, max_queue: int = 8,
                  continuous: bool = False, tome_ratio: float = 0.0,
-                 tome_mlp: bool = False):
+                 tome_mlp: bool = False, quantize: str | None = None):
         payload = load_checkpoint(checkpoint_path)
         self.config = config or payload.get("config")
         if self.config is None:
@@ -78,6 +78,15 @@ class SamplerService:
             if tome_mlp:
                 mp["tome_mlp"] = True
             self.config = dict(self.config, model_params=mp)
+        if quantize:
+            # int8 w8a8 serving (ops/quant.py); composes with tome
+            if str(self.config.get("model_type", "")).lower() != "dit":
+                raise ValueError("quantize applies to DiT checkpoints")
+            self.config = dict(
+                self.config,
+                model_params=dict(self.config.get("model_params", {}),
+                                  quant=str(quantize)),
+            )
         if self.config.get("super_resolution"):
             raise ValueError(
                 "super-resolution checkpoints are not servable: each "
@@ -386,6 +395,10 @@ def main(argv=None):
                              "training-free serving speedup; 0 = off")
     parser.add_argument("--tome_mlp", action="store_true",
                         help="extend --tome_ratio merging to block MLPs")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["int8"],
+                        help="w8a8 int8 serving (DiT checkpoints): block "
+                             "matmuls on the MXU int8 path")
     args = parser.parse_args(argv)
 
     service = SamplerService(
@@ -399,6 +412,7 @@ def main(argv=None):
         continuous=args.continuous,
         tome_ratio=args.tome_ratio,
         tome_mlp=args.tome_mlp,
+        quantize=args.quantize,
     )
     print("Warming up (compiling the sampler)...", flush=True)
     dt = service.warmup()

@@ -1274,14 +1274,28 @@ def test_sample_cli_tome(workdir, tmp_path):
     assert "Token merging: ratio 0.5" in out
     assert (tmp_path / "tome_out" / "samples.png").exists()
 
-    # non-DiT checkpoint (the shared UNet workdir) is rejected
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "sample.py"),
-         "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
-         "--sampling_method", "ddim", "--tome_ratio", "0.5",
-         "--num_samples", "2", "--batch_size", "2"],
-        cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
-        timeout=300,
+    # int8 w8a8 inference (ops/quant.py) on the same fp32 checkpoint
+    out = run(
+        [str(REPO / "sample.py"),
+         "--checkpoint", str(tmp_path / "ckpt" / "best_model.ckpt"),
+         "--sampling_method", "ddim", "--num_inference_steps", "5",
+         "--num_samples", "4", "--batch_size", "4", "--use_ema",
+         "--quantize", "int8",
+         "--output_dir", str(tmp_path / "int8_out")],
+        cwd=str(tmp_path),
     )
-    assert proc.returncode != 0
-    assert "DiT" in proc.stderr
+    assert "Quantized inference: int8" in out
+    assert (tmp_path / "int8_out" / "samples.png").exists()
+
+    # non-DiT checkpoint (the shared UNet workdir) is rejected for both
+    for flag in (["--tome_ratio", "0.5"], ["--quantize", "int8"]):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "sample.py"),
+             "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+             "--sampling_method", "ddim", *flag,
+             "--num_samples", "2", "--batch_size", "2"],
+            cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert proc.returncode != 0
+        assert "DiT" in proc.stderr

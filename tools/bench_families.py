@@ -310,7 +310,7 @@ def leg_classifier_guided_ddim():
     return timed(run)
 
 
-def leg_dit_tome(tome_ratio, tome_mlp=False, img=32):
+def leg_dit_tome(tome_ratio, tome_mlp=False, img=32, quant=None):
     """DiT (configs/cifar10_dit.py geometry: hidden 384, depth 12,
     patch 2 -> L=(img/2)^2 tokens) DDIM-50 fused-CFG, with Token Merging
     (ops/tome.py) at the given ratio; 0 = the ToMe-off baseline."""
@@ -320,6 +320,7 @@ def leg_dit_tome(tome_ratio, tome_mlp=False, img=32):
         img_size=(img, img), patch_size=2, in_channels=3,
         hidden_size=384, depth=12, num_heads=6, num_classes=10,
         dropout=0.0, tome_ratio=tome_ratio, tome_mlp=tome_mlp,
+        quant=quant,
     )
     params = init_model_params(model, jax.random.PRNGKey(0), (img, img),
                                3, True)
@@ -355,6 +356,11 @@ def main():
         "dit64_ddim50_cfg_tome0": lambda: leg_dit_tome(0.0, img=64),
         "dit64_ddim50_cfg_tome50_mlp": lambda: leg_dit_tome(
             0.5, True, img=64),
+        "dit_ddim50_cfg_int8": lambda: leg_dit_tome(0.0, quant="int8"),
+        "dit_ddim50_cfg_int8_tome50": lambda: leg_dit_tome(
+            0.5, quant="int8"),
+        "dit64_ddim50_cfg_int8": lambda: leg_dit_tome(
+            0.0, img=64, quant="int8"),
     }
     only = sys.argv[1:]  # optional substring filters: run matching legs
     for name, leg in legs.items():
