@@ -50,6 +50,9 @@ class SelfAttention(nn.Module):
     # for the MXU int8 path; param tree unchanged (fp32 checkpoints load
     # as-is, weights quantize at compile as jit constants)
     quant: Optional[str] = None
+    # PAG degradation (diffusion/pag.py): identity attention map — the
+    # attention output IS v; projections still apply. Parameter-free.
+    perturb: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, key_sizes=None):
@@ -63,7 +66,7 @@ class SelfAttention(nn.Module):
             k = jax.lax.all_gather(k, self.kv_axis, axis=1, tiled=True)
             v = jax.lax.all_gather(v, self.kv_axis, axis=1, tiled=True)
         rng = self.make_rng("dropout") if (train and self.dropout > 0) else None
-        out = multihead_attention(
+        out = v if self.perturb else multihead_attention(
             q,
             k,
             v,
@@ -131,6 +134,7 @@ class DiTBlock(nn.Module):
     # int8 w8a8 inference (ops/quant.py): quantizes the block's four big
     # matmuls (qkv/out/mlp); adaLN stays fp32 (tiny, conditioning-critical)
     quant: Optional[str] = None
+    pag_perturb: bool = False  # see SelfAttention.perturb
 
     @nn.compact
     def __call__(self, x, c, train: bool = False):
@@ -151,8 +155,11 @@ class DiTBlock(nn.Module):
                          dtype=self.dtype)(x)
         h = modulate(h, shift_msa, scale_msa)
         attn = SelfAttention(self.num_heads, self.dropout, self.dtype,
-                             self.kv_axis, quant=self.quant)
-        if self.tome is not None:
+                             self.kv_axis, quant=self.quant,
+                             perturb=self.pag_perturb)
+        if self.tome is not None and not self.pag_perturb:
+            # (identity attention is token-local — merging would only
+            # change the degradation, not save work, so PAG bypasses it)
             plan = tome_ops.build_plan(h, self.tome)
             h = tome_ops.unmerge(
                 plan,
@@ -252,6 +259,8 @@ class DiT(nn.Module):
     # weight scales folded at compile). Param tree unchanged — any fp32
     # checkpoint applies; set via sample.py/serve.py --quantize int8.
     quant: Optional[str] = None
+    # PAG degradation (diffusion/pag.py): identity attention everywhere.
+    pag_perturb: bool = False
 
     def _hw(self) -> Tuple[int, int]:
         if isinstance(self.img_size, int):
@@ -298,6 +307,7 @@ class DiT(nn.Module):
                 moe_top_k=self.moe_top_k,
                 moe_capacity_factor=self.moe_capacity_factor,
                 tome=tome_spec, tome_mlp=self.tome_mlp, quant=self.quant,
+                pag_perturb=self.pag_perturb,
                 name=f"DiTBlock_{i}",
             )(x, c, train)
 

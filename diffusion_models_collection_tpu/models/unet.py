@@ -116,10 +116,17 @@ class ResidualBlock(nn.Module):
 
 
 class AttentionBlock(nn.Module):
-    """Spatial self-attention over H*W tokens (parity: unet.py:75-99)."""
+    """Spatial self-attention over H*W tokens (parity: unet.py:75-99).
+
+    `perturb=True` replaces the attention map with the identity (every
+    token attends only itself, so the attention output IS v) — the
+    Perturbed Attention Guidance degradation (Ahn et al. 2024,
+    diffusion/pag.py). Parameter-free: the same weights run both ways.
+    """
 
     num_heads: int = 4
     dtype: Optional[Dtype] = None
+    perturb: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -127,7 +134,8 @@ class AttentionBlock(nn.Module):
         hidden = nn.GroupNorm(num_groups=8, epsilon=1e-5)(x.astype(jnp.float32))
         qkv = _conv1(3 * c, c, dtype=self.dtype)(hidden).reshape(b, h * w, 3, c)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = multihead_attention(q, k, v, self.num_heads)
+        out = v if self.perturb else multihead_attention(q, k, v,
+                                                         self.num_heads)
         out = _conv1(c, c, dtype=self.dtype)(out.reshape(b, h, w, c))
         return x + out
 
@@ -172,6 +180,11 @@ class UNet(nn.Module):
     use_attention: bool = True
     dtype: Optional[Dtype] = None
     remat: bool = False
+    # Perturbed Attention Guidance degradation (diffusion/pag.py — no
+    # reference counterpart): True replaces every attention map with the
+    # identity. Parameter-free; the guidance wrapper runs the same
+    # checkpoint once normal, once perturbed.
+    pag_perturb: bool = False
 
     @nn.compact
     def __call__(self, x, t, y=None, train: bool = False):
@@ -213,7 +226,7 @@ class UNet(nn.Module):
                 h = res_block_cls(out_ch, conditional, self.dropout,
                                   self.dtype)(h, t_emb, y_emb, train)
                 if attend_here(resolution):
-                    h = AttentionBlock(dtype=self.dtype)(h)
+                    h = AttentionBlock(dtype=self.dtype, perturb=self.pag_perturb)(h)
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
                 h = Downsample(self.dtype)(h)
@@ -226,7 +239,7 @@ class UNet(nn.Module):
         h = res_block_cls(ch, conditional, self.dropout, self.dtype)(
             h, t_emb, y_emb, train)
         if self.use_attention:
-            h = AttentionBlock(dtype=self.dtype)(h)
+            h = AttentionBlock(dtype=self.dtype, perturb=self.pag_perturb)(h)
         h = res_block_cls(ch, conditional, self.dropout, self.dtype)(
             h, t_emb, y_emb, train)
 
@@ -241,7 +254,7 @@ class UNet(nn.Module):
                     self.dtype,
                 )(h, t_emb, y_emb, train)
                 if attend_here(resolution):
-                    h = AttentionBlock(dtype=self.dtype)(h)
+                    h = AttentionBlock(dtype=self.dtype, perturb=self.pag_perturb)(h)
                 if level != len(self.channel_mult) - 1 and i == self.num_res_blocks:
                     h = Upsample(self.dtype)(h)
                     resolution[0] *= 2

@@ -96,6 +96,11 @@ def main():
                         choices=["int8"],
                         help="w8a8 int8 inference (DiT only) — measures "
                              "the quantization quality cost")
+    parser.add_argument("--pag_scale", type=float, default=0.0,
+                        help="Perturbed Attention Guidance strength (Ahn "
+                             "et al. 2024; UNet/DiT, eps-VP checkpoints) "
+                             "during generation — measures PAG's quality "
+                             "effect on the metrics; 0 = off")
     parser.add_argument("--inception_weights", type=str, default=None,
                         help="torchvision inception_v3 .pth (or converted "
                              ".npz) to calibrate FID/IS; defaults to env "
@@ -153,6 +158,49 @@ def main():
     is_flow = dtype_key in ("flow", "flow_matching", "rectified_flow")
     is_edm = dtype_key == "edm"
     is_cm = dtype_key == "consistency"
+
+    # Perturbed Attention Guidance (extension, diffusion/pag.py) — same
+    # wrapper and guards as sample.py, so PAG's metric effect is
+    # measurable with the reference's evaluation protocol
+    if args.pag_scale != 0.0:
+        if args.pag_scale < 0:
+            raise SystemExit("--pag_scale must be >= 0")
+        if is_flow or is_edm or is_cm:
+            raise SystemExit(
+                "PAG extrapolates the VP family's eps predictions — not "
+                "flow/edm/consistency checkpoints"
+            )
+        if str(config.get("prediction_type", "eps")) != "eps":
+            raise SystemExit(
+                "PAG shifts the EPS prediction; this checkpoint predicts "
+                f"{config.get('prediction_type')!r}"
+            )
+        mt = str(config.get("model_type", "")).lower()
+        if mt not in ("unet", "dit"):
+            raise SystemExit(
+                "PAG perturbs self-attention maps — implemented for UNet "
+                f"and DiT checkpoints, not {mt!r}"
+            )
+        if mt == "unet" and not config.get("model_params", {}).get(
+                "use_attention", True):
+            raise SystemExit(
+                "PAG perturbs attention maps — this UNet was built with "
+                "use_attention: false"
+            )
+        from diffusion_models_collection_tpu.diffusion.pag import (
+            pag_model_fn,
+        )
+        from diffusion_models_collection_tpu.factory import (
+            get_model as _get_model,
+        )
+
+        p_config = dict(config)
+        p_config["model_params"] = dict(
+            config.get("model_params", {}), pag_perturb=True
+        )
+        perturbed_fn = eval_model_fn(_get_model(p_config), params)
+        model_fn = pag_model_fn(model_fn, perturbed_fn, args.pag_scale)
+        print(f"Perturbed Attention Guidance: scale {args.pag_scale}")
     if args.num_inference_steps is not None:
         if args.sampling_method == "ddpm" and not (is_flow or is_edm
                                                    or is_cm):

@@ -218,6 +218,13 @@ def main():
     parser.add_argument("--classifier_scale", type=float, default=1.0,
                         help="Classifier-guidance strength s (gradient "
                              "scale); used with --classifier_checkpoint")
+    parser.add_argument("--pag_scale", type=float, default=0.0,
+                        help="Perturbed Attention Guidance strength (Ahn "
+                             "et al. 2024, beyond the reference): run the "
+                             "same checkpoint with identity attention "
+                             "maps and extrapolate away from the degraded "
+                             "eps — training-free, works unconditionally, "
+                             "stacks with CFG; 0 = off")
     parser.add_argument("--sr_source", type=str, default=None,
                         help="Super-resolution conditioning source (image "
                              "file or directory): required for checkpoints "
@@ -307,6 +314,53 @@ def main():
     print("Creating model...")
     model, params = load_model_for_inference(checkpoint, config, args.use_ema)
     model_fn = eval_model_fn(model, params)
+
+    # Perturbed Attention Guidance (extension, diffusion/pag.py): wrap
+    # the base denoiser BEFORE SR/classifier composition so every later
+    # wrapper (and the fused-CFG 2B batch inside the samplers) sees the
+    # rectified eps. The perturbed branch is the SAME checkpoint applied
+    # through pag_perturb=True model fields — no extra params.
+    if args.pag_scale != 0.0:
+        if args.pag_scale < 0:
+            raise SystemExit("--pag_scale must be >= 0")
+        if is_flow or is_edm or is_cm:
+            raise SystemExit(
+                "PAG extrapolates the VP family's eps predictions — not "
+                "flow/edm/consistency checkpoints"
+            )
+        if str(config.get("prediction_type", "eps")) != "eps":
+            raise SystemExit(
+                "PAG shifts the EPS prediction; this checkpoint predicts "
+                f"{config.get('prediction_type')!r}"
+            )
+        mt = str(config.get("model_type", "")).lower()
+        if mt not in ("unet", "dit"):
+            raise SystemExit(
+                "PAG perturbs self-attention maps — implemented for UNet "
+                f"and DiT checkpoints, not {mt!r} (DiM's Mamba mixer has "
+                "no attention map)"
+            )
+        if mt == "unet" and not config.get("model_params", {}).get(
+                "use_attention", True):
+            raise SystemExit(
+                "PAG perturbs attention maps — this UNet was built with "
+                "use_attention: false"
+            )
+        from diffusion_models_collection_tpu.diffusion.pag import (
+            pag_model_fn,
+        )
+        from diffusion_models_collection_tpu.factory import (
+            get_model as _get_model,
+        )
+
+        p_config = dict(config)
+        p_config["model_params"] = dict(
+            config.get("model_params", {}), pag_perturb=True
+        )
+        p_model = _get_model(p_config)
+        perturbed_fn = eval_model_fn(p_model, params)
+        model_fn = pag_model_fn(model_fn, perturbed_fn, args.pag_scale)
+        print(f"Perturbed Attention Guidance: scale {args.pag_scale}")
 
     print(f"Using sampling method: {args.sampling_method.upper()}")
     diffusion = get_diffusion(config, sampling_method=args.sampling_method)

@@ -1299,3 +1299,52 @@ def test_sample_cli_tome(workdir, tmp_path):
         )
         assert proc.returncode != 0
         assert "DiT" in proc.stderr
+
+
+def test_sample_cli_pag(workdir, tmp_path):
+    """--pag_scale (Perturbed Attention Guidance, diffusion/pag.py) on
+    the shared UNet checkpoint, alone and stacked with CFG; bad scales
+    rejected."""
+    ckpt = workdir / "ckpt" / "best_model.ckpt"
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "ddim", "--num_inference_steps", "5",
+         "--num_samples", "4", "--batch_size", "4", "--use_ema",
+         "--pag_scale", "2.0",
+         "--output_dir", str(tmp_path / "pag")],
+        cwd=str(tmp_path),
+    )
+    assert "Perturbed Attention Guidance: scale 2.0" in out
+    assert (tmp_path / "pag" / "samples.png").exists()
+
+    # stacks with fused-CFG (both branches rectified before the combine)
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "ddim", "--num_inference_steps", "5",
+         "--num_samples", "4", "--batch_size", "4", "--use_ema",
+         "--cfg_scale", "1.5", "--pag_scale", "1.0",
+         "--output_dir", str(tmp_path / "pag_cfg")],
+        cwd=str(tmp_path),
+    )
+    assert (tmp_path / "pag_cfg" / "samples.png").exists()
+
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--pag_scale", "-1.0", "--num_samples", "2", "--batch_size", "2"],
+        cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "pag_scale" in proc.stderr
+
+    # evaluate.py measures PAG's metric effect through the same wrapper
+    out_json = tmp_path / "metrics_pag.json"
+    out = run(
+        [str(REPO / "evaluate.py"), "--checkpoint", str(ckpt),
+         "--num_samples", "8", "--batch_size", "8",
+         "--sampling_method", "ddim", "--num_inference_steps", "4",
+         "--pag_scale", "1.0", "--output", str(out_json)],
+        cwd=str(tmp_path),
+    )
+    assert "Perturbed Attention Guidance: scale 1.0" in out
+    assert "FID" in json.loads(out_json.read_text())
