@@ -117,7 +117,8 @@ def get_model(config: dict):
             model_params["num_classes"] = None
 
     # tuples keep flax dataclass fields hashable
-    for key in ("image_size", "img_size", "attention_resolutions", "channel_mult"):
+    for key in ("image_size", "img_size", "attention_resolutions",
+                "channel_mult", "freeu"):
         if key in model_params and isinstance(model_params[key], list):
             model_params[key] = tuple(model_params[key])
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import group_norm_silu, multihead_attention
+from ..ops.fourier import fourier_lowpass_scale
 from . import initializers as init
 from .layers import LabelEmbedder, UNetTimeEmbed
 
@@ -185,6 +186,12 @@ class UNet(nn.Module):
     # identity. Parameter-free; the guidance wrapper runs the same
     # checkpoint once normal, once perturbed.
     pag_perturb: bool = False
+    # FreeU (Si et al. 2023 — no reference counterpart): (b1, b2, s1, s2)
+    # applied at the two deepest up levels — backbone features' first
+    # half-channels scaled by b, skip features Fourier-low-passed by s
+    # (ops/fourier.py). Parameter-free and inference-only: the same
+    # checkpoint runs with or without it (param tree unchanged).
+    freeu: Optional[Tuple[float, float, float, float]] = None
 
     @nn.compact
     def __call__(self, x, t, y=None, train: bool = False):
@@ -246,9 +253,27 @@ class UNet(nn.Module):
         # Up path (parity: unet.py:220-234 — note the reference updates
         # `resolution` only after building the Upsample, so the attention
         # check in the same iteration uses the pre-upsample resolution)
+        if self.freeu is not None and len(self.freeu) != 4:
+            raise ValueError(
+                f"freeu must be (b1, b2, s1, s2), got {self.freeu!r}")
         for level, mult in enumerate(reversed(self.channel_mult)):
             for i in range(self.num_res_blocks + 1):
-                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                skip = hs.pop()
+                # FreeU (Si et al. 2023): at the two deepest up levels,
+                # amplify the backbone's first half-channels (b) and
+                # damp the skip's low spatial frequencies (s). Factors
+                # are static floats, so the default (None / 1.0) traces
+                # to the byte-identical parity program.
+                if self.freeu is not None and level < 2:
+                    b = float(self.freeu[level])
+                    s = float(self.freeu[2 + level])
+                    if b != 1.0:
+                        half = h.shape[-1] // 2
+                        h = jnp.concatenate(
+                            [h[..., :half] * b, h[..., half:]], axis=-1)
+                    if s != 1.0:
+                        skip = fourier_lowpass_scale(skip, 1, s)
+                h = jnp.concatenate([h, skip], axis=-1)
                 h = res_block_cls(
                     self.model_channels * mult, conditional, self.dropout,
                     self.dtype,

@@ -101,6 +101,11 @@ def main():
                              "et al. 2024; UNet/DiT, eps-VP checkpoints) "
                              "during generation — measures PAG's quality "
                              "effect on the metrics; 0 = off")
+    parser.add_argument("--freeu", type=str, default=None,
+                        metavar="B1,B2,S1,S2",
+                        help="FreeU factors (Si et al. 2023; UNet only) "
+                             "during generation — measures FreeU's "
+                             "quality effect on the metrics")
     parser.add_argument("--inception_weights", type=str, default=None,
                         help="torchvision inception_v3 .pth (or converted "
                              ".npz) to calibrate FID/IS; defaults to env "
@@ -128,6 +133,18 @@ def main():
         if args.tome_mlp:
             mp["tome_mlp"] = True
         config["model_params"] = mp
+    if args.freeu is not None:
+        if str(config.get("model_type", "")).lower() != "unet":
+            raise SystemExit("--freeu applies to UNet checkpoints")
+        try:
+            factors = tuple(float(v) for v in args.freeu.split(","))
+        except ValueError:
+            factors = ()
+        if len(factors) != 4:
+            raise SystemExit("--freeu expects four floats: b1,b2,s1,s2")
+        config["model_params"] = dict(
+            config.get("model_params", {}), freeu=factors
+        )
     if args.quantize:
         if str(config.get("model_type", "")).lower() != "dit":
             raise SystemExit("--quantize applies to DiT checkpoints")

@@ -225,6 +225,15 @@ def main():
                              "maps and extrapolate away from the degraded "
                              "eps — training-free, works unconditionally, "
                              "stacks with CFG; 0 = off")
+    parser.add_argument("--freeu", type=str, default=None,
+                        metavar="B1,B2,S1,S2",
+                        help="FreeU factors (Si et al. 2023, beyond the "
+                             "reference; UNet checkpoints only): amplify "
+                             "the backbone's first half-channels (b1, b2) "
+                             "and Fourier-low-pass the skip features "
+                             "(s1, s2) at the two deepest up levels — "
+                             "training-free, parameter-free (e.g. "
+                             "1.2,1.1,0.9,0.95)")
     parser.add_argument("--sr_source", type=str, default=None,
                         help="Super-resolution conditioning source (image "
                              "file or directory): required for checkpoints "
@@ -293,6 +302,25 @@ def main():
         config["model_params"] = mp
         print(f"Token merging: ratio {args.tome_ratio}"
               + (" (attention + MLP)" if args.tome_mlp else " (attention)"))
+    if args.freeu is not None:
+        # FreeU (ops/fourier.py + models/unet.py): parameter-free model
+        # fields, so any existing UNet checkpoint applies unchanged
+        if str(config.get("model_type", "")).lower() != "unet":
+            raise SystemExit(
+                "--freeu reweights UNet skip connections — DiT/DiM have "
+                "no skip-concat up path"
+            )
+        try:
+            factors = tuple(float(v) for v in args.freeu.split(","))
+        except ValueError:
+            factors = ()
+        if len(factors) != 4:
+            raise SystemExit("--freeu expects four floats: b1,b2,s1,s2")
+        config["model_params"] = dict(
+            config.get("model_params", {}), freeu=factors
+        )
+        print(f"FreeU: b1,b2={factors[0]},{factors[1]} "
+              f"s1,s2={factors[2]},{factors[3]}")
     if args.quantize:
         # int8 w8a8 inference (ops/quant.py): parameter-free config-level
         # switch, any fp32 DiT checkpoint applies

@@ -1348,3 +1348,43 @@ def test_sample_cli_pag(workdir, tmp_path):
     )
     assert "Perturbed Attention Guidance: scale 1.0" in out
     assert "FID" in json.loads(out_json.read_text())
+
+
+def test_sample_cli_freeu(workdir, tmp_path):
+    """--freeu (Si et al. 2023, ops/fourier.py) on the shared UNet
+    checkpoint — parameter-free, so the trained checkpoint applies
+    unchanged; malformed factor strings are rejected; evaluate.py
+    measures the metric effect."""
+    ckpt = workdir / "ckpt" / "best_model.ckpt"
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "ddim", "--num_inference_steps", "5",
+         "--num_samples", "4", "--batch_size", "4", "--use_ema",
+         "--cfg_scale", "1.5", "--freeu", "1.2,1.1,0.9,0.95",
+         "--output_dir", str(tmp_path / "freeu")],
+        cwd=str(tmp_path),
+    )
+    assert "FreeU: b1,b2=1.2,1.1" in out
+    assert (tmp_path / "freeu" / "samples.png").exists()
+
+    for bad in ("1.2,1.1,0.9", "a,b,c,d"):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "sample.py"),
+             "--checkpoint", str(ckpt), "--freeu", bad,
+             "--num_samples", "2", "--batch_size", "2"],
+            cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert proc.returncode != 0
+        assert "b1,b2,s1,s2" in proc.stderr
+
+    # evaluate.py plumbs the same factors into the generation model
+    out_json = tmp_path / "metrics_freeu.json"
+    run(
+        [str(REPO / "evaluate.py"), "--checkpoint", str(ckpt),
+         "--num_samples", "8", "--batch_size", "8",
+         "--sampling_method", "ddim", "--num_inference_steps", "4",
+         "--freeu", "1.2,1.1,0.9,0.95", "--output", str(out_json)],
+        cwd=str(tmp_path),
+    )
+    assert "FID" in json.loads(out_json.read_text())
