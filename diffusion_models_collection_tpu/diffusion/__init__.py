@@ -16,6 +16,7 @@ from .dpm_solver import DPMSolverPP
 from .edm import EDM
 from .flow_matching import FlowMatching
 from .guidance import classifier_guided_model_fn
+from .deepcache import deepcache_sample
 from .pag import pag_model_fn
 from .schedule import NoiseSchedule, ddim_timesteps, karras_timesteps, make_betas
 from .unipc import UniPC
@@ -40,5 +41,6 @@ __all__ = [
     "apply_x0_constraint",
     "cfg_eps",
     "classifier_guided_model_fn",
+    "deepcache_sample",
     "pag_model_fn",
 ]

@@ -54,7 +54,8 @@ class FusedGroupNormSiLU(nn.Module):
         return y.astype(self.dtype) if self.dtype is not None else y
 
 
-def _conv3(features: int, in_ch: int, strides: int = 1, dtype=None) -> nn.Conv:
+def _conv3(features: int, in_ch: int, strides: int = 1, dtype=None,
+           name: Optional[str] = None) -> nn.Conv:
     return nn.Conv(
         features,
         kernel_size=(3, 3),
@@ -63,6 +64,7 @@ def _conv3(features: int, in_ch: int, strides: int = 1, dtype=None) -> nn.Conv:
         dtype=dtype,
         kernel_init=init.torch_default_kernel,
         bias_init=init.torch_default_bias(in_ch * 9),
+        name=name,
     )
 
 
@@ -192,11 +194,42 @@ class UNet(nn.Module):
     # (ops/fourier.py). Parameter-free and inference-only: the same
     # checkpoint runs with or without it (param tree unchanged).
     freeu: Optional[Tuple[float, float, float, float]] = None
+    # DeepCache (Ma et al. 2023 — no reference counterpart): partial
+    # execution for cached-step sampling (diffusion/deepcache.py).
+    #   None      — ordinary forward (byte-identical parity program).
+    #   'full'    — ordinary forward that ALSO returns the up-path
+    #               feature entering up level (n_levels - depth):
+    #               `(eps, cache)`.
+    #   'shallow' — runs only the outermost `depth` down levels and the
+    #               matching up levels, splicing in a `cache` tensor from
+    #               a previous 'full' call in place of the deep stack.
+    # Module names are pinned to the full pass's auto-numbering, so all
+    # three modes share one checkpoint's params.
+    deepcache_mode: Optional[str] = None
+    deepcache_depth: int = 1
 
     @nn.compact
-    def __call__(self, x, t, y=None, train: bool = False):
+    def __call__(self, x, t, y=None, train: bool = False, cache=None):
         conditional = self.num_classes is not None
         time_dim = self.model_channels * 4
+        n_levels = len(self.channel_mult)
+        mode = self.deepcache_mode
+        depth = int(self.deepcache_depth)
+        if mode not in (None, "full", "shallow"):
+            raise ValueError(
+                f"deepcache_mode must be None, 'full' or 'shallow', "
+                f"got {mode!r}")
+        if mode is not None and not (1 <= depth <= n_levels - 1):
+            raise ValueError(
+                f"deepcache_depth must be in [1, {n_levels - 1}] for "
+                f"channel_mult {tuple(self.channel_mult)}, got {depth}")
+        if mode == "shallow" and cache is None:
+            raise ValueError(
+                "deepcache_mode 'shallow' needs the cache tensor from a "
+                "'full' forward")
+        if self.freeu is not None and len(self.freeu) != 4:
+            raise ValueError(
+                f"freeu must be (b1, b2, s1, s2), got {self.freeu!r}")
 
         t_emb = UNetTimeEmbed(self.model_channels, self.dtype)(t)
         y_emb = None
@@ -208,11 +241,24 @@ class UNet(nn.Module):
             if self.remat
             else ResidualBlock
         )
-        res_counter = iter(range(10_000))
 
-        def res_block_cls(*args):
-            # explicit name keeps the param tree identical with/without remat
-            return _res_cls(*args, name=f"ResidualBlock_{next(res_counter)}")
+        # Module names replicate flax's auto-numbering of the FULL pass
+        # (Conv_0 stem … Conv_1 head) so that partial execution
+        # ('shallow') binds the same checkpoint params: skipped modules
+        # advance the counters without being created.
+        counters = {"res": 0, "attn": 0, "down": 0, "up": 0}
+
+        def res_block(out_ch, h):
+            name = f"ResidualBlock_{counters['res']}"
+            counters["res"] += 1
+            return _res_cls(out_ch, conditional, self.dropout, self.dtype,
+                            name=name)(h, t_emb, y_emb, train)
+
+        def attn_block(h):
+            name = f"AttentionBlock_{counters['attn']}"
+            counters["attn"] += 1
+            return AttentionBlock(dtype=self.dtype,
+                                  perturb=self.pag_perturb, name=name)(h)
 
         def attend_here(resolution):
             return self.use_attention and (
@@ -222,71 +268,112 @@ class UNet(nn.Module):
 
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        h = _conv3(self.model_channels, self.in_channels, dtype=self.dtype)(x)
+        h = _conv3(self.model_channels, self.in_channels, dtype=self.dtype,
+                   name="Conv_0")(x)
         hs = [h]
         resolution = list(self.image_size)
 
-        # Down path (parity: unet.py:190-211)
+        # Down path (parity: unet.py:190-211). In 'shallow' mode only the
+        # outermost `depth` levels run; the deeper structure is simulated
+        # for name stability (resolution keeps halving so the attention
+        # counter advances exactly as in the full pass).
+        exec_levels = depth if mode == "shallow" else n_levels
         for level, mult in enumerate(self.channel_mult):
             out_ch = self.model_channels * mult
+            run = level < exec_levels
             for _ in range(self.num_res_blocks):
-                h = res_block_cls(out_ch, conditional, self.dropout,
-                                  self.dtype)(h, t_emb, y_emb, train)
+                if run:
+                    h = res_block(out_ch, h)
+                else:
+                    counters["res"] += 1
                 if attend_here(resolution):
-                    h = AttentionBlock(dtype=self.dtype, perturb=self.pag_perturb)(h)
-                hs.append(h)
-            if level != len(self.channel_mult) - 1:
-                h = Downsample(self.dtype)(h)
-                hs.append(h)
+                    if run:
+                        h = attn_block(h)
+                    else:
+                        counters["attn"] += 1
+                if run:
+                    hs.append(h)
+            if level != n_levels - 1:
+                # the last shallow level's Downsample feeds (and its skip
+                # is consumed by) the cached region only — skip it too
+                if run and not (mode == "shallow" and level == depth - 1):
+                    name = f"Downsample_{counters['down']}"
+                    counters["down"] += 1
+                    h = Downsample(self.dtype, name=name)(h)
+                    hs.append(h)
+                else:
+                    counters["down"] += 1
                 resolution[0] //= 2
                 resolution[1] //= 2
 
-        # Middle (parity: unet.py:213-218)
-        ch = h.shape[-1]
-        h = res_block_cls(ch, conditional, self.dropout, self.dtype)(
-            h, t_emb, y_emb, train)
-        if self.use_attention:
-            h = AttentionBlock(dtype=self.dtype, perturb=self.pag_perturb)(h)
-        h = res_block_cls(ch, conditional, self.dropout, self.dtype)(
-            h, t_emb, y_emb, train)
+        # Middle (parity: unet.py:213-218) — cached region in 'shallow'
+        if mode == "shallow":
+            counters["res"] += 2
+            if self.use_attention:
+                counters["attn"] += 1
+        else:
+            ch = h.shape[-1]
+            h = res_block(ch, h)
+            if self.use_attention:
+                h = attn_block(h)
+            h = res_block(ch, h)
 
         # Up path (parity: unet.py:220-234 — note the reference updates
         # `resolution` only after building the Upsample, so the attention
         # check in the same iteration uses the pre-upsample resolution)
-        if self.freeu is not None and len(self.freeu) != 4:
-            raise ValueError(
-                f"freeu must be (b1, b2, s1, s2), got {self.freeu!r}")
+        j_cache = n_levels - depth  # first up level outside the cache
+        deep_cache = None
         for level, mult in enumerate(reversed(self.channel_mult)):
+            if mode == "full" and level == j_cache:
+                deep_cache = h
+            if mode == "shallow" and level == j_cache:
+                h = cache if self.dtype is None else cache.astype(self.dtype)
+            run = mode != "shallow" or level >= j_cache
             for i in range(self.num_res_blocks + 1):
-                skip = hs.pop()
-                # FreeU (Si et al. 2023): at the two deepest up levels,
-                # amplify the backbone's first half-channels (b) and
-                # damp the skip's low spatial frequencies (s). Factors
-                # are static floats, so the default (None / 1.0) traces
-                # to the byte-identical parity program.
-                if self.freeu is not None and level < 2:
-                    b = float(self.freeu[level])
-                    s = float(self.freeu[2 + level])
-                    if b != 1.0:
-                        half = h.shape[-1] // 2
-                        h = jnp.concatenate(
-                            [h[..., :half] * b, h[..., half:]], axis=-1)
-                    if s != 1.0:
-                        skip = fourier_lowpass_scale(skip, 1, s)
-                h = jnp.concatenate([h, skip], axis=-1)
-                h = res_block_cls(
-                    self.model_channels * mult, conditional, self.dropout,
-                    self.dtype,
-                )(h, t_emb, y_emb, train)
+                if run:
+                    skip = hs.pop()
+                    # FreeU (Si et al. 2023): at the two deepest up
+                    # levels, amplify the backbone's first half-channels
+                    # (b) and damp the skip's low spatial frequencies
+                    # (s). Factors are static floats, so the default
+                    # (None / 1.0) traces to the byte-identical parity
+                    # program.
+                    if self.freeu is not None and level < 2:
+                        b = float(self.freeu[level])
+                        s = float(self.freeu[2 + level])
+                        if b != 1.0:
+                            half = h.shape[-1] // 2
+                            h = jnp.concatenate(
+                                [h[..., :half] * b, h[..., half:]],
+                                axis=-1)
+                        if s != 1.0:
+                            skip = fourier_lowpass_scale(skip, 1, s)
+                    h = jnp.concatenate([h, skip], axis=-1)
+                    h = res_block(self.model_channels * mult, h)
+                else:
+                    counters["res"] += 1
                 if attend_here(resolution):
-                    h = AttentionBlock(dtype=self.dtype, perturb=self.pag_perturb)(h)
-                if level != len(self.channel_mult) - 1 and i == self.num_res_blocks:
-                    h = Upsample(self.dtype)(h)
+                    if run:
+                        h = attn_block(h)
+                    else:
+                        counters["attn"] += 1
+                if level != n_levels - 1 and i == self.num_res_blocks:
+                    if run:
+                        name = f"Upsample_{counters['up']}"
+                        counters["up"] += 1
+                        h = Upsample(self.dtype, name=name)(h)
+                    else:
+                        counters["up"] += 1
                     resolution[0] *= 2
                     resolution[1] *= 2
 
         # Output head (parity: unet.py:237-241)
-        h = FusedGroupNormSiLU(dtype=self.dtype)(h)
-        h = _conv3(self.out_channels, h.shape[-1], dtype=self.dtype)(h)
+        h = FusedGroupNormSiLU(dtype=self.dtype,
+                               name="FusedGroupNormSiLU_0")(h)
+        h = _conv3(self.out_channels, h.shape[-1], dtype=self.dtype,
+                   name="Conv_1")(h)
         # uniform eps contract: fp32 out regardless of compute dtype
-        return h.astype(jnp.float32)
+        out = h.astype(jnp.float32)
+        if mode == "full":
+            return out, deep_cache
+        return out

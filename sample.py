@@ -225,6 +225,18 @@ def main():
                              "maps and extrapolate away from the degraded "
                              "eps — training-free, works unconditionally, "
                              "stacks with CFG; 0 = off")
+    parser.add_argument("--deepcache", type=int, default=0,
+                        metavar="INTERVAL",
+                        help="DeepCache (Ma et al. 2023, beyond the "
+                             "reference; UNet + DDIM only): run the full "
+                             "network every INTERVAL steps and only the "
+                             "outermost levels in between, reusing the "
+                             "cached deep features — training-free "
+                             "speedup; 0 = off, 1 = exact plain DDIM")
+    parser.add_argument("--deepcache_depth", type=int, default=1,
+                        help="How many outer UNet levels stay live on "
+                             "cached steps (1 = cache everything below "
+                             "the top level; must be < len(channel_mult))")
     parser.add_argument("--freeu", type=str, default=None,
                         metavar="B1,B2,S1,S2",
                         help="FreeU factors (Si et al. 2023, beyond the "
@@ -389,6 +401,72 @@ def main():
         perturbed_fn = eval_model_fn(p_model, params)
         model_fn = pag_model_fn(model_fn, perturbed_fn, args.pag_scale)
         print(f"Perturbed Attention Guidance: scale {args.pag_scale}")
+
+    # DeepCache (extension, diffusion/deepcache.py): two extra views of
+    # the SAME checkpoint — a 'full' forward that also emits the deep
+    # up-path feature, and a 'shallow' forward that splices it back in.
+    dc_full_fn = dc_shallow_fn = None
+    if args.deepcache > 0:
+        if str(config.get("model_type", "")).lower() != "unet":
+            raise SystemExit(
+                "--deepcache caches UNet deep features across steps — "
+                "DiT/DiM have no resolution hierarchy to cache (use "
+                "--tome_ratio for DiT)"
+            )
+        if args.sampling_method.lower() != "ddim" or is_flow or is_edm \
+                or is_cm:
+            raise SystemExit(
+                "--deepcache is implemented on the DDIM trajectory "
+                "(--sampling_method ddim on a VP checkpoint)"
+            )
+        incompatible = [
+            (args.save_intermediate or args.create_gif,
+             "--save_intermediate/--create_gif (the cached scan returns "
+             "final samples only)"),
+            (bool(args.init_image), "img2img"),
+            (args.restarts > 0, "--restarts"),
+            (bool(args.classifier_checkpoint), "classifier guidance"),
+            (args.pag_scale != 0.0, "--pag_scale"),
+            (bool(args.sr_source), "super-resolution"),
+        ]
+        for cond, what in incompatible:
+            if cond:
+                raise SystemExit(f"--deepcache does not compose with {what}")
+        n_levels = len(config.get("model_params", {}).get(
+            "channel_mult", (1, 2, 2, 2)))
+        if not (1 <= args.deepcache_depth <= n_levels - 1):
+            raise SystemExit(
+                f"--deepcache_depth must be in [1, {n_levels - 1}] for "
+                f"this checkpoint's channel_mult"
+            )
+        from diffusion_models_collection_tpu.factory import (
+            get_model as _get_model,
+        )
+
+        def _dc_model(mode):
+            c = dict(config)
+            c["model_params"] = dict(
+                config.get("model_params", {}),
+                deepcache_mode=mode,
+                deepcache_depth=args.deepcache_depth,
+            )
+            return _get_model(c)
+
+        dc_full_model = _dc_model("full")
+        dc_shallow_model = _dc_model("shallow")
+
+        def _full_call(x, t, y):
+            return dc_full_model.apply({"params": params}, x, t, y,
+                                       train=False)
+
+        def _shallow_call(x, t, y, cache):
+            return dc_shallow_model.apply({"params": params}, x, t, y,
+                                          train=False, cache=cache)
+
+        dc_full_fn = jax.tree_util.Partial(_full_call)
+        dc_shallow_fn = jax.tree_util.Partial(_shallow_call)
+        print(f"DeepCache: full pass every {args.deepcache} steps, "
+              f"depth {args.deepcache_depth}")
 
     print(f"Using sampling method: {args.sampling_method.upper()}")
     diffusion = get_diffusion(config, sampling_method=args.sampling_method)
@@ -683,6 +761,22 @@ def main():
                 restart_interval=(lo, hi), restarts=args.restarts,
                 init_noise=init_noise,
                 return_all_timesteps=return_all, progress=True,
+            )
+        elif args.deepcache > 0:
+            from diffusion_models_collection_tpu.diffusion.deepcache import (
+                deepcache_sample,
+            )
+
+            use_cfg = args.cfg_scale > 0 and conditional
+            print(f"DeepCache batch {i + 1}/{num_batches} "
+                  f"(interval {args.deepcache})"
+                  + (f" with CFG scale {args.cfg_scale}" if use_cfg
+                     else "") + "...")
+            samples = deepcache_sample(
+                diffusion, dc_full_fn, dc_shallow_fn, shape, batch_rng,
+                y=batch_labels,
+                cfg_scale=args.cfg_scale if use_cfg else None,
+                interval=args.deepcache, init_noise=init_noise,
             )
         elif args.cfg_scale > 0 and conditional:
             print(f"Sampling batch {i + 1}/{num_batches} with CFG scale "

@@ -1388,3 +1388,38 @@ def test_sample_cli_freeu(workdir, tmp_path):
         cwd=str(tmp_path),
     )
     assert "FID" in json.loads(out_json.read_text())
+
+
+def test_sample_cli_deepcache(workdir, tmp_path):
+    """--deepcache (Ma et al. 2023, diffusion/deepcache.py) on the
+    shared UNet checkpoint — uncond-structure CFG run plus interval
+    validation and composition rejections."""
+    ckpt = workdir / "ckpt" / "best_model.ckpt"
+    out = run(
+        [str(REPO / "sample.py"), "--checkpoint", str(ckpt),
+         "--sampling_method", "ddim", "--num_inference_steps", "6",
+         "--num_samples", "4", "--batch_size", "4", "--use_ema",
+         "--cfg_scale", "1.5", "--deepcache", "3",
+         "--output_dir", str(tmp_path / "dc")],
+        cwd=str(tmp_path),
+    )
+    assert "DeepCache: full pass every 3 steps" in out
+    assert (tmp_path / "dc" / "samples.png").exists()
+
+    # composition rejections: non-ddim sampler; PAG; gif
+    for extra, needle in (
+        (["--sampling_method", "dpm++", "--deepcache", "2"], "DDIM"),
+        (["--sampling_method", "ddim", "--deepcache", "2",
+          "--pag_scale", "1.0"], "pag_scale"),
+        (["--sampling_method", "ddim", "--deepcache", "2",
+          "--create_gif"], "save_intermediate/--create_gif"),
+    ):
+        proc = subprocess.run(
+            [sys.executable, str(REPO / "sample.py"),
+             "--checkpoint", str(ckpt), *extra,
+             "--num_samples", "2", "--batch_size", "2"],
+            cwd=str(tmp_path), env=ENV, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert proc.returncode != 0, extra
+        assert needle in proc.stderr
