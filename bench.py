@@ -1,15 +1,25 @@
-"""Headline benchmark: CIFAR-10 UNet DDIM-50 CFG sampling throughput.
+"""Driver benchmark: headline + family rows, one JSON line each.
 
-Mirrors the reference's published run (docs/cifar10_runs.md:105 — 80 images,
-DDIM-50, CFG=3 on a Titan XP: 71.1 s => 1.13 samples/s, the BASELINE.json
-north-star row). Prints ONE JSON line:
+Headline (printed LAST, the driver's parsed row): CIFAR-10 UNet DDIM-50
+CFG sampling throughput, mirroring the reference's published run
+(docs/cifar10_runs.md:105 — 80 images, DDIM-50, CFG=3 on a Titan XP:
+71.1 s => 1.13 samples/s, the BASELINE.json north-star row). The headline
+line carries achieved-TFLOP/s + MFU context (model-forward FLOPs from the
+compiled program's own cost analysis / v5e bf16 peak).
 
-    {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+Before it, one JSON line per family row so the full docs/benchmarks.md
+matrix is driver-captured, not builder-claimed: UNet/DiT/DiM fp32+bf16
+DDIM-50, dpm++-16, latent+decode, consistency-2, flow-1, ToMe-DiT, and a
+full-train-step imgs/s row. Family rows are cheap (one warmup +
+median-of-3) and individually fault-isolated: a failing extra row prints
+an error line and never kills the headline.
 
-Methodology: same model config as configs/cifar10_unet.py (randomly
-initialized — sampling cost does not depend on weight values), 80 images in
-one padded batch, full DDIM-50 trajectory with fused-batch CFG under one
-jitted lax.scan. Compile excluded (one warmup), best of 3 timed runs.
+Methodology per row: same model geometry as configs/*.py (randomly
+initialized — sampling cost does not depend on weight values), 80 images
+in one padded batch, full trajectory with fused-batch CFG under one
+jitted lax.scan. Compile excluded (one warmup with host readback).
+
+Set DMC_TPU_BENCH_HEADLINE_ONLY=1 to skip the family rows.
 """
 
 import json
@@ -39,70 +49,315 @@ from diffusion_models_collection_tpu.factory import (
     get_diffusion,
     init_model_params,
 )
-from diffusion_models_collection_tpu.models import UNet
+from diffusion_models_collection_tpu.models import DiT, DiM, UNet
 
 BASELINE_SAMPLES_PER_SEC = 1.13  # Titan XP reference (docs/cifar10_runs.md:105)
 NUM_IMAGES = 80
 CFG_SCALE = 3.0
 INFERENCE_STEPS = 50
+V5E_BF16_PEAK_FLOPS = 197e12  # one v5e chip, public spec
+
+BASE_CONFIG = {
+    "num_timesteps": 1000,
+    "beta_start": 1e-4,
+    "beta_end": 0.02,
+    "beta_schedule": "linear",
+    "ddim_eta": 0.0,
+}
+
+import numpy as np
 
 
-def main():
-    config = {
-        "num_timesteps": 1000,
-        "beta_start": 1e-4,
-        "beta_end": 0.02,
-        "beta_schedule": "linear",
-        "num_inference_steps": INFERENCE_STEPS,
-        "ddim_eta": 0.0,
-    }
-    bf16 = os.environ.get("DMC_TPU_BENCH_BF16", "0") == "1"
+def _unet(dtype=None):
     model = UNet(
-        image_size=(32, 32),
-        in_channels=3,
-        model_channels=128,
-        out_channels=3,
-        num_res_blocks=2,
-        attention_resolutions=(16, 8),
-        channel_mult=(1, 2, 2, 2),
-        num_classes=10,
-        **({"dtype": jnp.bfloat16} if bf16 else {}),
+        image_size=(32, 32), in_channels=3, model_channels=128,
+        out_channels=3, num_res_blocks=2, attention_resolutions=(16, 8),
+        channel_mult=(1, 2, 2, 2), num_classes=10,
+        **({"dtype": dtype} if dtype is not None else {}),
     )
     params = init_model_params(
         model, jax.random.PRNGKey(0), (32, 32), 3, conditional=True
     )
-    model_fn = eval_model_fn(model, params)
-    diffusion = get_diffusion(config, sampling_method="ddim")
+    return model, params
 
-    shape = (NUM_IMAGES, 32, 32, 3)
-    labels = jnp.asarray((jnp.arange(NUM_IMAGES) % 10) + 1, jnp.int32)
 
-    import numpy as np
+def _dit(dtype=None, tome_ratio=0.0):
+    # configs/cifar10_dit.py geometry: hidden 384, depth 12, patch 2
+    model = DiT(
+        img_size=(32, 32), patch_size=2, in_channels=3, hidden_size=384,
+        depth=12, num_heads=6, num_classes=10, dropout=0.0,
+        tome_ratio=tome_ratio, dtype=dtype,
+    )
+    params = init_model_params(
+        model, jax.random.PRNGKey(0), (32, 32), 3, conditional=True
+    )
+    return model, params
 
-    def run(seed):
-        out = diffusion.sample_with_cfg(
-            model_fn, shape, labels, jax.random.PRNGKey(seed),
-            cfg_scale=CFG_SCALE,
-        )
-        # Force a host transfer: under the remote TPU runtime,
-        # block_until_ready alone has been observed to return early;
-        # materializing a slice guarantees the trajectory completed.
-        return np.asarray(out[:1])
 
-    run(0)  # warmup/compile
+def _dim(dtype=None):
+    # configs/cifar10_dim.py geometry: hidden 384, depth 12, state 16
+    model = DiM(
+        img_size=(32, 32), patch_size=2, in_channels=3, hidden_size=384,
+        depth=12, state_size=16, num_classes=10, dropout=0.0, dtype=dtype,
+    )
+    params = init_model_params(
+        model, jax.random.PRNGKey(0), (32, 32), 3, conditional=True
+    )
+    return model, params
+
+
+def _timed_sps(run, n=3):
+    run(0)  # warmup/compile (includes host readback)
     times = []
-    for i in range(5):
+    for i in range(n):
         t0 = time.perf_counter()
         run(i + 1)
         times.append(time.perf_counter() - t0)
     times.sort()
     median = times[len(times) // 2]
-    # sanity floor: one model forward can't beat 1 ms at this size — a
-    # sub-10ms trajectory reading means the runtime lied; use the slowest
-    # measurement in that case.
+    # sanity floor: a sub-50ms 80-image trajectory at these sizes means
+    # the remote runtime returned early; use the slowest measurement.
     if median < 0.05:
         median = times[-1]
-    sps = NUM_IMAGES / median
+    return NUM_IMAGES / median, median
+
+
+def _sample_run(model, params, sampler="ddim", steps=50, channels=3,
+                hw=(32, 32)):
+    fn = eval_model_fn(model, params)
+    d = get_diffusion(dict(BASE_CONFIG, num_inference_steps=steps), sampler)
+    shape = (NUM_IMAGES, hw[0], hw[1], channels)
+    labels = jnp.asarray((jnp.arange(NUM_IMAGES) % 10) + 1, jnp.int32)
+
+    def run(seed):
+        out = d.sample_with_cfg(fn, shape, labels, jax.random.PRNGKey(seed),
+                                cfg_scale=CFG_SCALE)
+        # Force a host transfer: under the remote TPU runtime,
+        # block_until_ready alone has been observed to return early.
+        return np.asarray(out[:1])
+
+    return run
+
+
+def _row(metric, value, unit="samples/sec/chip", **extra):
+    print(json.dumps({"metric": metric, "value": round(value, 2),
+                      "unit": unit, **extra}), flush=True)
+
+
+# ------------------------------------------------------------- family rows
+def _leg_model_ddim(make, dtype):
+    model, params = make(dtype)
+    sps, _ = _timed_sps(_sample_run(model, params))
+    return sps
+
+
+def _leg_dpmpp16():
+    model, params = _unet(jnp.bfloat16)
+    sps, _ = _timed_sps(_sample_run(model, params, "dpm++", steps=16))
+    return sps
+
+
+def _leg_latent():
+    """LDM pipeline end to end: 16x16x4 latent UNet DDIM-50 + VAE decode
+    (configs/cifar10_latent_unet.py geometry, f=2 KL-VAE)."""
+    from diffusion_models_collection_tpu.diffusion import DDIM
+    from diffusion_models_collection_tpu.models import VAE
+
+    model = UNet(
+        image_size=(16, 16), in_channels=4, model_channels=128,
+        out_channels=4, num_res_blocks=2, attention_resolutions=(8, 4),
+        channel_mult=(1, 2, 2), num_classes=10,
+    )
+    params = init_model_params(model, jax.random.PRNGKey(0), (16, 16), 4, True)
+    fn = eval_model_fn(model, params)
+    vae = VAE(image_size=(32, 32), in_channels=3, base_channels=64,
+              channel_mult=(1, 2), latent_channels=4, num_res_blocks=2,
+              use_attention=True)
+    lh, lw = vae.latent_hw()
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    n0 = jnp.zeros((1, lh, lw, 4), jnp.float32)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        vparams = jax.jit(lambda k: vae.init(k, x0, n0))(
+            jax.random.PRNGKey(1)
+        )["params"]
+    vparams = jax.device_put(vparams, jax.devices()[0])
+    decode = jax.jit(
+        lambda z: vae.apply({"params": vparams}, z, method=vae.decode)
+    )
+    d = DDIM(num_inference_steps=50, clip_sample=False, **{
+        k: BASE_CONFIG[k]
+        for k in ("num_timesteps", "beta_start", "beta_end", "beta_schedule")
+    })
+    labels = jnp.asarray((jnp.arange(NUM_IMAGES) % 10) + 1, jnp.int32)
+
+    def run(seed):
+        z = d.sample_with_cfg(fn, (NUM_IMAGES, 16, 16, 4), labels,
+                              jax.random.PRNGKey(seed), cfg_scale=CFG_SCALE)
+        return np.asarray(decode(z)[:1])
+
+    sps, _ = _timed_sps(run)
+    return sps
+
+
+def _leg_few_step(kind, steps):
+    if kind == "consistency":
+        from diffusion_models_collection_tpu.diffusion import ConsistencyModel
+
+        d = ConsistencyModel(num_inference_steps=steps, **{
+            k: BASE_CONFIG[k]
+            for k in ("num_timesteps", "beta_start", "beta_end",
+                      "beta_schedule")
+        })
+    else:
+        from diffusion_models_collection_tpu.diffusion import FlowMatching
+
+        d = FlowMatching(num_timesteps=BASE_CONFIG["num_timesteps"],
+                         num_inference_steps=steps)
+    model, params = _unet()
+    fn = eval_model_fn(model, params)
+    labels = jnp.asarray((jnp.arange(NUM_IMAGES) % 10) + 1, jnp.int32)
+
+    def run(seed):
+        out = d.sample_with_cfg(fn, (NUM_IMAGES, 32, 32, 3), labels,
+                                jax.random.PRNGKey(seed),
+                                cfg_scale=CFG_SCALE)
+        return np.asarray(out[:1])
+
+    sps, _ = _timed_sps(run)
+    return sps
+
+
+def _leg_train_step(batch=128):
+    """Full train step (fwd + bwd + clip + AdamW + EMA) imgs/s at
+    `mixed_precision: bf16`, batch 128 — the docs/benchmarks.md training
+    table's UNet row, driven through the real DiffusionTrainer step."""
+    from diffusion_models_collection_tpu.datasets import (
+        DataLoader, DiffusionDataset, ImageTransform,
+    )
+    from diffusion_models_collection_tpu.factory import (
+        get_diffusion as _gd, get_model,
+    )
+    from diffusion_models_collection_tpu.utils import DiffusionTrainer
+    from diffusion_models_collection_tpu.utils.tracker import NullTracker
+
+    config = {
+        "model_type": "unet",
+        "model_params": {
+            "in_channels": 3, "model_channels": 128, "out_channels": 3,
+            "num_res_blocks": 2, "attention_resolutions": (16, 8),
+            "channel_mult": (1, 2, 2, 2), "dropout": 0.1,
+        },
+        "image_size": (32, 32), "conditional": True, "num_classes": 10,
+        "num_timesteps": 1000, "beta_start": 1e-4, "beta_end": 0.02,
+        "beta_schedule": "linear", "loss_type": "l2",
+        "mixed_precision": "bf16",
+        "epochs": 1, "batch_size": batch, "optimizer": "adamw",
+        "learning_rate": 2e-4, "weight_decay": 1e-4,
+        "gradient_accumulation_steps": 1, "use_ema": True,
+        "ema_decay": 0.9999, "cfg_dropout_prob": 0.2,
+        "use_scheduler": False, "dropout_rng_impl": "rbg",
+        "save_dir": "/tmp/dmc_tpu_bench/ckpt",
+        "sample_dir": "/tmp/dmc_tpu_bench/samples",
+        "sample_interval": 1000, "sample_start_epoch": 1000,
+        "seed": 0, "use_swanlab": False,
+    }
+    model = get_model(config)
+    diffusion = _gd(config)
+    ds = DiffusionDataset(
+        "synthetic", conditional=True,
+        transform=ImageTransform((32, 32), train=True),
+        image_size=(32, 32), n_train=batch, seed=7,
+    )
+    loader = DataLoader(ds, batch_size=batch, seed=0, prefetch=0)
+    tr = DiffusionTrainer(model, diffusion, loader, config=config,
+                          rng=jax.random.PRNGKey(0), tracker=NullTracker())
+    step = tr._train_step
+    images = jax.device_put(
+        jnp.asarray(np.random.RandomState(0)
+                    .randn(batch, 32, 32, 3), jnp.float32))
+    labels = jax.device_put(jnp.zeros((batch,), jnp.int32))
+    state = tr.state
+
+    # donated state: thread it through warmup + timed steps
+    state, loss = step(state, images, labels, jax.random.PRNGKey(1))
+    float(loss)
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        state, loss = step(state, images, labels, jax.random.PRNGKey(2 + i))
+        float(loss)  # host sync
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return batch / times[len(times) // 2]
+
+
+FAMILY_LEGS = [
+    ("cifar10_unet_ddim50_cfg_bf16", lambda: _leg_model_ddim(
+        _unet, jnp.bfloat16)),
+    ("cifar10_dit_ddim50_cfg_fp32", lambda: _leg_model_ddim(_dit, None)),
+    ("cifar10_dit_ddim50_cfg_bf16", lambda: _leg_model_ddim(
+        _dit, jnp.bfloat16)),
+    ("cifar10_dim_ddim50_cfg_fp32", lambda: _leg_model_ddim(_dim, None)),
+    ("cifar10_dim_ddim50_cfg_bf16", lambda: _leg_model_ddim(
+        _dim, jnp.bfloat16)),
+    ("cifar10_unet_dpmpp16_cfg_bf16", _leg_dpmpp16),
+    ("cifar10_latent_ddim50_cfg_plus_decode", _leg_latent),
+    ("cifar10_unet_consistency2_cfg", lambda: _leg_few_step(
+        "consistency", 2)),
+    ("cifar10_unet_flow_euler1_cfg", lambda: _leg_few_step("flow", 1)),
+    ("cifar10_dit_ddim50_cfg_tome50", lambda: _leg_model_ddim(
+        lambda dtype: _dit(dtype, tome_ratio=0.5), None)),
+]
+
+
+def family_rows():
+    for name, leg in FAMILY_LEGS:
+        try:
+            _row(name, leg(), num_images=NUM_IMAGES, runs=3)
+        except Exception as e:  # fault-isolated: never kill the headline
+            print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                  flush=True)
+    try:
+        _row("cifar10_unet_trainstep_bf16_imgs_per_sec", _leg_train_step(),
+             unit="imgs/sec/chip", batch=128)
+    except Exception as e:
+        print(json.dumps({"metric": "cifar10_unet_trainstep_bf16_imgs_per_sec",
+                          "error": str(e)[:200]}), flush=True)
+
+
+def _forward_flops(model, params, batch):
+    """FLOPs of one CFG-fused model forward from the compiled program's
+    own cost analysis (basis for the headline MFU estimate)."""
+    x = jnp.zeros((batch, 32, 32, 3), jnp.float32)
+    t = jnp.zeros((batch,), jnp.int32)
+    y = jnp.ones((batch,), jnp.int32)
+
+    def fwd(p, x, t, y):
+        return model.apply({"params": p}, x, t, y, train=False)
+
+    try:
+        compiled = jax.jit(fwd).lower(params, x, t, y).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def main():
+    bf16 = os.environ.get("DMC_TPU_BENCH_BF16", "0") == "1"
+    if os.environ.get("DMC_TPU_BENCH_HEADLINE_ONLY", "0") != "1":
+        family_rows()
+
+    model, params = _unet(jnp.bfloat16 if bf16 else None)
+    run = _sample_run(model, params)
+    sps, median = _timed_sps(run, n=5)
+
+    # MFU context: model-forward FLOPs (2B CFG batch) x trajectory length
+    # over measured wall time, as a fraction of the chip's bf16 peak.
+    flops_fwd = _forward_flops(model, params, 2 * NUM_IMAGES)
+    achieved = flops_fwd * INFERENCE_STEPS / median if median > 0 else 0.0
     print(
         json.dumps(
             {
@@ -110,6 +365,8 @@ def main():
                 "value": round(sps, 3),
                 "unit": "samples/sec",
                 "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+                "achieved_tflops": round(achieved / 1e12, 2),
+                "mfu": round(achieved / V5E_BF16_PEAK_FLOPS, 4),
             }
         )
     )

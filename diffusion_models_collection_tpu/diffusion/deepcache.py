@@ -17,7 +17,8 @@ steps, unrolled at trace time (interval is static and small), so there is
 no data-dependent branching and the cache never crosses the scan carry
 (it is regenerated at slot 0 of every chunk, living only inside the chunk
 body where XLA can keep it in registers/VMEM). Grids whose length is not
-a multiple of `interval` are padded with masked no-op slots.
+a multiple of `interval` run their remainder as an unrolled tail chunk —
+every compiled model evaluation is a real grid step.
 
 CFG, dynamic thresholding, guidance rescale, cfg_interval, eta-noise and
 v/x0 prediction all reuse the exact `base.cfg_eps_x0` /
@@ -107,22 +108,18 @@ def _deepcache_scan(
 ):
     steps = int(timesteps.shape[0])
     k = int(interval)
-    chunks = -(-steps // k)
-    pad = chunks * k - steps
+    # Full chunks scan; the remainder runs as an unrolled tail below so a
+    # non-multiple grid never executes padded/masked shallow evaluations
+    # (round-2 advisor finding: steps=4, interval=5 burned 4 discarded
+    # shallow passes).
+    chunks = steps // k
+    rem = steps - chunks * k
 
-    # Padded no-op slots (masked below): t=0 / t_next=-1 stays finite.
     idx = jnp.arange(steps, dtype=jnp.int32)
-    ts = jnp.concatenate([timesteps, jnp.zeros((pad,), timesteps.dtype)])
-    tn = jnp.concatenate(
-        [t_next_seq, jnp.full((pad,), -1, t_next_seq.dtype)]
-    )
-    ii = jnp.concatenate([idx, jnp.zeros((pad,), jnp.int32)])
-    vv = jnp.concatenate(
-        [jnp.ones((steps,), bool), jnp.zeros((pad,), bool)]
-    )
     scan_ins = (
-        ts.reshape(chunks, k), tn.reshape(chunks, k),
-        ii.reshape(chunks, k), vv.reshape(chunks, k),
+        timesteps[: chunks * k].reshape(chunks, k),
+        t_next_seq[: chunks * k].reshape(chunks, k),
+        idx[: chunks * k].reshape(chunks, k),
     )
     batch = img.shape[0]
 
@@ -150,29 +147,39 @@ def _deepcache_scan(
                 x0 = jnp.clip(x0, -1.0, 1.0)
         return eps, x0, cache
 
+    def slot(img, s, t_s, tn_s, i_s, cache):
+        """One DDIM step; s==0 runs the full network and refreshes the
+        cache, s>0 replays the shallow levels against it."""
+        t = jnp.full((batch,), t_s, jnp.int32)
+        t_next = jnp.full((batch,), tn_s, jnp.int32)
+        eps, x0, cache = model_step(img, t, None if s == 0 else cache)
+        noise = (
+            jax.random.normal(
+                jax.random.fold_in(rng, i_s), img.shape, img.dtype
+            )
+            if eta > 0
+            else None
+        )
+        img = ddim_step(schedule, img, t, t_next, eps, x0, eta, noise)
+        return img, cache
+
     def chunk(img, ins):
-        ts_c, tn_c, ii_c, vv_c = ins
+        ts_c, tn_c, ii_c = ins
         cache = None  # slot 0 is always a full step
         for s in range(k):
-            t = jnp.full((batch,), ts_c[s], jnp.int32)
-            t_next = jnp.full((batch,), tn_c[s], jnp.int32)
-            eps, x0, cache = model_step(
-                img, t, None if s == 0 else cache
-            )
-            noise = (
-                jax.random.normal(
-                    jax.random.fold_in(rng, ii_c[s]), img.shape, img.dtype
-                )
-                if eta > 0
-                else None
-            )
-            img_new = ddim_step(
-                schedule, img, t, t_next, eps, x0, eta, noise
-            )
-            img = jnp.where(vv_c[s], img_new, img)
+            img, cache = slot(img, s, ts_c[s], tn_c[s], ii_c[s], cache)
         return img, None
 
-    img, _ = jax.lax.scan(chunk, img, scan_ins)
+    if chunks:
+        img, _ = jax.lax.scan(chunk, img, scan_ins)
+    # Unrolled tail: the last `rem` grid points (1 full + rem-1 shallow),
+    # no masked no-op evaluations.
+    cache = None
+    for s in range(rem):
+        j = chunks * k + s
+        img, cache = slot(
+            img, s, timesteps[j], t_next_seq[j], idx[j], cache
+        )
     return img
 
 
@@ -209,6 +216,9 @@ def deepcache_sample(
     interval = int(interval)
     if interval < 1:
         raise ValueError(f"interval must be >= 1, got {interval}")
+    # interval beyond the grid length degenerates to "one full step then
+    # all-shallow": clamp so the chunking below stays meaningful
+    interval = min(interval, int(ddim.inference_timesteps.shape[0]))
     use_cfg = cfg_scale is not None
     if use_cfg and y is None:
         raise ValueError("CFG sampling requires class labels y.")

@@ -227,9 +227,20 @@ class UNet(nn.Module):
             raise ValueError(
                 "deepcache_mode 'shallow' needs the cache tensor from a "
                 "'full' forward")
-        if self.freeu is not None and len(self.freeu) != 4:
-            raise ValueError(
-                f"freeu must be (b1, b2, s1, s2), got {self.freeu!r}")
+        if self.freeu is not None:
+            if len(self.freeu) != 4:
+                raise ValueError(
+                    f"freeu must be (b1, b2, s1, s2), got {self.freeu!r}")
+            # validate each factor HERE (not at float() deep in the up
+            # path) so a hand-edited config fails with a clear message
+            # instead of an opaque trace-time error
+            import math as _math
+
+            for v in self.freeu:
+                if not isinstance(v, (int, float)) or not _math.isfinite(v):
+                    raise ValueError(
+                        "freeu factors must be finite numbers, got "
+                        f"{self.freeu!r}")
 
         t_emb = UNetTimeEmbed(self.model_channels, self.dtype)(t)
         y_emb = None

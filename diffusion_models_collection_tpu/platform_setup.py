@@ -28,12 +28,14 @@ def host_fingerprinted_cache_dir(base: str) -> str:
 
     try:
         flags = model = ""
+        uarch = {}
         with open("/proc/cpuinfo") as f:
             for line in f:
+                key = line.split(":", 1)[0].strip()
                 # x86 Linux: 'flags'; ARM Linux: 'Features' — without the
                 # ARM spelling every aarch64 host would hash identically
                 # and the protection would silently do nothing there
-                if line.startswith(("flags", "Features")) and not flags:
+                if key in ("flags", "Features") and not flags:
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
                 # model name distinguishes CPUs whose feature-flag SETS
                 # hash identically but whose XLA target-feature choices
@@ -41,10 +43,24 @@ def host_fingerprinted_cache_dir(base: str) -> str:
                 # XLA decisions, invisible in cpuinfo flags) — a
                 # flags-only fingerprint segfaulted mid-suite
                 # deserializing such an entry
-                if line.startswith("model name") and not model:
+                if key == "model name" and not model:
                     model = line.split(":", 1)[1].strip()
-                if flags and model:
+                # numeric family/model/stepping: cloud VMs mask the model
+                # NAME to a generic string ("Intel(R) Xeon(R) Processor @
+                # 2.10GHz") that is identical across different uarchs,
+                # but LLVM's uarch detection — which picks the
+                # prefer-no-scatter/-gather target features — keys on the
+                # CPUID family/model numbers. Observed in round 3: two
+                # hosts with identical flags+name but different uarchs
+                # collided and cross-loaded AOT entries.
+                if key in ("cpu family", "model", "stepping", "microcode",
+                           "CPU implementer", "CPU part", "CPU variant"):
+                    uarch.setdefault(key, line.split(":", 1)[1].strip())
+                if flags and model and len(uarch) >= 4:
                     break
+        model += " " + ",".join(
+            f"{k}={v}" for k, v in sorted(uarch.items())
+        )
     except OSError:
         flags = model = "unknown"
     # jaxlib version: the serialized-executable format is not stable
@@ -59,6 +75,29 @@ def host_fingerprinted_cache_dir(base: str) -> str:
     fingerprint = f"{platform.machine()}:{model}:{jl}:{flags}"
     tag = hashlib.sha256(fingerprint.encode()).hexdigest()[:12]
     return os.path.join(base, f"host_{tag}")
+
+
+def configure_compile_cache(base: str = None) -> None:
+    """Point JAX at the persistent compilation cache (all CLI entry
+    points call this): identical sampler/train-step HLO compiles once per
+    host instead of once per process — e.g. the fixture quality loop runs
+    evaluate.py per checkpoint, and the InceptionV3 + trajectory programs
+    are identical every time. Opt out with DMC_TPU_COMPILE_CACHE=0;
+    override the location with DMC_TPU_COMPILE_CACHE_DIR."""
+    if os.environ.get("DMC_TPU_COMPILE_CACHE", "1") == "0":
+        return
+    base = base or os.environ.get(
+        "DMC_TPU_COMPILE_CACHE_DIR", "/root/.jax_cache"
+    )
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", host_fingerprinted_cache_dir(base)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization, never a hard requirement
 
 
 def apply_platform_env() -> None:

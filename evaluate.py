@@ -20,9 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffusion_models_collection_tpu.platform_setup import apply_platform_env
+from diffusion_models_collection_tpu.platform_setup import (
+    apply_platform_env,
+    configure_compile_cache,
+)
 
 apply_platform_env()
+configure_compile_cache()
 
 from diffusion_models_collection_tpu.datasets import DataLoader
 from diffusion_models_collection_tpu.factory import (
@@ -106,6 +110,15 @@ def main():
                         help="FreeU factors (Si et al. 2023; UNet only) "
                              "during generation — measures FreeU's "
                              "quality effect on the metrics")
+    parser.add_argument("--deepcache", type=int, default=0,
+                        metavar="INTERVAL",
+                        help="DeepCache interval (Ma et al. 2023; UNet + "
+                             "--sampling_method ddim only) during "
+                             "generation — measures DeepCache's quality "
+                             "cost, its main trade-off; 0 = off")
+    parser.add_argument("--deepcache_depth", type=int, default=1,
+                        help="Live outer UNet levels on cached steps "
+                             "(as sample.py --deepcache_depth)")
     parser.add_argument("--inception_weights", type=str, default=None,
                         help="torchvision inception_v3 .pth (or converted "
                              ".npz) to calibrate FID/IS; defaults to env "
@@ -218,6 +231,16 @@ def main():
         perturbed_fn = eval_model_fn(_get_model(p_config), params)
         model_fn = pag_model_fn(model_fn, perturbed_fn, args.pag_scale)
         print(f"Perturbed Attention Guidance: scale {args.pag_scale}")
+
+    # DeepCache (extension): same builder + validation as sample.py
+    # (pipeline._build_deepcache), so the metrics CLI can measure the
+    # quality cost of every speed knob it benchmarks
+    from diffusion_models_collection_tpu.pipeline import _build_deepcache
+
+    dc_full_fn, dc_shallow_fn = _build_deepcache(
+        args, config, params, (is_flow, is_edm, is_cm),
+        base_wrapped=args.pag_scale != 0.0,
+    )
     if args.num_inference_steps is not None:
         if args.sampling_method == "ddpm" and not (is_flow or is_edm
                                                    or is_cm):
@@ -273,6 +296,12 @@ def main():
 
     sr_spec = sr_lib.SRSpec.from_config(config)
     if sr_spec is not None:
+        if args.deepcache > 0:
+            raise SystemExit(
+                "--deepcache does not compose with super-resolution "
+                "checkpoints (the cached views bypass the SR "
+                "conditioning wrapper)"
+            )
         print(f"Super-resolution checkpoint: conditioning on real images "
               f"downsampled by {sr_spec.factor}x")
 
@@ -333,7 +362,19 @@ def main():
             batch_model_fn = sr_lib.wrap_model_fn(model_fn, cond)
 
         print(f"Generating batch {i + 1}/{num_batches}...")
-        if args.cfg_scale > 0 and conditional:
+        if args.deepcache > 0:
+            from diffusion_models_collection_tpu.diffusion.deepcache import (
+                deepcache_sample,
+            )
+
+            use_cfg = args.cfg_scale > 0 and conditional
+            samples = deepcache_sample(
+                diffusion, dc_full_fn, dc_shallow_fn, shape, batch_rng,
+                y=batch_labels,
+                cfg_scale=args.cfg_scale if use_cfg else None,
+                interval=args.deepcache, init_noise=init_noise,
+            )
+        elif args.cfg_scale > 0 and conditional:
             samples = diffusion.sample_with_cfg(
                 batch_model_fn, shape, batch_labels, batch_rng,
                 cfg_scale=args.cfg_scale, init_noise=init_noise,

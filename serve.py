@@ -39,6 +39,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from diffusion_models_collection_tpu.platform_setup import (
+    configure_compile_cache,
+)
+
+configure_compile_cache()
+
 from diffusion_models_collection_tpu.factory import (
     dp_sampling_sharding,
     eval_model_fn,

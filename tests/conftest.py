@@ -40,3 +40,60 @@ from cache_dir import cpu_cache_dir  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+# ---------------------------------------------------------------- markers
+# Two-tier suite (round-2 VERDICT weak 2: the full suite crossed 58 min
+# on a 1-core host with no fast lane). `pytest -m "not slow"` is the
+# <10-min gate; the full suite runs nightly/per-round. Assignment is by
+# module, from measured per-file durations on the 1-core reference host
+# (see docs/status.md "test suite tiers").
+import pytest  # noqa: E402
+
+# spawn CLI subprocesses / HTTP servers / jax.distributed clusters
+E2E_MODULES = {
+    "test_cli",
+    "test_multihost",
+    "test_serve",
+    "test_serving",
+    "test_native",  # builds/loads the C++ extension, spawns decode pools
+}
+
+# heavy-compile legs (many distinct jitted programs) — measured >60 s/file
+SLOW_MODULES = {
+    "test_parallel",
+    "test_fsdp",
+    "test_pipeline_parallel",
+    "test_sequence_parallel",
+    "test_tensor_parallel",
+    "test_dim_sequence_parallel",
+    "test_moe",
+    "test_trainer",
+    "test_trainer_backbones",
+    "test_consistency_training",
+    "test_distillation",
+    "test_golden",
+    "test_torch_import",
+    "test_torch_export",
+    "test_latent_diffusion",
+    "test_super_resolution",
+    "test_classifier_guidance",
+    "test_deepcache",
+    "test_metrics",
+    "test_samplers",
+    "test_restart_sampling",
+    "test_img2img",
+    "test_pallas_kernels",
+    "test_vae",
+    "test_reflow",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in E2E_MODULES:
+            item.add_marker(pytest.mark.e2e)
+            item.add_marker(pytest.mark.slow)
+        elif mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

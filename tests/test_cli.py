@@ -1423,3 +1423,42 @@ def test_sample_cli_deepcache(workdir, tmp_path):
         )
         assert proc.returncode != 0, extra
         assert needle in proc.stderr
+
+
+def test_evaluate_cli_deepcache(workdir):
+    """--deepcache on the metrics CLI (round-2 advisor finding: the
+    quality cost — DeepCache's main trade-off — was unmeasurable with
+    evaluate.py while every other inference knob had a flag)."""
+    out_json = workdir / "metrics_deepcache.json"
+    run(
+        [
+            str(REPO / "evaluate.py"),
+            "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+            "--num_samples", "8",
+            "--batch_size", "8",
+            "--sampling_method", "ddim",
+            "--num_inference_steps", "6",
+            "--deepcache", "3",
+            "--output", str(out_json),
+            "--save_images_dir", "",
+        ],
+        cwd=str(workdir),
+    )
+    metrics = json.loads(out_json.read_text())
+    assert set(metrics) == {"FID", "precision", "recall", "KID_mean",
+                            "KID_std", "IS_mean", "IS_std",
+                            "LPIPS_diversity"}
+    assert all(v == v for v in metrics.values())  # no NaN
+
+    # rejection: the cached views bypass wrappers — PAG must refuse
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "evaluate.py"),
+         "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
+         "--num_samples", "4", "--batch_size", "4",
+         "--sampling_method", "ddim", "--deepcache", "2",
+         "--pag_scale", "1.0", "--output", str(workdir / "x.json")],
+        cwd=str(workdir), env=ENV, capture_output=True, text=True,
+        timeout=300,
+    )
+    assert proc.returncode != 0
+    assert "pag_scale" in proc.stdout + proc.stderr

@@ -1,0 +1,280 @@
+"""Fixture quality run: the full train->sample->evaluate loop on real bytes.
+
+Round-2 VERDICT next-step 3: the repo had committed genuine-format CIFAR
+fixtures and a readiness harness, but no actual trained-model quality
+artifact. This tool runs the closest in-env analog of the reference's
+experiment log (reference docs/cifar10_runs.md): train a model for real
+on the TPU on the committed fixture data (tests/fixtures/data — 200
+genuine CIFAR-10 images), checkpoint periodically, then for EACH
+checkpoint sample a grid and run evaluate.py, recording the loss curve
+and the **relative** FID/KID trend (fixed random-weight InceptionV3 — a
+legitimate relative comparison statistic; calibrated numbers need the
+env-blocked torchvision weights, see docs/status.md).
+
+With --knobs it additionally measures the QUALITY cost of every
+acceleration knob applicable to the trained family against the final
+checkpoint (same seed, knob on vs off) — VERDICT next-step 4: a speed
+knob without a quality number is half a result.
+
+One command, reproducible:
+
+    python tools/fixture_quality_run.py --model unet --epochs 60 \
+        --ckpt_every 10 --knobs
+    python tools/fixture_quality_run.py --model dit --epochs 60 \
+        --ckpt_every 10 --knobs
+
+Writes JSON to --out and a markdown report section to
+docs/fixture_quality_run.md (one section per model, overwritten per run).
+"""
+
+import argparse
+import json
+import re
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+FIXTURES = REPO / "tests/fixtures/data"
+DOC = REPO / "docs/fixture_quality_run.md"
+ASSETS = REPO / "docs/assets/fixture_quality"
+
+EVAL_KEYS = ("FID", "KID_mean", "precision", "recall", "IS_mean",
+             "LPIPS_diversity")
+
+# Per-family acceleration knobs measured by --knobs: (label, extra
+# evaluate.py flags). Baseline = same sampler, knob off.
+KNOBS = {
+    "unet": [
+        ("deepcache interval 3", ["--deepcache", "3"]),
+        ("deepcache interval 5", ["--deepcache", "5"]),
+        ("freeu 1.2,1.1,0.9,0.95", ["--freeu", "1.2,1.1,0.9,0.95"]),
+        ("pag_scale 1.0", ["--pag_scale", "1.0"]),
+        ("dpm++ 16 steps", ["--sampling_method", "dpm++",
+                            "--num_inference_steps", "16"]),
+        ("ddim 10 steps", ["--num_inference_steps", "10"]),
+        ("bf16 inference", ["--mixed_precision", "bf16"]),
+    ],
+    "dit": [
+        ("tome 0.5", ["--tome_ratio", "0.5"]),
+        ("tome 0.5 + mlp", ["--tome_ratio", "0.5", "--tome_mlp"]),
+        ("int8 w8a8", ["--quantize", "int8"]),
+        ("pag_scale 1.0", ["--pag_scale", "1.0"]),
+        ("dpm++ 16 steps", ["--sampling_method", "dpm++",
+                            "--num_inference_steps", "16"]),
+        ("bf16 inference", ["--mixed_precision", "bf16"]),
+    ],
+}
+
+
+def run(cmd, cwd=REPO):
+    print("+", " ".join(str(c) for c in cmd), file=sys.stderr, flush=True)
+    proc = subprocess.run([sys.executable] + [str(c) for c in cmd],
+                          capture_output=True, text=True, cwd=str(cwd))
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+        raise SystemExit(f"command failed: {cmd[0]}")
+    return proc.stdout
+
+
+def train(args, workdir: Path) -> list:
+    sys.path.insert(0, str(REPO))
+    from diffusion_models_collection_tpu.utils.helpers import load_config
+
+    config = dict(load_config(str(REPO / f"configs/cifar10_{args.model}.py")))
+    config.update(
+        dataset="cifar10", data_root=str(FIXTURES), epochs=args.epochs,
+        batch_size=args.batch_size, save_interval=args.ckpt_every,
+        save_dir=str(workdir / "ckpt"), sample_dir=str(workdir / "samples"),
+        # no in-train sampling: grids come from the checkpoints below
+        sample_interval=10**6, sample_start_epoch=10**6,
+        # constant LR: the config's warmup+cosine is scaled for a
+        # 2000-epoch run and would spend this whole run warming up
+        use_scheduler=False,
+        use_swanlab=False, resume_path=None, seed=args.seed,
+    )
+    cfg_path = workdir / "quality_config.py"
+    cfg_path.write_text(f"config = {config!r}\n")
+    out = run([REPO / "train.py", "--config", cfg_path], workdir)
+    (workdir / "train_log.txt").write_text(out)
+    return [float(m) for m in re.findall(r"Loss: ([0-9.]+)", out)]
+
+
+def evaluate(args, ckpt: Path, workdir: Path, tag: str, extra=()) -> dict:
+    out_json = workdir / f"metrics_{tag}.json"
+    cmd = [REPO / "evaluate.py", "--checkpoint", ckpt,
+           "--sampling_method", "ddim",
+           "--num_inference_steps", str(args.eval_steps),
+           "--num_samples", str(args.eval_samples),
+           "--batch_size", str(args.eval_batch),
+           "--seed", str(args.seed), "--use_ema",
+           "--save_images_dir", "",  # metrics only; grids saved separately
+           "--output", out_json] + list(extra)
+    # knob rows override the base sampler flags by appending (argparse
+    # keeps the LAST occurrence)
+    run(cmd, workdir)
+    data = json.loads(out_json.read_text())
+    return {k: data[k] for k in EVAL_KEYS if k in data}
+
+
+def sample_grid(args, ckpt: Path, workdir: Path, tag: str) -> Path:
+    out_dir = workdir / f"grid_{tag}"
+    run([REPO / "sample.py", "--checkpoint", ckpt,
+         "--sampling_method", "ddim", "--num_inference_steps", "50",
+         "--num_samples", "16", "--batch_size", "16", "--use_ema",
+         "--seed", str(args.seed),
+         "--output_dir", out_dir, "--output_name", f"{tag}.png"], workdir)
+    return out_dir / f"{tag}.png"
+
+
+def fmt(v):
+    return f"{v:.4g}" if isinstance(v, (int, float)) else str(v)
+
+
+def write_doc(args, losses, rows, knob_rows):
+    """One markdown section per model; regenerate the whole file from the
+    per-model JSON artifacts so successive runs compose."""
+    ASSETS.mkdir(parents=True, exist_ok=True)
+    section = [f"## {args.model.upper()} — fixture CIFAR-10 "
+               f"({args.epochs} epochs, batch {args.batch_size}, "
+               f"200 real images)", ""]
+    section += [
+        "Loss curve (per-epoch mean): "
+        + ", ".join(f"{v:.4f}" for v in losses[:: max(1, len(losses) // 12)])
+        + (f" … final {losses[-1]:.4f}" if losses else ""), "",
+        "Relative quality across checkpoints (random-weight InceptionV3 "
+        "— consistent for comparisons, NOT comparable to published FID; "
+        f"DDIM-{args.eval_steps}, {args.eval_samples} samples vs the 200 "
+        "fixture images, EMA weights, fixed seed):", "",
+        "| epoch | rel-FID | rel-KID×10³ | precision | recall | grid |",
+        "|---|---|---|---|---|---|",
+    ]
+    for tag, m, grid_rel in rows:
+        kid = m.get("KID_mean")
+        section.append(
+            f"| {tag} | {fmt(m.get('FID'))} | "
+            f"{fmt(kid * 1e3) if kid is not None else '—'} | "
+            f"{fmt(m.get('precision'))} | {fmt(m.get('recall'))} | "
+            f"![]({grid_rel}) |"
+        )
+    if knob_rows:
+        section += [
+            "", "Acceleration-knob quality cost at the final checkpoint "
+            "(same seed; Δ vs the baseline row above):", "",
+            "| knob | rel-FID | rel-KID×10³ | precision | recall |",
+            "|---|---|---|---|---|",
+        ]
+        for label, m in knob_rows:
+            kid = m.get("KID_mean")
+            section.append(
+                f"| {label} | {fmt(m.get('FID'))} | "
+                f"{fmt(kid * 1e3) if kid is not None else '—'} | "
+                f"{fmt(m.get('precision'))} | {fmt(m.get('recall'))} |"
+            )
+    section.append("")
+
+    header = [
+        "# Fixture quality run — the full loop on real bytes, in-env",
+        "",
+        "Produced by `tools/fixture_quality_run.py` on the real TPU "
+        "(v5e-1): train on the committed genuine-format CIFAR-10 "
+        "fixtures (`tests/fixtures/data`, 200 images), checkpoint, "
+        "sample, evaluate. The in-env analog of the reference's "
+        "`docs/cifar10_runs.md` experiment log. FID/KID here are "
+        "RELATIVE statistics (random-weight InceptionV3 — torchvision "
+        "weights are env-blocked, see docs/status.md); trends and "
+        "knob deltas are meaningful, absolute values are not.",
+        "",
+        "Reproduce: `python tools/fixture_quality_run.py --model "
+        "unet|dit --epochs 60 --ckpt_every 10 --knobs`",
+        "",
+    ]
+    # compose: keep other models' sections from their JSON artifacts
+    sections = {}
+    for j in sorted(ASSETS.glob("report_*.json")):
+        data = json.loads(j.read_text())
+        sections[data["model"]] = data["section"]
+    sections[args.model] = "\n".join(section)
+    body = "\n".join(header) + "\n" + "\n".join(
+        sections[m] for m in sorted(sections)
+    )
+    DOC.write_text(body)
+    (ASSETS / f"report_{args.model}.json").write_text(json.dumps({
+        "model": args.model, "epochs": args.epochs, "losses": losses,
+        "rows": [(t, m, str(g)) for t, m, g in rows],
+        "knobs": knob_rows, "section": "\n".join(section),
+    }, indent=2))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=("unet", "dit"), default="unet")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--ckpt_every", type=int, default=10)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--eval_samples", type=int, default=200)
+    ap.add_argument("--eval_batch", type=int, default=50)
+    ap.add_argument("--eval_steps", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--knobs", action="store_true",
+                    help="also measure acceleration-knob quality deltas "
+                         "on the final checkpoint")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse an existing --workdir's checkpoints")
+    args = ap.parse_args()
+
+    workdir = Path(args.workdir or f"/tmp/dmc_tpu_quality_{args.model}")
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    if args.skip_train and (workdir / "train_log.txt").exists():
+        losses = [float(m) for m in re.findall(
+            r"Loss: ([0-9.]+)", (workdir / "train_log.txt").read_text())]
+    else:
+        losses = train(args, workdir)
+    print(f"train losses: first {losses[0]:.4f} last {losses[-1]:.4f}")
+
+    ckpts = sorted((workdir / "ckpt").glob("model_epoch_*.ckpt"))
+    if not ckpts:
+        raise SystemExit("no checkpoints written — check save_interval")
+
+    ASSETS.mkdir(parents=True, exist_ok=True)
+    rows = []
+    for ckpt in ckpts:
+        epoch = int(re.search(r"(\d+)", ckpt.stem).group(1))
+        tag = f"epoch{epoch:04d}"
+        metrics = evaluate(args, ckpt, workdir, tag)
+        grid = sample_grid(args, ckpt, workdir, tag)
+        dest = ASSETS / f"{args.model}_{tag}.png"
+        shutil.copyfile(grid, dest)
+        rows.append((epoch, metrics, f"assets/fixture_quality/{dest.name}"))
+        print(f"{tag}: " + ", ".join(f"{k}={fmt(v)}"
+                                     for k, v in metrics.items()))
+
+    knob_rows = []
+    if args.knobs:
+        final = ckpts[-1]
+        base = rows[-1][1]
+        knob_rows.append(("baseline (ddim-50)", base))
+        for label, extra in KNOBS[args.model]:
+            m = evaluate(args, final, workdir,
+                         "knob_" + re.sub(r"\W+", "_", label), extra)
+            knob_rows.append((label, m))
+            print(f"knob {label}: " + ", ".join(
+                f"{k}={fmt(v)}" for k, v in m.items()))
+
+    write_doc(args, losses, rows, knob_rows)
+    first_fid, last_fid = rows[0][1].get("FID"), rows[-1][1].get("FID")
+    print(json.dumps({
+        "model": args.model,
+        "loss_first": losses[0], "loss_last": losses[-1],
+        "fid_first": first_fid, "fid_last": last_fid,
+        "fid_improved": (first_fid is not None and last_fid is not None
+                         and last_fid < first_fid),
+        "doc": str(DOC),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -20,9 +20,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
 
-from diffusion_models_collection_tpu.platform_setup import apply_platform_env
+from diffusion_models_collection_tpu.platform_setup import (
+    apply_platform_env,
+    configure_compile_cache,
+)
 
 apply_platform_env()
+configure_compile_cache()
 
 from diffusion_models_collection_tpu.factory import (
     get_dataloader,
