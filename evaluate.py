@@ -286,6 +286,13 @@ def main():
                 "and known num_classes."
             )
         labels_all = real_labels.astype(np.int32) + 1  # shift; 0 is null
+        if len(labels_all) < args.num_samples:
+            # eval set smaller than --num_samples (e.g. the 50-image
+            # fixture test split): cycle the real labels so generation
+            # keeps the real class distribution instead of crashing on
+            # an empty batch slice
+            reps = -(-args.num_samples // len(labels_all))
+            labels_all = np.tile(labels_all, reps)[: args.num_samples]
     else:
         labels_all = None
 

@@ -1434,7 +1434,9 @@ def test_evaluate_cli_deepcache(workdir):
         [
             str(REPO / "evaluate.py"),
             "--checkpoint", str(workdir / "ckpt" / "best_model.ckpt"),
-            "--num_samples", "8",
+            # 16 samples: IS splits into 10 groups — fewer samples leave
+            # empty splits and a NaN IS_mean (as in test_evaluate_cli)
+            "--num_samples", "16",
             "--batch_size", "8",
             "--sampling_method", "ddim",
             "--num_inference_steps", "6",

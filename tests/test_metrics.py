@@ -319,3 +319,43 @@ def test_metric_goldens_synthetic_bundle(tmp_path, monkeypatch):
     monkeypatch.setenv(GOLDENS_ENV, str(out))
     test_inception_golden_parity()
     test_lpips_golden_parity()
+
+
+def test_uncalibrated_random_features_discriminate():
+    """The uncalibrated InceptionV3 fallback must yield DISCRIMINATIVE
+    features (round-3 fix: flax's lecun-normal init collapsed the pool
+    features to a constant through ~94 ReLU layers — FID was ~2e-5
+    between completely different distributions, silently making every
+    relative-quality comparison meaningless). With the He sqrt(2)
+    rescale, same-distribution FID must be orders of magnitude below
+    different-distribution FID."""
+    from diffusion_models_collection_tpu.metrics.fid import FIDScore
+    from diffusion_models_collection_tpu.metrics.inception import (
+        InceptionFeatures,
+    )
+    from diffusion_models_collection_tpu.metrics.precision_recall import (
+        PrecisionRecall,
+    )
+
+    def grad_imgs(n, seed):
+        r = np.random.default_rng(seed)
+        base = np.linspace(0, 1, 32, dtype=np.float32)
+        return np.clip(
+            r.random((n, 32, 32, 3), dtype=np.float32) * 0.25
+            + 0.75 * base[None, :, None, None], 0, 1)
+
+    a = grad_imgs(32, 1)
+    a2 = grad_imgs(32, 2)
+    b = np.random.default_rng(0).random((32, 32, 32, 3)).astype(np.float32)
+
+    pr = PrecisionRecall(inception=InceptionFeatures())
+    fa, fa2, fb = (pr.extract_features(x) for x in (a, a2, b))
+    assert float(np.std(fa)) > 1e-2, "pool features collapsed again"
+
+    def fid(x, y):
+        return FIDScore.calculate_frechet_distance(
+            np.mean(x, 0), np.cov(x, rowvar=False),
+            np.mean(y, 0), np.cov(y, rowvar=False))
+
+    same, diff = fid(fa, fa2), fid(fa, fb)
+    assert diff > 50 * max(same, 1e-3), (same, diff)

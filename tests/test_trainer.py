@@ -373,3 +373,29 @@ def test_extension_optimizers_train(tmp_path, opt):
 def test_unknown_optimizer_raises(tmp_path):
     with pytest.raises(ValueError, match="optimizer"):
         make_trainer(tmp_path, optimizer="sgdw")
+
+
+def test_save_current_interval_and_save_best_knobs(tmp_path):
+    """Checkpoint-IO discipline knobs (round 3): `save_current_interval`
+    rate-limits the per-epoch current_model.ckpt write and `save_best:
+    False` suppresses best_model.ckpt — at CIFAR-UNet size each write is
+    ~634 MB and was observed to dominate short-epoch runs. Defaults stay
+    reference-parity (current every epoch, best on improvement)."""
+    trainer, cfg = make_trainer(
+        tmp_path, save_current_interval=3, save_best=False,
+        save_interval=2,
+    )
+    for epoch, is_best in ((1, True), (2, True), (3, False), (4, True)):
+        trainer.save_checkpoint(epoch, is_best=is_best)
+    ckpt = tmp_path / "ckpt"
+    assert not (ckpt / "best_model.ckpt").exists()
+    assert (ckpt / "current_model.ckpt").exists()  # epoch 3
+    assert (ckpt / "model_epoch_0002.ckpt").exists()
+    assert (ckpt / "model_epoch_0004.ckpt").exists()
+    assert not (ckpt / "model_epoch_0001.ckpt").exists()
+
+    # parity defaults: every epoch writes current, improvement writes best
+    trainer2, _ = make_trainer(tmp_path / "p")
+    trainer2.save_checkpoint(1, is_best=True)
+    assert (tmp_path / "p" / "ckpt" / "current_model.ckpt").exists()
+    assert (tmp_path / "p" / "ckpt" / "best_model.ckpt").exists()

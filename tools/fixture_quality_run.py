@@ -89,9 +89,22 @@ def train(args, workdir: Path) -> list:
         save_dir=str(workdir / "ckpt"), sample_dir=str(workdir / "samples"),
         # no in-train sampling: grids come from the checkpoints below
         sample_interval=10**6, sample_start_epoch=10**6,
+        # checkpoint IO discipline: at CIFAR-UNet size each write is
+        # ~634 MB — only the periodic epoch files matter to this loop
+        save_current_interval=args.ckpt_every, save_best=False,
+        # EMA horizon matched to the run length: the configs' 0.9999
+        # (10k-step horizon) leaves --use_ema sampling an essentially
+        # UNTRAINED model for any fixture-scale run (observed: relative
+        # FID tracked init noise, not training progress)
+        ema_decay=args.ema_decay,
         # constant LR: the config's warmup+cosine is scaled for a
         # 2000-epoch run and would spend this whole run warming up
         use_scheduler=False,
+        # shorter diffusion schedule: a T=1000 model needs O(100k) steps
+        # before samples stop being noise (the reference's CIFAR runs
+        # are ~780k steps); T=200 learns a visible trend within a
+        # fixture-scale budget while exercising the identical code path
+        num_timesteps=args.num_timesteps,
         use_swanlab=False, resume_path=None, seed=args.seed,
     )
     cfg_path = workdir / "quality_config.py"
@@ -210,8 +223,10 @@ def write_doc(args, losses, rows, knob_rows):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=("unet", "dit"), default="unet")
-    ap.add_argument("--epochs", type=int, default=60)
-    ap.add_argument("--ckpt_every", type=int, default=10)
+    ap.add_argument("--epochs", type=int, default=600)
+    ap.add_argument("--ckpt_every", type=int, default=100)
+    ap.add_argument("--ema_decay", type=float, default=0.995)
+    ap.add_argument("--num_timesteps", type=int, default=200)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--eval_samples", type=int, default=200)
     ap.add_argument("--eval_batch", type=int, default=50)
