@@ -8,6 +8,7 @@ from .inception_score import InceptionScore
 from .kid import KIDScore
 from .lpips_score import LPIPSScore, calculate_all_metrics
 from .precision_recall import PrecisionRecall
+from .swd import SWDScore, compute_swd
 
 __all__ = [
     "FIDScore",
@@ -15,6 +16,8 @@ __all__ = [
     "KIDScore",
     "LPIPSScore",
     "PrecisionRecall",
+    "SWDScore",
+    "compute_swd",
     "calculate_all_metrics",
     "InceptionFeatures",
     "InceptionV3",

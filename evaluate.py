@@ -119,6 +119,14 @@ def main():
     parser.add_argument("--deepcache_depth", type=int, default=1,
                         help="Live outer UNet levels on cached steps "
                              "(as sample.py --deepcache_depth)")
+    parser.add_argument("--swd", action="store_true",
+                        help="also compute multi-scale Sliced Wasserstein "
+                             "Distance on Laplacian-pyramid patches "
+                             "(Karras et al. 2018; extension). Needs NO "
+                             "pretrained weights — fully calibrated by "
+                             "construction, unlike the FID/IS/LPIPS "
+                             "fallbacks when torchvision weights are "
+                             "unavailable")
     parser.add_argument("--inception_weights", type=str, default=None,
                         help="torchvision inception_v3 .pth (or converted "
                              ".npz) to calibrate FID/IS; defaults to env "
@@ -441,6 +449,11 @@ def main():
         weights_path=args.inception_weights,
         lpips_weights_path=args.lpips_weights,
     )
+    if args.swd:
+        from diffusion_models_collection_tpu.metrics import compute_swd
+
+        print("\n=== Computing SWD (x1e3, lower is better) ===")
+        metrics.update(compute_swd(real_images, fake_images))
 
     print("\n" + "=" * 50)
     print("Results:")

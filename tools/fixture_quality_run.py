@@ -40,8 +40,8 @@ FIXTURES = REPO / "tests/fixtures/data"
 DOC = REPO / "docs/fixture_quality_run.md"
 ASSETS = REPO / "docs/assets/fixture_quality"
 
-EVAL_KEYS = ("FID", "KID_mean", "precision", "recall", "IS_mean",
-             "LPIPS_diversity")
+EVAL_KEYS = ("FID", "KID_mean", "swd_avg", "precision", "recall",
+             "IS_mean", "LPIPS_diversity")
 
 # Per-family acceleration knobs measured by --knobs: (label, extra
 # evaluate.py flags). Baseline = same sampler, knob off.
@@ -122,6 +122,9 @@ def evaluate(args, ckpt: Path, workdir: Path, tag: str, extra=()) -> dict:
            "--num_samples", str(args.eval_samples),
            "--batch_size", str(args.eval_batch),
            "--seed", str(args.seed), "--use_ema",
+           # SWD: the one fully-calibrated metric available in-env
+           # (weight-free — metrics/swd.py)
+           "--swd",
            "--save_images_dir", "",  # metrics only; grids saved separately
            "--output", out_json] + list(extra)
     # knob rows override the base sampler flags by appending (argparse
@@ -160,14 +163,15 @@ def write_doc(args, losses, rows, knob_rows):
         "— consistent for comparisons, NOT comparable to published FID; "
         f"DDIM-{args.eval_steps}, {args.eval_samples} samples vs the 200 "
         "fixture images, EMA weights, fixed seed):", "",
-        "| epoch | rel-FID | rel-KID×10³ | precision | recall | grid |",
-        "|---|---|---|---|---|---|",
+        "| epoch | rel-FID | rel-KID×10³ | SWD×10³ | precision | recall | grid |",
+        "|---|---|---|---|---|---|---|",
     ]
     for tag, m, grid_rel in rows:
         kid = m.get("KID_mean")
         section.append(
             f"| {tag} | {fmt(m.get('FID'))} | "
             f"{fmt(kid * 1e3) if kid is not None else '—'} | "
+            f"{fmt(m.get('swd_avg', '—'))} | "
             f"{fmt(m.get('precision'))} | {fmt(m.get('recall'))} | "
             f"![]({grid_rel}) |"
         )
@@ -175,14 +179,15 @@ def write_doc(args, losses, rows, knob_rows):
         section += [
             "", "Acceleration-knob quality cost at the final checkpoint "
             "(same seed; Δ vs the baseline row above):", "",
-            "| knob | rel-FID | rel-KID×10³ | precision | recall |",
-            "|---|---|---|---|---|",
+            "| knob | rel-FID | rel-KID×10³ | SWD×10³ | precision | recall |",
+            "|---|---|---|---|---|---|",
         ]
         for label, m in knob_rows:
             kid = m.get("KID_mean")
             section.append(
                 f"| {label} | {fmt(m.get('FID'))} | "
                 f"{fmt(kid * 1e3) if kid is not None else '—'} | "
+                f"{fmt(m.get('swd_avg', '—'))} | "
                 f"{fmt(m.get('precision'))} | {fmt(m.get('recall'))} |"
             )
     section.append("")
@@ -243,9 +248,18 @@ def main():
     workdir = Path(args.workdir or f"/tmp/dmc_tpu_quality_{args.model}")
     workdir.mkdir(parents=True, exist_ok=True)
 
+    jsonls = sorted((workdir / "ckpt").glob("*.metrics.jsonl"))
     if args.skip_train and (workdir / "train_log.txt").exists():
         losses = [float(m) for m in re.findall(
             r"Loss: ([0-9.]+)", (workdir / "train_log.txt").read_text())]
+    elif args.skip_train and jsonls:
+        # train was interrupted before its stdout was archived — the
+        # tracker's JSONL sink has the same per-epoch losses
+        losses = [
+            json.loads(line)["train/loss"]
+            for line in jsonls[-1].read_text().splitlines()
+            if "train/loss" in line
+        ]
     else:
         losses = train(args, workdir)
     print(f"train losses: first {losses[0]:.4f} last {losses[-1]:.4f}")
