@@ -100,4 +100,19 @@ def test_graft_entry_single_chip():
 def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(8)
+    # Suppress compile-cache WRITES for this test only (reads still hit):
+    # three full-suite runs segfaulted/aborted inside jax's
+    # put_executable_and_time serializing one of the dryrun's programs —
+    # only in the hours-old pytest process; the identical standalone
+    # `python __graft_entry__.py 8` writes the same programs repeatedly
+    # without issue (cold and warm). XLA executable serialization in a
+    # long-lived process with torch co-loaded is the suspect; skipping
+    # the writes costs this test its cache priming, nothing else.
+    before = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
+    try:
+        ge.dryrun_multichip(8)
+    finally:
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", before
+        )

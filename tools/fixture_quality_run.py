@@ -18,10 +18,16 @@ knob without a quality number is half a result.
 
 One command, reproducible:
 
-    python tools/fixture_quality_run.py --model unet --epochs 60 \
-        --ckpt_every 10 --knobs
-    python tools/fixture_quality_run.py --model dit --epochs 60 \
-        --ckpt_every 10 --knobs
+    python tools/fixture_quality_run.py --model unet --epochs 3000 \
+        --ckpt_every 500 --knobs
+    python tools/fixture_quality_run.py --model dit --epochs 1500 \
+        --ckpt_every 500 --knobs
+
+Budget guidance (measured on v5e-1): a T=200 schedule shows a clear
+improving FID/KID/SWD trend by ~20k train steps (~30 min UNet train +
+~5 min per evaluate leg); T=1000 needs O(100k) steps before samples
+stop being noise — all early checkpoints then measure EMA-init noise
+and the trend is meaningless.
 
 Writes JSON to --out and a markdown report section to
 docs/fixture_quality_run.md (one section per model, overwritten per run).
@@ -154,6 +160,7 @@ def write_doc(args, losses, rows, knob_rows):
     ASSETS.mkdir(parents=True, exist_ok=True)
     section = [f"## {args.model.upper()} — fixture CIFAR-10 "
                f"({args.epochs} epochs, batch {args.batch_size}, "
+               f"T={args.num_timesteps}, ema_decay={args.ema_decay}, "
                f"200 real images)", ""]
     section += [
         "Loss curve (per-epoch mean): "
@@ -205,7 +212,15 @@ def write_doc(args, losses, rows, knob_rows):
         "knob deltas are meaningful, absolute values are not.",
         "",
         "Reproduce: `python tools/fixture_quality_run.py --model "
-        "unet|dit --epochs 60 --ckpt_every 10 --knobs`",
+        "unet|dit --knobs` (each section header lists the exact epochs; "
+        "schedule T and EMA decay default to 200 / 0.995 — see "
+        "--num_timesteps/--ema_decay)",
+        "",
+        "**When rel-FID and SWD disagree, trust SWD.** SWD is fully "
+        "calibrated (no learned features); the random-feature rel-FID "
+        "can rank a near-uniform gray output \"close\" to real because "
+        "its feature MEANS align (observed on the DiT epoch-500 row: "
+        "best rel-FID, worst SWD).",
         "",
     ]
     # compose: keep other models' sections from their JSON artifacts
