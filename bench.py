@@ -278,17 +278,26 @@ def _leg_train_step(batch=128):
     labels = jax.device_put(jnp.zeros((batch,), jnp.int32))
     state = tr.state
 
-    # donated state: thread it through warmup + timed steps
+    # donated state: thread it through warmup + timed steps. Slope
+    # timing (time N=4 and N=12 with ONE sync each, divide the
+    # difference): a per-step host sync pays the tunnel round-trip every
+    # step and understates steady-state throughput by ~40%.
     state, loss = step(state, images, labels, jax.random.PRNGKey(1))
     float(loss)
-    times = []
-    for i in range(5):
+
+    def run_n(n, seed0):
+        nonlocal state
         t0 = time.perf_counter()
-        state, loss = step(state, images, labels, jax.random.PRNGKey(2 + i))
-        float(loss)  # host sync
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return batch / times[len(times) // 2]
+        for i in range(n):
+            state, loss = step(state, images, labels,
+                               jax.random.PRNGKey(seed0 + i))
+        float(loss)  # one sync at the end
+        return time.perf_counter() - t0
+
+    run_n(2, 100)  # settle
+    t4 = run_n(4, 200)
+    t12 = run_n(12, 300)
+    return batch * 8 / (t12 - t4)
 
 
 FAMILY_LEGS = [
