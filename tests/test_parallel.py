@@ -1,6 +1,9 @@
 """Data-parallel correctness on the virtual 8-device CPU mesh:
 sharded-vs-single-device gradient equivalence, dryrun entry points."""
 
+import os
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -98,21 +101,27 @@ def test_graft_entry_single_chip():
 
 
 def test_graft_entry_dryrun_multichip():
-    import __graft_entry__ as ge
+    # Run the dryrun in a SUBPROCESS — exactly what the driver executes.
+    # Four consecutive full-suite runs died compiling one of the
+    # dryrun's programs IN-PROCESS (XLA:CPU segfault/abort in
+    # backend_compile_and_load / the cache writer), always and only in
+    # the hours-old pytest process; the identical standalone run
+    # compiles the same programs repeatedly without issue, cold and
+    # warm. A fresh process sidesteps the long-lived-process XLA state
+    # and keeps the full 12-leg evidence in the suite.
+    import subprocess
+    import sys as _sys
 
-    # Suppress compile-cache WRITES for this test only (reads still hit):
-    # three full-suite runs segfaulted/aborted inside jax's
-    # put_executable_and_time serializing one of the dryrun's programs —
-    # only in the hours-old pytest process; the identical standalone
-    # `python __graft_entry__.py 8` writes the same programs repeatedly
-    # without issue (cold and warm). XLA executable serialization in a
-    # long-lived process with torch co-loaded is the suspect; skipping
-    # the writes costs this test its cache priming, nothing else.
-    before = jax.config.jax_persistent_cache_min_compile_time_secs
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
-    try:
-        ge.dryrun_multichip(8)
-    finally:
-        jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs", before
-        )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [_sys.executable, str(Path(__file__).resolve().parents[1] /
+                              "__graft_entry__.py"), "8"],
+        capture_output=True, text=True, timeout=1500, env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    out = proc.stdout
+    for leg in ("dp loss=", "dit (4x2 data,model)", "dim (4x2 data,model)",
+                "data,stage GPipe", "data,seq", "dit FSDP",
+                "hybrid FSDPxTP", "dit-moe EP"):
+        assert leg in out, f"missing dryrun leg {leg!r}:\n{out[-3000:]}"
