@@ -134,6 +134,15 @@ class SWDScore:
             real = real[..., None]
         if fake.ndim == 3:
             fake = fake[..., None]
+        # the level count derives from the REAL set's height and the two
+        # pyramids are zipped — mismatched resolutions would silently
+        # compare different scales (descriptor dims still match)
+        if tuple(real.shape[1:3]) != tuple(fake.shape[1:3]):
+            raise ValueError(
+                "SWD requires equal real/fake resolutions, got "
+                f"real {tuple(real.shape[1:3])} vs "
+                f"fake {tuple(fake.shape[1:3])}; resize one set first."
+            )
         h = int(real.shape[1])
         if levels is None:
             # pyramid down to 16px, the paper's coarsest level (min 1)

@@ -92,6 +92,13 @@ def configure_compile_cache(base: str = None) -> None:
     import jax
 
     try:
+        # Never override an already-configured cache dir (e.g. a test
+        # harness exporting JAX_COMPILATION_CACHE_DIR to an isolated
+        # volume): two processes writing one shared dir can abort in
+        # jax's cache writer — the same hazard the dryrun path guards
+        # against in __graft_entry__.py.
+        if jax.config.jax_compilation_cache_dir is not None:
+            return
         jax.config.update(
             "jax_compilation_cache_dir", host_fingerprinted_cache_dir(base)
         )

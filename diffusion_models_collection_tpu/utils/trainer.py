@@ -1024,7 +1024,9 @@ class DiffusionTrainer:
             for t in trees
         )
 
-    def save_checkpoint(self, epoch: int, is_best: bool = False):
+    def save_checkpoint(
+        self, epoch: int, is_best: bool = False, is_last: bool = False
+    ):
         """Parity: trainer.py:328-365 (current/best/periodic files).
 
         `save_current_interval` (config, default 1 = reference parity)
@@ -1032,11 +1034,13 @@ class DiffusionTrainer:
         model sizes the serialized state is hundreds of MB and writing it
         every epoch can dominate short-epoch runs (observed: 634 MB/epoch
         on the CIFAR UNet turned a 7-step epoch into a minute of IO).
-        best/periodic files are unaffected."""
+        best/periodic files are unaffected. The FINAL epoch always writes
+        current_model.ckpt regardless of the interval so a finished run
+        never ends with its newest weights unpersisted."""
         save_current_every = int(
             self.config.get("save_current_interval", 1) or 1
         )
-        write_current = epoch % save_current_every == 0
+        write_current = is_last or epoch % save_current_every == 0
         # best fires on nearly every epoch of a steadily-improving run —
         # same IO knob rationale (config `save_best`, default parity)
         write_best = is_best and bool(self.config.get("save_best", True))
@@ -1186,7 +1190,7 @@ class DiffusionTrainer:
             is_best = avg_loss < self.best_loss
             if is_best:
                 self.best_loss = avg_loss
-            self.save_checkpoint(epoch, is_best)
+            self.save_checkpoint(epoch, is_best, is_last=epoch == self.epochs)
 
             if (
                 epoch >= self.sample_start_epoch

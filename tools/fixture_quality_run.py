@@ -71,6 +71,15 @@ KNOBS = {
                             "--num_inference_steps", "16"]),
         ("bf16 inference", ["--mixed_precision", "bf16"]),
     ],
+    # DiM: the knobs that apply to the Mamba backbone (no attention ->
+    # no ToMe/PAG/DeepCache/FreeU) — the set the reference's DiM tables
+    # vary (sampler/steps) plus our precision knob
+    "dim": [
+        ("dpm++ 16 steps", ["--sampling_method", "dpm++",
+                            "--num_inference_steps", "16"]),
+        ("ddim 10 steps", ["--num_inference_steps", "10"]),
+        ("bf16 inference", ["--mixed_precision", "bf16"]),
+    ],
 }
 
 
@@ -89,6 +98,19 @@ def train(args, workdir: Path) -> list:
     from diffusion_models_collection_tpu.utils.helpers import load_config
 
     config = dict(load_config(str(REPO / f"configs/cifar10_{args.model}.py")))
+    if args.model_overrides:
+        # recipe knobs for the fixture regime (e.g. patch_size 4 halves
+        # the DiT/DiM token count — 200 images can't constrain a
+        # 256-token patch-2 model, observed as the round-3 DiT collapse)
+        config["model_params"] = dict(
+            config["model_params"], **json.loads(args.model_overrides)
+        )
+    if args.lr is not None:
+        config["learning_rate"] = args.lr
+    if args.dropout is not None:
+        config["model_params"] = dict(
+            config["model_params"], dropout=args.dropout
+        )
     config.update(
         dataset="cifar10", data_root=str(FIXTURES), epochs=args.epochs,
         batch_size=args.batch_size, save_interval=args.ckpt_every,
@@ -158,10 +180,17 @@ def write_doc(args, losses, rows, knob_rows):
     """One markdown section per model; regenerate the whole file from the
     per-model JSON artifacts so successive runs compose."""
     ASSETS.mkdir(parents=True, exist_ok=True)
+    extras = ""
+    if args.model_overrides:
+        extras += f", model_overrides={args.model_overrides}"
+    if args.lr is not None:
+        extras += f", lr={args.lr}"
+    if args.dropout is not None:
+        extras += f", dropout={args.dropout}"
     section = [f"## {args.model.upper()} — fixture CIFAR-10 "
                f"({args.epochs} epochs, batch {args.batch_size}, "
-               f"T={args.num_timesteps}, ema_decay={args.ema_decay}, "
-               f"200 real images)", ""]
+               f"T={args.num_timesteps}, ema_decay={args.ema_decay}"
+               f"{extras}, 200 real images)", ""]
     section += [
         "Loss curve (per-epoch mean): "
         + ", ".join(f"{v:.4f}" for v in losses[:: max(1, len(losses) // 12)])
@@ -242,7 +271,13 @@ def write_doc(args, losses, rows, knob_rows):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=("unet", "dit"), default="unet")
+    ap.add_argument("--model", choices=("unet", "dit", "dim"),
+                    default="unet")
+    ap.add_argument("--model_overrides", default=None,
+                    help="JSON dict merged into config['model_params'] "
+                         '(e.g. \'{"patch_size": 4}\')')
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--dropout", type=float, default=None)
     ap.add_argument("--epochs", type=int, default=600)
     ap.add_argument("--ckpt_every", type=int, default=100)
     ap.add_argument("--ema_decay", type=float, default=0.995)
