@@ -262,11 +262,26 @@ def calculate_all_metrics(real_images, fake_images, weights_path=None,
     metrics["FID"] = float(fid)
     print(f"FID: {fid:.4f}")
 
-    print("\n=== Computing precision/recall ===")
-    precision, recall = pr.compute_from_features(real_feats, fake_feats)
-    metrics["precision"] = precision
-    metrics["recall"] = recall
-    print(f"Precision: {precision:.4f}  Recall: {recall:.4f}")
+    from .precision_recall import MIN_SAMPLES_RECOMMENDED
+
+    n_min = min(len(real_feats), len(fake_feats))
+    if n_min >= MIN_SAMPLES_RECOMMENDED:
+        print("\n=== Computing precision/recall ===")
+        precision, recall = pr.compute_from_features(real_feats, fake_feats)
+        metrics["precision"] = precision
+        metrics["recall"] = recall
+        print(f"Precision: {precision:.4f}  Recall: {recall:.4f}")
+    else:
+        # k-NN manifold P&R has no ranking resolution at small N (every
+        # imperfect generator scores exactly 0) — skip rather than
+        # publish dead columns. PrecisionRecall.compute is still
+        # available directly for callers who want it anyway.
+        print(
+            f"\nSkipping precision/recall: {n_min} samples < "
+            f"{MIN_SAMPLES_RECOMMENDED} minimum for a meaningful k-NN "
+            "manifold estimate (use metrics.PrecisionRecall directly to "
+            "override)."
+        )
 
     print("\n=== Computing KID ===")
     from .kid import KIDScore
@@ -292,5 +307,21 @@ def calculate_all_metrics(real_images, fake_images, weights_path=None,
     lpips_div = lpips_calculator.compute_lpips_diversity(fake_images)
     metrics["LPIPS_diversity"] = float(lpips_div)
     print(f"LPIPS Diversity: {lpips_div:.4f}")
+
+    # Calibration manifest (private key, popped by evaluate.py): every
+    # metric computed from random-init features is a RELATIVE statistic
+    # only — callers label them in reports and default to SWD (the one
+    # weight-free fully-calibrated metric) when this list is non-empty.
+    uncalibrated = []
+    if not inception.calibrated:
+        uncalibrated += [
+            k for k in ("FID", "KID_mean", "KID_std", "IS_mean", "IS_std",
+                        "precision", "recall")
+            if k in metrics
+        ]
+    if not lpips_calculator.calibrated:
+        uncalibrated += ["LPIPS_diversity"]
+    if uncalibrated:
+        metrics["_uncalibrated"] = uncalibrated
 
     return metrics

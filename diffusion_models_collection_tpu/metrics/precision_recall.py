@@ -27,6 +27,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Below this many samples per set the k=3 manifold estimate has no
+# resolution for RANKING similar generators: the coverage mechanics stay
+# sound (same-distribution sets score ~0.6 even at N=200 — see
+# tests/test_precision_recall.py), but any generator whose features sit
+# outside the reference manifold scores exactly 0, so nearby
+# configurations are indistinguishable (round-3 fixture tables: every
+# P&R cell 0 at N=200). The paper protocol uses N >= 10k;
+# `calculate_all_metrics` skips P&R below this bound.
+MIN_SAMPLES_RECOMMENDED = 1000
+
 
 def _pairwise_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Euclidean distances (N, M) via one matmul (MXU-friendly)."""

@@ -353,8 +353,19 @@ def test_evaluate_cli(workdir):
         cwd=str(workdir),
     )
     metrics = json.loads(out_json.read_text())
-    assert set(metrics) == {"FID", "precision", "recall", "KID_mean", "KID_std", "IS_mean", "IS_std", "LPIPS_diversity"}
-    assert all(v == v for v in metrics.values())  # no NaN
+    # no pretrained weights in-env: SWD (the calibrated metric) must be
+    # present BY DEFAULT, the random-feature metrics must be labeled
+    # relative-only, and P&R is skipped below its minimum N (round-3
+    # VERDICT items 5/6)
+    assert {"FID", "KID_mean", "KID_std", "IS_mean", "IS_std",
+            "LPIPS_diversity", "swd_avg",
+            "uncalibrated_relative_only"} <= set(metrics)
+    assert "precision" not in metrics and "recall" not in metrics
+    assert "FID" in metrics["uncalibrated_relative_only"]
+    assert all(
+        v == v for k, v in metrics.items()
+        if k != "uncalibrated_relative_only"
+    )  # no NaN
     assert (workdir / "eval_imgs" / "real").exists()
     assert (workdir / "eval_imgs" / "generate").exists()
     assert "Results saved" in out
@@ -372,12 +383,16 @@ def test_evaluate_cli_fast_sampler(workdir):
             "--batch_size", "8",
             "--sampling_method", "ddim",
             "--num_inference_steps", "4",
+            "--no_swd",
             "--output", str(out_json),
         ],
         cwd=str(workdir),
     )
     metrics = json.loads(out_json.read_text())
-    assert set(metrics) == {"FID", "precision", "recall", "KID_mean", "KID_std", "IS_mean", "IS_std", "LPIPS_diversity"}
+    # --no_swd opts out of the uncalibrated-env SWD default
+    assert set(metrics) == {"FID", "KID_mean", "KID_std", "IS_mean",
+                            "IS_std", "LPIPS_diversity",
+                            "uncalibrated_relative_only"}
     assert "evaluating with ddim sampling" in out
 
 
@@ -1447,10 +1462,13 @@ def test_evaluate_cli_deepcache(workdir):
         cwd=str(workdir),
     )
     metrics = json.loads(out_json.read_text())
-    assert set(metrics) == {"FID", "precision", "recall", "KID_mean",
-                            "KID_std", "IS_mean", "IS_std",
-                            "LPIPS_diversity"}
-    assert all(v == v for v in metrics.values())  # no NaN
+    assert {"FID", "KID_mean", "KID_std", "IS_mean", "IS_std",
+            "LPIPS_diversity", "swd_avg"} <= set(metrics)
+    assert "precision" not in metrics  # skipped below P&R minimum N
+    assert all(
+        v == v for k, v in metrics.items()
+        if k != "uncalibrated_relative_only"
+    )  # no NaN
 
     # rejection: the cached views bypass wrappers — PAG must refuse
     proc = subprocess.run(

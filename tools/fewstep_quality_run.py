@@ -1,0 +1,305 @@
+"""Few-step quality run: measured quality for the fastest speed claims.
+
+Round-3 VERDICT next-step 2: the repo's most dramatic bench rows
+(consistency-2 ~974 samples/s, flow-euler-1 ~1220/s, distilled DDIM) had
+no quality measurement at all. The reference never publishes a
+wall-clock number without a paired quality table (reference
+docs/cifar10_runs.md:105-135); this tool closes that gap in-env.
+
+From the fixture-trained UNet teacher (tools/fixture_quality_run.py
+--model unet, T=200 schedule on the committed 200-image CIFAR fixtures)
+it produces, with one command each artifact class the few-step story
+rests on:
+
+  1. progressive distillation (tools/distill.py): 8->4->2->1-step
+     students, each evaluated at its own step count;
+  2. consistency distillation (tools/distill.py, distill_method
+     'consistency'): 1- and 2-step evaluation;
+  3. consistency TRAINING from scratch (train.py, diffusion_type
+     'consistency'): 1- and 2-step evaluation;
+  4. a flow-matching teacher trained from scratch (train.py), then
+     reflow (tools/reflow.py): euler-50/euler-1 teacher rows and
+     1/2-step reflowed rows.
+
+Every row reports SWD (the one fully-calibrated in-env metric,
+metrics/swd.py) plus relative FID/KID, 200 samples vs the 200 fixture
+images at a fixed seed — directly comparable to the teacher's DDIM-50
+baseline row and to docs/fixture_quality_run.md. Baseline rows for
+UNDISTILLED DDIM at 8/4/2/1 steps quantify what distillation buys.
+
+    python tools/fewstep_quality_run.py            # full run (~1 h TPU)
+    python tools/fewstep_quality_run.py --phases progressive,cd
+
+Writes docs/fewstep_quality_run.md + a JSON artifact per phase under
+docs/assets/fewstep_quality/ so interrupted runs resume per-phase.
+"""
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+FIXTURES = REPO / "tests/fixtures/data"
+DOC = REPO / "docs/fewstep_quality_run.md"
+ASSETS = REPO / "docs/assets/fewstep_quality"
+
+EVAL_KEYS = ("FID", "KID_mean", "swd_avg", "IS_mean", "LPIPS_diversity")
+PHASES = ("baseline", "progressive", "cd", "ct", "flow", "reflow")
+
+
+def run(cmd, cwd=REPO):
+    import subprocess
+
+    print("+", " ".join(str(c) for c in cmd), file=sys.stderr, flush=True)
+    proc = subprocess.run([sys.executable] + [str(c) for c in cmd],
+                          capture_output=True, text=True, cwd=str(cwd))
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+        raise SystemExit(f"command failed: {cmd[0]}")
+    return proc.stdout
+
+
+def evaluate(args, ckpt, tag, extra=()):
+    out_json = args.workdir / f"metrics_{tag}.json"
+    run([REPO / "evaluate.py", "--checkpoint", ckpt,
+         "--num_samples", str(args.eval_samples),
+         "--batch_size", str(args.eval_batch),
+         "--seed", str(args.seed), "--use_ema",
+         "--save_images_dir", "",
+         "--output", out_json] + list(extra))
+    data = json.loads(out_json.read_text())
+    return {k: data[k] for k in EVAL_KEYS if k in data}
+
+
+def eval_ddim(args, ckpt, tag, steps):
+    return evaluate(args, ckpt, tag,
+                    ["--sampling_method", "ddim",
+                     "--num_inference_steps", str(steps)])
+
+
+def eval_native(args, ckpt, tag, steps):
+    """flow / consistency checkpoints: the embedded diffusion_type owns
+    the sampler; --num_inference_steps works with the default method."""
+    return evaluate(args, ckpt, tag,
+                    ["--num_inference_steps", str(steps)])
+
+
+def teacher_cfg(args):
+    sys.path.insert(0, str(REPO))
+    from diffusion_models_collection_tpu.utils.checkpoint import (
+        load_checkpoint,
+    )
+
+    cfg = dict(load_checkpoint(str(args.teacher))["config"])
+    # normalize the dataset keys at the fixture protocol regardless of
+    # where the teacher was trained
+    cfg.update(dataset="cifar10", data_root=str(FIXTURES),
+               use_swanlab=False, resume_path=None, seed=args.seed,
+               use_scheduler=False)
+    return cfg
+
+
+def write_cfg(args, name, cfg):
+    p = args.workdir / f"{name}.py"
+    p.write_text(f"config = {cfg!r}\n")
+    return p
+
+
+# ------------------------------------------------------------------ phases
+def phase_baseline(args):
+    rows = [("teacher ddim-50 (baseline)", 50,
+             eval_ddim(args, args.teacher, "teacher_ddim50", 50))]
+    for s in (8, 4, 2, 1):
+        rows.append((f"teacher ddim-{s} (undistilled)", s,
+                     eval_ddim(args, args.teacher, f"teacher_ddim{s}", s)))
+    return rows
+
+
+def phase_progressive(args):
+    save = args.workdir / "progressive"
+    cfg = teacher_cfg(args)
+    cfg.update(
+        teacher_checkpoint=str(args.teacher), distill_method="progressive",
+        distill_steps=8, distill_stages=4, epochs=args.distill_epochs,
+        save_dir=str(save), learning_rate=1e-4, use_ema=True,
+        ema_decay=0.995,
+    )
+    if not (save / "distilled_0001step.ckpt").exists():
+        run([REPO / "tools/distill.py", "--config",
+             write_cfg(args, "progressive_cfg", cfg)])
+    rows = []
+    for ckpt in sorted(save.glob("distilled_*step.ckpt"), reverse=True):
+        steps = int(re.search(r"(\d+)step", ckpt.name).group(1))
+        rows.append((f"progressive-distilled ddim-{steps}", steps,
+                     eval_ddim(args, ckpt, f"pd{steps}", steps)))
+    return rows
+
+
+def phase_cd(args):
+    save = args.workdir / "cd"
+    cfg = teacher_cfg(args)
+    cfg.update(
+        teacher_checkpoint=str(args.teacher), distill_method="consistency",
+        consistency_grid_size=40, consistency_sample_steps=2,
+        distill_cfg_scale=0.0, target_ema_decay=0.95,
+        epochs=args.cd_epochs, save_dir=str(save), learning_rate=1e-4,
+        use_ema=True, ema_decay=0.995,
+    )
+    ckpt = save / "consistency_model.ckpt"
+    if not ckpt.exists():
+        run([REPO / "tools/distill.py", "--config",
+             write_cfg(args, "cd_cfg", cfg)])
+    return [(f"consistency-distilled {s}-step", s,
+             eval_native(args, ckpt, f"cd{s}", s)) for s in (2, 1)]
+
+
+def phase_ct(args):
+    save = args.workdir / "ct"
+    cfg = teacher_cfg(args)
+    cfg.pop("teacher_checkpoint", None)
+    cfg.update(
+        diffusion_type="consistency", consistency_grid_size=40,
+        consistency_sample_steps=2, target_ema_decay=0.95,
+        epochs=args.ct_epochs, save_dir=str(save),
+        sample_dir=str(save / "samples"), sample_interval=10**6,
+        sample_start_epoch=10**6, save_interval=10**6,
+        save_current_interval=args.ct_epochs, save_best=False,
+        learning_rate=2e-4, ema_decay=0.995,
+    )
+    ckpt = save / "current_model.ckpt"
+    if not ckpt.exists():
+        run([REPO / "train.py", "--config", write_cfg(args, "ct_cfg", cfg)])
+    return [(f"consistency-TRAINED {s}-step (no teacher)", s,
+             eval_native(args, ckpt, f"ct{s}", s)) for s in (2, 1)]
+
+
+def phase_flow(args):
+    save = args.workdir / "flow"
+    cfg = teacher_cfg(args)
+    cfg.update(
+        diffusion_type="flow_matching", epochs=args.flow_epochs,
+        save_dir=str(save), sample_dir=str(save / "samples"),
+        sample_interval=10**6, sample_start_epoch=10**6,
+        save_interval=10**6, save_current_interval=args.flow_epochs,
+        save_best=False, learning_rate=2e-4, ema_decay=0.995,
+    )
+    ckpt = save / "current_model.ckpt"
+    if not ckpt.exists():
+        run([REPO / "train.py", "--config",
+             write_cfg(args, "flow_cfg", cfg)])
+    return [("flow teacher euler-50 (baseline)", 50,
+             eval_native(args, ckpt, "flow50", 50)),
+            ("flow teacher euler-1 (unrectified)", 1,
+             eval_native(args, ckpt, "flow1", 1))]
+
+
+def phase_reflow(args):
+    flow_ckpt = args.workdir / "flow" / "current_model.ckpt"
+    if not flow_ckpt.exists():
+        raise SystemExit("reflow needs the flow phase's checkpoint first")
+    save = args.workdir / "reflow"
+    cfg = teacher_cfg(args)
+    cfg.update(
+        teacher_checkpoint=str(flow_ckpt), reflow_pairs=2048,
+        reflow_rounds=1, pair_batch_size=128, teacher_sample_steps=50,
+        reflow_cfg_scale=0.0, epochs=args.reflow_epochs,
+        save_dir=str(save), learning_rate=1e-4, use_ema=True,
+        ema_decay=0.995,
+    )
+    ckpt = save / "reflow_round1.ckpt"
+    if not ckpt.exists():
+        run([REPO / "tools/reflow.py", "--config",
+             write_cfg(args, "reflow_cfg", cfg)])
+    return [(f"reflow-round1 euler-{s}", s,
+             eval_native(args, ckpt, f"reflow{s}", s)) for s in (2, 1)]
+
+
+# --------------------------------------------------------------------- doc
+def fmt(v):
+    return f"{v:.4g}" if isinstance(v, (int, float)) else str(v)
+
+
+def write_doc(args):
+    sections = {}
+    for p in PHASES:
+        j = ASSETS / f"rows_{p}.json"
+        if j.exists():
+            sections[p] = json.loads(j.read_text())
+    lines = [
+        "# Few-step quality run — measured quality for the speed claims",
+        "",
+        "Produced by `tools/fewstep_quality_run.py` on the real TPU "
+        "(v5e-1) from the fixture-trained UNet teacher "
+        "(`docs/fixture_quality_run.md`, T=200, 200 CIFAR fixture "
+        "images). Every row: 200 samples vs the 200 fixture images, "
+        f"fixed seed {args.seed}, EMA weights. SWD is the calibrated "
+        "metric (weight-free, `metrics/swd.py`); rel-FID/rel-KID are "
+        "relative statistics (random-feature InceptionV3). Lower is "
+        "better for all three. Pair these rows with the throughput "
+        "rows in `docs/benchmarks.md` (consistency-2 ~974 samples/s, "
+        "flow-euler-1 ~1220/s, dpm++-16 ~207/s): a speed claim is half "
+        "a result without its quality cost.",
+        "",
+        "| model | steps | rel-FID | rel-KID×10³ | SWD×10³ |",
+        "|---|---|---|---|---|",
+    ]
+    for p in PHASES:
+        for label, steps, m in sections.get(p, []):
+            kid = m.get("KID_mean")
+            lines.append(
+                f"| {label} | {steps} | {fmt(m.get('FID'))} | "
+                f"{fmt(kid * 1e3) if kid is not None else '—'} | "
+                f"{fmt(m.get('swd_avg', '—'))} |"
+            )
+    lines.append("")
+    DOC.write_text("\n".join(lines))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--teacher", default="/tmp/dmc_tpu_quality_unet/ckpt/"
+                                         "model_epoch_3000.ckpt",
+                    help="fixture-trained VP UNet checkpoint "
+                         "(tools/fixture_quality_run.py --model unet)")
+    ap.add_argument("--phases", default=",".join(PHASES),
+                    help=f"comma list from {PHASES}")
+    ap.add_argument("--workdir", default="/tmp/dmc_tpu_fewstep")
+    ap.add_argument("--eval_samples", type=int, default=200)
+    ap.add_argument("--eval_batch", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--distill_epochs", type=int, default=300,
+                    help="epochs PER progressive stage")
+    ap.add_argument("--cd_epochs", type=int, default=600)
+    ap.add_argument("--ct_epochs", type=int, default=1500)
+    ap.add_argument("--flow_epochs", type=int, default=1500)
+    ap.add_argument("--reflow_epochs", type=int, default=150,
+                    help="epochs over the 2048-pair set")
+    args = ap.parse_args()
+    args.teacher = Path(args.teacher)
+    args.workdir = Path(args.workdir)
+    args.workdir.mkdir(parents=True, exist_ok=True)
+    ASSETS.mkdir(parents=True, exist_ok=True)
+    if not args.teacher.exists():
+        raise SystemExit(
+            f"teacher {args.teacher} missing — run "
+            "`python tools/fixture_quality_run.py --model unet` first"
+        )
+
+    wanted = [p.strip() for p in args.phases.split(",") if p.strip()]
+    bad = set(wanted) - set(PHASES)
+    if bad:
+        raise SystemExit(f"unknown phases: {sorted(bad)}")
+    for p in wanted:
+        rows = globals()[f"phase_{p}"](args)
+        (ASSETS / f"rows_{p}.json").write_text(json.dumps(rows, indent=2))
+        for label, steps, m in rows:
+            print(f"{label}: " + ", ".join(
+                f"{k}={fmt(v)}" for k, v in m.items()))
+        write_doc(args)  # incremental: doc stays current per phase
+    print(json.dumps({"doc": str(DOC), "phases": wanted}))
+
+
+if __name__ == "__main__":
+    main()

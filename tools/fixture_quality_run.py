@@ -46,8 +46,11 @@ FIXTURES = REPO / "tests/fixtures/data"
 DOC = REPO / "docs/fixture_quality_run.md"
 ASSETS = REPO / "docs/assets/fixture_quality"
 
-EVAL_KEYS = ("FID", "KID_mean", "swd_avg", "precision", "recall",
-             "IS_mean", "LPIPS_diversity")
+EVAL_KEYS = ("FID", "KID_mean", "swd_avg", "IS_mean", "LPIPS_diversity")
+# precision/recall intentionally absent: at the fixture protocol's
+# N=200, k-NN manifold P&R has no ranking resolution (round-3 tables
+# were all-zero columns) — calculate_all_metrics now skips it below
+# metrics.precision_recall.MIN_SAMPLES_RECOMMENDED.
 
 # Per-family acceleration knobs measured by --knobs: (label, extra
 # evaluate.py flags). Baseline = same sampler, knob off.
@@ -176,6 +179,49 @@ def fmt(v):
     return f"{v:.4g}" if isinstance(v, (int, float)) else str(v)
 
 
+def render_section(header, losses, rows, knob_rows,
+                   eval_steps=50, eval_samples=200):
+    """Render one model's markdown section from raw data (also used to
+    re-render CACHED reports so table-format changes apply to every
+    section, not just the model last run)."""
+    section = [header, ""]
+    section += [
+        "Loss curve (per-epoch mean): "
+        + ", ".join(f"{v:.4f}" for v in losses[:: max(1, len(losses) // 12)])
+        + (f" … final {losses[-1]:.4f}" if losses else ""), "",
+        "Relative quality across checkpoints (random-weight InceptionV3 "
+        "— consistent for comparisons, NOT comparable to published FID; "
+        f"DDIM-{eval_steps}, {eval_samples} samples vs the 200 "
+        "fixture images, EMA weights, fixed seed):", "",
+        "| epoch | rel-FID | rel-KID×10³ | SWD×10³ | grid |",
+        "|---|---|---|---|---|",
+    ]
+    for tag, m, grid_rel in rows:
+        kid = m.get("KID_mean")
+        section.append(
+            f"| {tag} | {fmt(m.get('FID'))} | "
+            f"{fmt(kid * 1e3) if kid is not None else '—'} | "
+            f"{fmt(m.get('swd_avg', '—'))} | "
+            f"![]({grid_rel}) |"
+        )
+    if knob_rows:
+        section += [
+            "", "Acceleration-knob quality cost at the final checkpoint "
+            "(same seed; Δ vs the baseline row above):", "",
+            "| knob | rel-FID | rel-KID×10³ | SWD×10³ |",
+            "|---|---|---|---|",
+        ]
+        for label, m in knob_rows:
+            kid = m.get("KID_mean")
+            section.append(
+                f"| {label} | {fmt(m.get('FID'))} | "
+                f"{fmt(kid * 1e3) if kid is not None else '—'} | "
+                f"{fmt(m.get('swd_avg', '—'))} |"
+            )
+    section.append("")
+    return "\n".join(section)
+
+
 def write_doc(args, losses, rows, knob_rows):
     """One markdown section per model; regenerate the whole file from the
     per-model JSON artifacts so successive runs compose."""
@@ -187,46 +233,12 @@ def write_doc(args, losses, rows, knob_rows):
         extras += f", lr={args.lr}"
     if args.dropout is not None:
         extras += f", dropout={args.dropout}"
-    section = [f"## {args.model.upper()} — fixture CIFAR-10 "
-               f"({args.epochs} epochs, batch {args.batch_size}, "
-               f"T={args.num_timesteps}, ema_decay={args.ema_decay}"
-               f"{extras}, 200 real images)", ""]
-    section += [
-        "Loss curve (per-epoch mean): "
-        + ", ".join(f"{v:.4f}" for v in losses[:: max(1, len(losses) // 12)])
-        + (f" … final {losses[-1]:.4f}" if losses else ""), "",
-        "Relative quality across checkpoints (random-weight InceptionV3 "
-        "— consistent for comparisons, NOT comparable to published FID; "
-        f"DDIM-{args.eval_steps}, {args.eval_samples} samples vs the 200 "
-        "fixture images, EMA weights, fixed seed):", "",
-        "| epoch | rel-FID | rel-KID×10³ | SWD×10³ | precision | recall | grid |",
-        "|---|---|---|---|---|---|---|",
-    ]
-    for tag, m, grid_rel in rows:
-        kid = m.get("KID_mean")
-        section.append(
-            f"| {tag} | {fmt(m.get('FID'))} | "
-            f"{fmt(kid * 1e3) if kid is not None else '—'} | "
-            f"{fmt(m.get('swd_avg', '—'))} | "
-            f"{fmt(m.get('precision'))} | {fmt(m.get('recall'))} | "
-            f"![]({grid_rel}) |"
-        )
-    if knob_rows:
-        section += [
-            "", "Acceleration-knob quality cost at the final checkpoint "
-            "(same seed; Δ vs the baseline row above):", "",
-            "| knob | rel-FID | rel-KID×10³ | SWD×10³ | precision | recall |",
-            "|---|---|---|---|---|---|",
-        ]
-        for label, m in knob_rows:
-            kid = m.get("KID_mean")
-            section.append(
-                f"| {label} | {fmt(m.get('FID'))} | "
-                f"{fmt(kid * 1e3) if kid is not None else '—'} | "
-                f"{fmt(m.get('swd_avg', '—'))} | "
-                f"{fmt(m.get('precision'))} | {fmt(m.get('recall'))} |"
-            )
-    section.append("")
+    header = (f"## {args.model.upper()} — fixture CIFAR-10 "
+              f"({args.epochs} epochs, batch {args.batch_size}, "
+              f"T={args.num_timesteps}, ema_decay={args.ema_decay}"
+              f"{extras}, 200 real images)")
+    section = render_section(header, losses, rows, knob_rows,
+                             args.eval_steps, args.eval_samples)
 
     header = [
         "# Fixture quality run — the full loop on real bytes, in-env",
@@ -241,9 +253,12 @@ def write_doc(args, losses, rows, knob_rows):
         "knob deltas are meaningful, absolute values are not.",
         "",
         "Reproduce: `python tools/fixture_quality_run.py --model "
-        "unet|dit --knobs` (each section header lists the exact epochs; "
-        "schedule T and EMA decay default to 200 / 0.995 — see "
-        "--num_timesteps/--ema_decay)",
+        "unet|dit|dim --knobs` (each section header lists the exact "
+        "epochs + recipe overrides; schedule T and EMA decay default to "
+        "200 / 0.995 — see --num_timesteps/--ema_decay). "
+        "Precision/recall is intentionally absent: at this protocol's "
+        "N=200 the k-NN manifold estimate has no ranking resolution "
+        "(`metrics/precision_recall.py:MIN_SAMPLES_RECOMMENDED`).",
         "",
         "**When rel-FID and SWD disagree, trust SWD.** SWD is fully "
         "calibrated (no learned features); the random-feature rel-FID "
@@ -252,12 +267,22 @@ def write_doc(args, losses, rows, knob_rows):
         "best rel-FID, worst SWD).",
         "",
     ]
-    # compose: keep other models' sections from their JSON artifacts
+    # compose: re-render other models' sections from their raw JSON data
+    # (header line preserved) so table-format changes apply everywhere;
+    # fall back to the cached section text for pre-raw-data reports
     sections = {}
     for j in sorted(ASSETS.glob("report_*.json")):
         data = json.loads(j.read_text())
-        sections[data["model"]] = data["section"]
-    sections[args.model] = "\n".join(section)
+        cached = data.get("section", "")
+        try:
+            sections[data["model"]] = render_section(
+                cached.splitlines()[0], data["losses"],
+                data["rows"], data.get("knobs") or [],
+                data.get("eval_steps", 50), data.get("eval_samples", 200),
+            )
+        except Exception:
+            sections[data["model"]] = cached
+    sections[args.model] = section
     body = "\n".join(header) + "\n" + "\n".join(
         sections[m] for m in sorted(sections)
     )
@@ -265,7 +290,8 @@ def write_doc(args, losses, rows, knob_rows):
     (ASSETS / f"report_{args.model}.json").write_text(json.dumps({
         "model": args.model, "epochs": args.epochs, "losses": losses,
         "rows": [(t, m, str(g)) for t, m, g in rows],
-        "knobs": knob_rows, "section": "\n".join(section),
+        "knobs": knob_rows, "section": section,
+        "eval_steps": args.eval_steps, "eval_samples": args.eval_samples,
     }, indent=2))
 
 
