@@ -399,3 +399,18 @@ def test_save_current_interval_and_save_best_knobs(tmp_path):
     trainer2.save_checkpoint(1, is_best=True)
     assert (tmp_path / "p" / "ckpt" / "current_model.ckpt").exists()
     assert (tmp_path / "p" / "ckpt" / "best_model.ckpt").exists()
+
+
+def test_final_epoch_always_writes_current(tmp_path):
+    """ADVICE r3: with save_current_interval > 1 the FINAL epoch could
+    skip every write, ending a run with its newest weights unpersisted —
+    is_last forces the current_model.ckpt write regardless of cadence."""
+    trainer, _ = make_trainer(
+        tmp_path, save_current_interval=1000, save_best=False,
+        save_interval=1000,
+    )
+    trainer.save_checkpoint(7, is_best=False)
+    ckpt = tmp_path / "ckpt"
+    assert not (ckpt / "current_model.ckpt").exists()  # cadence skips
+    trainer.save_checkpoint(7, is_best=False, is_last=True)
+    assert (ckpt / "current_model.ckpt").exists()
