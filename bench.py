@@ -336,13 +336,10 @@ def _leg_serving(num_slots=16, num_requests=64, workers=8):
     )
     engine.start()
     try:
-        rng = np.random.RandomState(0)
-
-        def noise(k):
-            return rng.randn(k, 32, 32, 3).astype(np.float32)
-
         # warmup: fill all slots once (compiles the tick program)
-        engine.submit(noise(num_slots),
+        warm = np.random.RandomState(0).randn(
+            num_slots, 32, 32, 3).astype(np.float32)
+        engine.submit(warm,
                       labels=np.arange(1, num_slots + 1, dtype=np.int32),
                       cfg_scale=CFG_SCALE)
 
@@ -351,8 +348,9 @@ def _leg_serving(num_slots=16, num_requests=64, workers=8):
         per_worker = num_requests // workers
 
         def worker(wid):
+            rng = np.random.RandomState(1000 + wid)  # thread-local RNG
             for i in range(per_worker):
-                x = noise(1)
+                x = rng.randn(1, 32, 32, 3).astype(np.float32)
                 y = np.asarray([(wid + i) % 10 + 1], np.int32)
                 t0 = time.perf_counter()
                 engine.submit(x, labels=y, cfg_scale=CFG_SCALE)

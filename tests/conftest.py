@@ -89,6 +89,32 @@ SLOW_MODULES = {
 }
 
 
+# Individually-demoted heavy tests inside otherwise-fast modules
+# (round-4: the module-level split left the fast lane at 16 min measured;
+# these singles — per `pytest -m "not slow" --durations`, 1-core host —
+# account for ~10 of those minutes). Substring-matched against nodeid so
+# a bare name demotes every parametrization, a "[param]" suffix just one.
+SLOW_TESTS = {
+    "test_consistency.py::test_consistency_distillation_end_to_end",  # 100s
+    "test_serving_engine.py::test_service_continuous_mode",           # 66s
+    "test_serving_engine.py::test_service_rejects_continuous_non_ddim",
+    "test_models.py::test_remat_identical_params_and_grads",          # 98s
+    "test_models.py::test_conditional_null_label_differs[unet]",      # 26s
+    "test_models.py::test_forward_shape_unconditional[unet]",         # 25s
+    "test_models.py::test_non_square_image",                          # 21s
+    "test_models.py::test_unet_attention_resolution_quirk",           # 16s
+    "test_models.py::test_bf16_compute_dtype_matches_fp32[unet]",     # 16s
+    "test_edm.py::test_trainer_edm_end_to_end",                       # 37s
+    "test_dp_sampling.py::test_dp_sampling_matches_single_device[ddpm]",
+    "test_flow_matching.py::test_trainer_flow_matching_end_to_end",   # 29s
+    "test_kid.py::test_inception_feature_path_smoke",                 # 22s
+    "test_pag.py::test_pag_sampling_under_jit",                       # 18s
+    "test_pag.py::test_perturbed_model_shares_param_tree[unet]",      # 14s
+    "test_quant.py::TestDiTQuant::test_checkpoint_compatible_and_close",
+    "test_freeu.py::test_unit_factors_are_bitwise_parity",            # 16s
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
@@ -96,4 +122,6 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.e2e)
             item.add_marker(pytest.mark.slow)
         elif mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        elif any(s in item.nodeid for s in SLOW_TESTS):
             item.add_marker(pytest.mark.slow)
