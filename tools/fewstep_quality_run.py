@@ -63,6 +63,9 @@ def run(cmd, cwd=REPO):
 
 def evaluate(args, ckpt, tag, extra=()):
     out_json = args.workdir / f"metrics_{tag}.json"
+    if out_json.exists():  # resumable across tunnel stalls
+        data = json.loads(out_json.read_text())
+        return {k: data[k] for k in EVAL_KEYS if k in data}
     run([REPO / "evaluate.py", "--checkpoint", ckpt,
          "--num_samples", str(args.eval_samples),
          "--batch_size", str(args.eval_batch),

@@ -147,6 +147,11 @@ def train(args, workdir: Path) -> list:
 
 def evaluate(args, ckpt: Path, workdir: Path, tag: str, extra=()) -> dict:
     out_json = workdir / f"metrics_{tag}.json"
+    if out_json.exists():
+        # resumability: remote-TPU tunnel stalls can kill a multi-leg
+        # run mid-way (observed round 4); finished legs are cached
+        data = json.loads(out_json.read_text())
+        return {k: data[k] for k in EVAL_KEYS if k in data}
     cmd = [REPO / "evaluate.py", "--checkpoint", ckpt,
            "--sampling_method", "ddim",
            "--num_inference_steps", str(args.eval_steps),
@@ -167,6 +172,8 @@ def evaluate(args, ckpt: Path, workdir: Path, tag: str, extra=()) -> dict:
 
 def sample_grid(args, ckpt: Path, workdir: Path, tag: str) -> Path:
     out_dir = workdir / f"grid_{tag}"
+    if (out_dir / f"{tag}.png").exists():
+        return out_dir / f"{tag}.png"
     run([REPO / "sample.py", "--checkpoint", ckpt,
          "--sampling_method", "ddim", "--num_inference_steps", "50",
          "--num_samples", "16", "--batch_size", "16", "--use_ema",

@@ -181,6 +181,10 @@ def phase_latent(args):
         if not ckpt_path.exists():
             continue
         out_json = args.workdir / f"metrics_{ckpt_path.stem}.json"
+        if out_json.exists():  # resumable across tunnel stalls
+            data = json.loads(out_json.read_text())
+            rows.append((tag, {k: data[k] for k in EVAL_KEYS if k in data}))
+            continue
         run([REPO / "evaluate.py", "--checkpoint", ckpt_path,
              "--sampling_method", "ddim", "--num_inference_steps", "50",
              "--num_samples", str(args.eval_samples),
