@@ -136,6 +136,17 @@ def train(args, workdir: Path) -> list:
         # are ~780k steps); T=200 learns a visible trend within a
         # fixture-scale budget while exercising the identical code path
         num_timesteps=args.num_timesteps,
+        # CRITICAL (round-4 root cause of every noisy fixture grid):
+        # shortening T while keeping the T=1000 betas leaves
+        # alpha_bar_T = 0.13 (sqrt = 0.36) — the model trains expecting
+        # 36% signal at the terminal step, but sampling starts from PURE
+        # noise, so trajectories can never fully denoise (observed:
+        # gradient-noise grids for UNet/DiT/DiM alike, and the DiT
+        # "gray collapse"). Scale beta_end to preserve sum(beta), i.e.
+        # the T=1000 terminal alpha_bar ~ 4e-5.
+        beta_end=(args.beta_end if args.beta_end is not None
+                  else config["beta_end"]
+                  * config["num_timesteps"] / args.num_timesteps),
         use_swanlab=False, resume_path=None, seed=args.seed,
     )
     cfg_path = workdir / "quality_config.py"
@@ -242,7 +253,8 @@ def write_doc(args, losses, rows, knob_rows):
         extras += f", dropout={args.dropout}"
     header = (f"## {args.model.upper()} — fixture CIFAR-10 "
               f"({args.epochs} epochs, batch {args.batch_size}, "
-              f"T={args.num_timesteps}, ema_decay={args.ema_decay}"
+              f"T={args.num_timesteps} (terminal-SNR-scaled betas), "
+              f"ema_decay={args.ema_decay}"
               f"{extras}, 200 real images)")
     section = render_section(header, losses, rows, knob_rows,
                              args.eval_steps, args.eval_samples)
@@ -315,6 +327,11 @@ def main():
     ap.add_argument("--ckpt_every", type=int, default=100)
     ap.add_argument("--ema_decay", type=float, default=0.995)
     ap.add_argument("--num_timesteps", type=int, default=200)
+    ap.add_argument("--beta_end", type=float, default=None,
+                    help="override the terminal beta; default scales the "
+                         "config's beta_end by (config_T / T) so the "
+                         "shortened schedule keeps alpha_bar_T ~ 0 "
+                         "(pure-noise terminal, as at T=1000)")
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--eval_samples", type=int, default=200)
     ap.add_argument("--eval_batch", type=int, default=50)

@@ -161,7 +161,10 @@ def phase_latent(args):
     print(f"latent std {stats['latent_std']:.4f} -> scale "
           f"{cfg['latent_scale_factor']:.4f}")
 
-    cfg.update(epochs=args.latent_epochs, num_timesteps=200,
+    # T=200 fixture schedule with beta_end scaled x5 so alpha_bar_T ~ 0
+    # (see tools/fixture_quality_run.py: unscaled betas leave 36% signal
+    # at the terminal step and samples never fully denoise)
+    cfg.update(epochs=args.latent_epochs, num_timesteps=200, beta_end=0.1,
                save_dir=str(save), sample_dir=str(save / "samples"),
                sample_interval=10**6, sample_start_epoch=10**6,
                save_interval=args.latent_epochs // 2,
@@ -207,7 +210,8 @@ def phase_sr(args):
         channel_mult=(1, 2, 2), attention_resolutions=(16, 8),
     )
     cfg.update(image_size=(32, 32), conditional=False, num_classes=0,
-               num_timesteps=200, epochs=args.sr_epochs,
+               num_timesteps=200, beta_end=0.1,  # terminal-SNR-scaled
+               epochs=args.sr_epochs,
                save_dir=str(save), sample_dir=str(save / "samples"),
                sample_interval=10**6, sample_start_epoch=10**6,
                save_interval=10**6, save_current_interval=args.sr_epochs,
