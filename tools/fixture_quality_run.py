@@ -346,6 +346,11 @@ def main():
     args = ap.parse_args()
 
     workdir = Path(args.workdir or f"/tmp/dmc_tpu_quality_{args.model}")
+    if not args.skip_train and workdir.exists():
+        # fresh train: purge the previous run's checkpoints AND cached
+        # evaluate/grid legs (stale caches would silently report the old
+        # model's metrics)
+        shutil.rmtree(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
 
     jsonls = sorted((workdir / "ckpt").glob("*.metrics.jsonl"))
