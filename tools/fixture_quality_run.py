@@ -285,6 +285,16 @@ def write_doc(args, losses, rows, knob_rows):
         "its feature MEANS align (observed on the DiT epoch-500 row: "
         "best rel-FID, worst SWD).",
         "",
+        "**What the real data looks like** — the committed fixtures are "
+        "genuine CIFAR-pickle BYTES with procedurally generated, "
+        "class-structured content (`tools/make_fixture_data.py`; this "
+        "environment cannot download the real dataset), so a correct "
+        "model's samples should look like THESE diagonal-gradient "
+        "textures, not like natural CIFAR photos:",
+        "",
+        "![real fixture images]"
+        "(assets/fixture_quality/real_fixture_grid.png)",
+        "",
     ]
     # compose: re-render other models' sections from their raw JSON data
     # (header line preserved) so table-format changes apply everywhere;
