@@ -49,16 +49,33 @@ EVAL_KEYS = ("FID", "KID_mean", "swd_avg", "IS_mean", "LPIPS_diversity")
 PHASES = ("baseline", "progressive", "cd", "ct", "flow", "reflow")
 
 
-def run(cmd, cwd=REPO):
+def run(cmd, cwd=REPO, timeout=1800, retries=1):
+    """CLI leg with a tunnel-wedge watchdog (see fixture_quality_run.run):
+    kill on timeout, retry once; training legs pass a longer timeout."""
     import subprocess
 
-    print("+", " ".join(str(c) for c in cmd), file=sys.stderr, flush=True)
-    proc = subprocess.run([sys.executable] + [str(c) for c in cmd],
-                          capture_output=True, text=True, cwd=str(cwd))
-    if proc.returncode != 0:
+    for attempt in range(retries + 1):
+        print("+", " ".join(str(c) for c in cmd), file=sys.stderr,
+              flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable] + [str(c) for c in cmd],
+                capture_output=True, text=True, cwd=str(cwd),
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"leg timed out after {timeout}s (tunnel wedge?) — "
+                  f"attempt {attempt + 1}/{retries + 1}",
+                  file=sys.stderr, flush=True)
+            continue
+        if proc.returncode == 0:
+            return proc.stdout
         sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
-        raise SystemExit(f"command failed: {cmd[0]}")
-    return proc.stdout
+        if attempt < retries:
+            print(f"leg failed rc={proc.returncode} — retrying",
+                  file=sys.stderr, flush=True)
+    raise SystemExit(f"command failed after {retries + 1} attempts: "
+                     f"{cmd[0]}")
 
 
 def evaluate(args, ckpt, tag, extra=()):
@@ -131,7 +148,8 @@ def phase_progressive(args):
     )
     if not (save / "distilled_0001step.ckpt").exists():
         run([REPO / "tools/distill.py", "--config",
-             write_cfg(args, "progressive_cfg", cfg)])
+             write_cfg(args, "progressive_cfg", cfg)],
+            timeout=7200, retries=0)
     rows = []
     for ckpt in sorted(save.glob("distilled_*step.ckpt"), reverse=True):
         steps = int(re.search(r"(\d+)step", ckpt.name).group(1))
@@ -153,7 +171,8 @@ def phase_cd(args):
     ckpt = save / "consistency_model.ckpt"
     if not ckpt.exists():
         run([REPO / "tools/distill.py", "--config",
-             write_cfg(args, "cd_cfg", cfg)])
+             write_cfg(args, "cd_cfg", cfg)],
+            timeout=7200, retries=0)
     return [(f"consistency-distilled {s}-step", s,
              eval_native(args, ckpt, f"cd{s}", s)) for s in (2, 1)]
 
@@ -173,7 +192,8 @@ def phase_ct(args):
     )
     ckpt = save / "current_model.ckpt"
     if not ckpt.exists():
-        run([REPO / "train.py", "--config", write_cfg(args, "ct_cfg", cfg)])
+        run([REPO / "train.py", "--config", write_cfg(args, "ct_cfg", cfg)],
+            timeout=7200, retries=0)
     return [(f"consistency-TRAINED {s}-step (no teacher)", s,
              eval_native(args, ckpt, f"ct{s}", s)) for s in (2, 1)]
 
@@ -191,7 +211,8 @@ def phase_flow(args):
     ckpt = save / "current_model.ckpt"
     if not ckpt.exists():
         run([REPO / "train.py", "--config",
-             write_cfg(args, "flow_cfg", cfg)])
+             write_cfg(args, "flow_cfg", cfg)],
+            timeout=7200, retries=0)
     return [("flow teacher euler-50 (baseline)", 50,
              eval_native(args, ckpt, "flow50", 50)),
             ("flow teacher euler-1 (unrectified)", 1,
@@ -214,7 +235,8 @@ def phase_reflow(args):
     ckpt = save / "reflow_round1.ckpt"
     if not ckpt.exists():
         run([REPO / "tools/reflow.py", "--config",
-             write_cfg(args, "reflow_cfg", cfg)])
+             write_cfg(args, "reflow_cfg", cfg)],
+            timeout=7200, retries=0)
     return [(f"reflow-round1 euler-{s}", s,
              eval_native(args, ckpt, f"reflow{s}", s)) for s in (2, 1)]
 

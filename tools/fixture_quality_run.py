@@ -86,14 +86,33 @@ KNOBS = {
 }
 
 
-def run(cmd, cwd=REPO):
-    print("+", " ".join(str(c) for c in cmd), file=sys.stderr, flush=True)
-    proc = subprocess.run([sys.executable] + [str(c) for c in cmd],
-                          capture_output=True, text=True, cwd=str(cwd))
-    if proc.returncode != 0:
+def run(cmd, cwd=REPO, timeout=1800, retries=1):
+    """CLI leg with a watchdog: the remote-TPU tunnel can WEDGE a client
+    at init or on a transfer (observed: 0% CPU for 15+ min, and transient
+    remote_compile disconnects) — kill on timeout and retry once; a
+    second client usually goes through after the wedged one dies."""
+    for attempt in range(retries + 1):
+        print("+", " ".join(str(c) for c in cmd), file=sys.stderr,
+              flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable] + [str(c) for c in cmd],
+                capture_output=True, text=True, cwd=str(cwd),
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"leg timed out after {timeout}s (tunnel wedge?) — "
+                  f"attempt {attempt + 1}/{retries + 1}",
+                  file=sys.stderr, flush=True)
+            continue
+        if proc.returncode == 0:
+            return proc.stdout
         sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
-        raise SystemExit(f"command failed: {cmd[0]}")
-    return proc.stdout
+        if attempt < retries:
+            print(f"leg failed rc={proc.returncode} — retrying",
+                  file=sys.stderr, flush=True)
+    raise SystemExit(f"command failed after {retries + 1} attempts: "
+                     f"{cmd[0]}")
 
 
 def train(args, workdir: Path) -> list:
@@ -151,7 +170,8 @@ def train(args, workdir: Path) -> list:
     )
     cfg_path = workdir / "quality_config.py"
     cfg_path.write_text(f"config = {config!r}\n")
-    out = run([REPO / "train.py", "--config", cfg_path], workdir)
+    out = run([REPO / "train.py", "--config", cfg_path], workdir,
+              timeout=7200, retries=0)
     (workdir / "train_log.txt").write_text(out)
     return [float(m) for m in re.findall(r"Loss: ([0-9.]+)", out)]
 

@@ -45,16 +45,33 @@ EVAL_KEYS = ("FID", "KID_mean", "swd_avg", "IS_mean", "LPIPS_diversity")
 PHASES = ("vae", "latent", "sr")
 
 
-def run(cmd, cwd=REPO):
+def run(cmd, cwd=REPO, timeout=1800, retries=1):
+    """CLI leg with a tunnel-wedge watchdog (see fixture_quality_run.run):
+    kill on timeout, retry once; training legs pass a longer timeout."""
     import subprocess
 
-    print("+", " ".join(str(c) for c in cmd), file=sys.stderr, flush=True)
-    proc = subprocess.run([sys.executable] + [str(c) for c in cmd],
-                          capture_output=True, text=True, cwd=str(cwd))
-    if proc.returncode != 0:
+    for attempt in range(retries + 1):
+        print("+", " ".join(str(c) for c in cmd), file=sys.stderr,
+              flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable] + [str(c) for c in cmd],
+                capture_output=True, text=True, cwd=str(cwd),
+                timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"leg timed out after {timeout}s (tunnel wedge?) — "
+                  f"attempt {attempt + 1}/{retries + 1}",
+                  file=sys.stderr, flush=True)
+            continue
+        if proc.returncode == 0:
+            return proc.stdout
         sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
-        raise SystemExit(f"command failed: {cmd[0]}")
-    return proc.stdout
+        if attempt < retries:
+            print(f"leg failed rc={proc.returncode} — retrying",
+                  file=sys.stderr, flush=True)
+    raise SystemExit(f"command failed after {retries + 1} attempts: "
+                     f"{cmd[0]}")
 
 
 def write_cfg(args, name, cfg):
@@ -127,7 +144,8 @@ def phase_vae(args):
                save_best=False, learning_rate=2e-4, ema_decay=0.995)
     ckpt = save / "current_model.ckpt"
     if not ckpt.exists():
-        run([REPO / "train.py", "--config", write_cfg(args, "vae_cfg", cfg)])
+        run([REPO / "train.py", "--config", write_cfg(args, "vae_cfg", cfg)],
+            timeout=7200, retries=0)
 
     # reconstruction row: encode->decode the fixture set (posterior mode)
     from diffusion_models_collection_tpu.utils.latent import LatentCodec
@@ -173,7 +191,8 @@ def phase_latent(args):
     ckpt = save / "current_model.ckpt"
     if not ckpt.exists():
         run([REPO / "train.py", "--config",
-             write_cfg(args, "latent_cfg", cfg)])
+             write_cfg(args, "latent_cfg", cfg)],
+            timeout=7200, retries=0)
 
     rows = []
     for tag, ckpt_path in (
@@ -219,7 +238,8 @@ def phase_sr(args):
                cache_decoded=False, fast_jpeg_decode=False)
     ckpt = save / "current_model.ckpt"
     if not ckpt.exists():
-        run([REPO / "train.py", "--config", write_cfg(args, "sr_cfg", cfg)])
+        run([REPO / "train.py", "--config", write_cfg(args, "sr_cfg", cfg)],
+            timeout=7200, retries=0)
 
     # Super-resolve the area-downsampled fixtures and compare to the
     # true 32x32 originals (evaluate.py has no SR mode: the conditioning
