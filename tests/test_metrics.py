@@ -359,3 +359,24 @@ def test_uncalibrated_random_features_discriminate():
 
     same, diff = fid(fa, fa2), fid(fa, fb)
     assert diff > 50 * max(same, 1e-3), (same, diff)
+
+
+def test_calculate_all_metrics_uncalibrated_manifest_and_pr_gate():
+    """Round-4: in a weights-less environment calculate_all_metrics must
+    (a) label every random-feature metric in a private `_uncalibrated`
+    manifest (evaluate.py pops it into the JSON report) and (b) skip
+    precision/recall below MIN_SAMPLES_RECOMMENDED — at small N the k-NN
+    manifold has no ranking resolution (round-3 tables: all-zero
+    columns)."""
+    from diffusion_models_collection_tpu.metrics import (
+        calculate_all_metrics,
+    )
+
+    r = np.random.default_rng(0)
+    real = r.random((16, 32, 32, 3), dtype=np.float32)
+    fake = r.random((16, 32, 32, 3), dtype=np.float32)
+    m = calculate_all_metrics(real, fake)
+    assert "precision" not in m and "recall" not in m
+    manifest = m["_uncalibrated"]
+    assert "FID" in manifest and "LPIPS_diversity" in manifest
+    assert all(k in m for k in manifest)  # names only for present keys
