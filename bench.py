@@ -37,9 +37,18 @@ from pathlib import Path
 
 # Silence XLA C++ ERROR spam (cpu_aot_loader.cc "+prefer-no-scatter ...
 # could lead to SIGILL" lines — benign, logged even for same-host cache
-# entries) BEFORE jax/XLA initialize: in round 3 multi-KB of this spam
-# pushed every family row out of the driver's ~2 KB artifact tail.
+# entries): in round 3 multi-KB of this spam pushed every family row out
+# of the driver's ~2 KB artifact tail. TF_CPP_MIN_LOG_LEVEL alone does
+# NOT work here (sitecustomize initializes XLA logging before this file
+# runs), so redirect the C++ fd-2 stream to a side file while keeping
+# PYTHON's sys.stderr on the real stream — our own tracebacks and
+# progress lines still reach the artifact. Opt out: DMC_TPU_KEEP_STDERR=1.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+if os.environ.get("DMC_TPU_KEEP_STDERR", "0") != "1":
+    _real_stderr = os.dup(2)
+    os.dup2(os.open("/tmp/bench_xla_stderr.log",
+                    os.O_WRONLY | os.O_CREAT | os.O_TRUNC), 2)
+    sys.stderr = os.fdopen(_real_stderr, "w", buffering=1)
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
