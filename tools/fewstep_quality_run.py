@@ -131,7 +131,9 @@ def write_cfg(args, name, cfg):
 def phase_baseline(args):
     rows = [("teacher ddim-50 (baseline)", 50,
              eval_ddim(args, args.teacher, "teacher_ddim50", 50))]
-    for s in (8, 4, 2, 1):
+    # 4- and 1-step bracket the undistilled few-step gap (8/2 interpolate
+    # and cost two more evaluate legs each on the tunneled chip)
+    for s in (4, 1):
         rows.append((f"teacher ddim-{s} (undistilled)", s,
                      eval_ddim(args, args.teacher, f"teacher_ddim{s}", s)))
     return rows
