@@ -155,6 +155,8 @@ def phase_progressive(args):
     rows = []
     for ckpt in sorted(save.glob("distilled_*step.ckpt"), reverse=True):
         steps = int(re.search(r"(\d+)step", ckpt.name).group(1))
+        if steps > 4:
+            continue  # eval-leg budget: 4/2/1 are the claim-bearing rows
         rows.append((f"progressive-distilled ddim-{steps}", steps,
                      eval_ddim(args, ckpt, f"pd{steps}", steps)))
     return rows
@@ -196,8 +198,8 @@ def phase_ct(args):
     if not ckpt.exists():
         run([REPO / "train.py", "--config", write_cfg(args, "ct_cfg", cfg)],
             timeout=7200, retries=0)
-    return [(f"consistency-TRAINED {s}-step (no teacher)", s,
-             eval_native(args, ckpt, f"ct{s}", s)) for s in (2, 1)]
+    return [("consistency-TRAINED 2-step (no teacher)", 2,
+             eval_native(args, ckpt, "ct2", 2))]
 
 
 def phase_flow(args):
@@ -239,8 +241,8 @@ def phase_reflow(args):
         run([REPO / "tools/reflow.py", "--config",
              write_cfg(args, "reflow_cfg", cfg)],
             timeout=7200, retries=0)
-    return [(f"reflow-round1 euler-{s}", s,
-             eval_native(args, ckpt, f"reflow{s}", s)) for s in (2, 1)]
+    return [("reflow-round1 euler-1", 1,
+             eval_native(args, ckpt, "reflow1", 1))]
 
 
 # --------------------------------------------------------------------- doc
