@@ -271,7 +271,8 @@ def write_doc(args, losses, rows, knob_rows):
         extras += f", lr={args.lr}"
     if args.dropout is not None:
         extras += f", dropout={args.dropout}"
-    header = (f"## {args.model.upper()} — fixture CIFAR-10 "
+    key = args.model + (f"-{args.tag}" if args.tag else "")
+    header = (f"## {key.upper()} — fixture CIFAR-10 "
               f"({args.epochs} epochs, batch {args.batch_size}, "
               f"T={args.num_timesteps} (terminal-SNR-scaled betas), "
               f"ema_decay={args.ema_decay}"
@@ -331,13 +332,13 @@ def write_doc(args, losses, rows, knob_rows):
             )
         except Exception:
             sections[data["model"]] = cached
-    sections[args.model] = section
+    sections[key] = section
     body = "\n".join(header) + "\n" + "\n".join(
         sections[m] for m in sorted(sections)
     )
     DOC.write_text(body)
-    (ASSETS / f"report_{args.model}.json").write_text(json.dumps({
-        "model": args.model, "epochs": args.epochs, "losses": losses,
+    (ASSETS / f"report_{key}.json").write_text(json.dumps({
+        "model": key, "epochs": args.epochs, "losses": losses,
         "rows": [(t, m, str(g)) for t, m, g in rows],
         "knobs": knob_rows, "section": section,
         "eval_steps": args.eval_steps, "eval_samples": args.eval_samples,
@@ -370,12 +371,18 @@ def main():
     ap.add_argument("--knobs", action="store_true",
                     help="also measure acceleration-knob quality deltas "
                          "on the final checkpoint")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the report section key (e.g. "
+                         "'p4fix' -> section 'dit-p4fix'): lets a "
+                         "recipe-variant run coexist with the model's "
+                         "previous section instead of replacing it")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--skip_train", action="store_true",
                     help="reuse an existing --workdir's checkpoints")
     args = ap.parse_args()
 
-    workdir = Path(args.workdir or f"/tmp/dmc_tpu_quality_{args.model}")
+    key = args.model + (f"-{args.tag}" if args.tag else "")
+    workdir = Path(args.workdir or f"/tmp/dmc_tpu_quality_{key}")
     if not args.skip_train and workdir.exists():
         # fresh train: purge the previous run's checkpoints AND cached
         # evaluate/grid legs (stale caches would silently report the old
@@ -410,7 +417,7 @@ def main():
         tag = f"epoch{epoch:04d}"
         metrics = evaluate(args, ckpt, workdir, tag)
         grid = sample_grid(args, ckpt, workdir, tag)
-        dest = ASSETS / f"{args.model}_{tag}.png"
+        dest = ASSETS / f"{key}_{tag}.png"
         shutil.copyfile(grid, dest)
         rows.append((epoch, metrics, f"assets/fixture_quality/{dest.name}"))
         print(f"{tag}: " + ", ".join(f"{k}={fmt(v)}"
