@@ -151,7 +151,7 @@ def phase_progressive(args):
     if not (save / "distilled_0001step.ckpt").exists():
         run([REPO / "tools/distill.py", "--config",
              write_cfg(args, "progressive_cfg", cfg)],
-            timeout=7200, retries=0)
+            timeout=7200, retries=1)
     rows = []
     for ckpt in sorted(save.glob("distilled_*step.ckpt"), reverse=True):
         steps = int(re.search(r"(\d+)step", ckpt.name).group(1))
@@ -176,7 +176,7 @@ def phase_cd(args):
     if not ckpt.exists():
         run([REPO / "tools/distill.py", "--config",
              write_cfg(args, "cd_cfg", cfg)],
-            timeout=7200, retries=0)
+            timeout=7200, retries=1)
     return [(f"consistency-distilled {s}-step", s,
              eval_native(args, ckpt, f"cd{s}", s)) for s in (2, 1)]
 
@@ -197,7 +197,7 @@ def phase_ct(args):
     ckpt = save / "current_model.ckpt"
     if not ckpt.exists():
         run([REPO / "train.py", "--config", write_cfg(args, "ct_cfg", cfg)],
-            timeout=7200, retries=0)
+            timeout=7200, retries=1)
     return [("consistency-TRAINED 2-step (no teacher)", 2,
              eval_native(args, ckpt, "ct2", 2))]
 
@@ -216,7 +216,7 @@ def phase_flow(args):
     if not ckpt.exists():
         run([REPO / "train.py", "--config",
              write_cfg(args, "flow_cfg", cfg)],
-            timeout=7200, retries=0)
+            timeout=7200, retries=1)
     return [("flow teacher euler-50 (baseline)", 50,
              eval_native(args, ckpt, "flow50", 50)),
             ("flow teacher euler-1 (unrectified)", 1,
@@ -240,7 +240,7 @@ def phase_reflow(args):
     if not ckpt.exists():
         run([REPO / "tools/reflow.py", "--config",
              write_cfg(args, "reflow_cfg", cfg)],
-            timeout=7200, retries=0)
+            timeout=7200, retries=1)
     return [("reflow-round1 euler-1", 1,
              eval_native(args, ckpt, "reflow1", 1))]
 

@@ -171,7 +171,7 @@ def train(args, workdir: Path) -> list:
     cfg_path = workdir / "quality_config.py"
     cfg_path.write_text(f"config = {config!r}\n")
     out = run([REPO / "train.py", "--config", cfg_path], workdir,
-              timeout=7200, retries=0)
+              timeout=7200, retries=1)
     (workdir / "train_log.txt").write_text(out)
     return [float(m) for m in re.findall(r"Loss: ([0-9.]+)", out)]
 

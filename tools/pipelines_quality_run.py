@@ -145,7 +145,7 @@ def phase_vae(args):
     ckpt = save / "current_model.ckpt"
     if not ckpt.exists():
         run([REPO / "train.py", "--config", write_cfg(args, "vae_cfg", cfg)],
-            timeout=7200, retries=0)
+            timeout=7200, retries=1)
 
     # reconstruction row: encode->decode the fixture set (posterior mode)
     from diffusion_models_collection_tpu.utils.latent import LatentCodec
@@ -192,7 +192,7 @@ def phase_latent(args):
     if not ckpt.exists():
         run([REPO / "train.py", "--config",
              write_cfg(args, "latent_cfg", cfg)],
-            timeout=7200, retries=0)
+            timeout=7200, retries=1)
 
     rows = []
     for tag, ckpt_path in (
@@ -239,7 +239,7 @@ def phase_sr(args):
     ckpt = save / "current_model.ckpt"
     if not ckpt.exists():
         run([REPO / "train.py", "--config", write_cfg(args, "sr_cfg", cfg)],
-            timeout=7200, retries=0)
+            timeout=7200, retries=1)
 
     # Super-resolve the area-downsampled fixtures and compare to the
     # true 32x32 originals (evaluate.py has no SR mode: the conditioning
