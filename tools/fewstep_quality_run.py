@@ -267,8 +267,8 @@ def write_doc(args):
         "metric (weight-free, `metrics/swd.py`); rel-FID/rel-KID are "
         "relative statistics (random-feature InceptionV3). Lower is "
         "better for all three. Pair these rows with the throughput "
-        "rows in `docs/benchmarks.md` (consistency-2 ~974 samples/s, "
-        "flow-euler-1 ~1220/s, dpm++-16 ~207/s): a speed claim is half "
+        "rows in `docs/benchmarks.md` (consistency-2 ~887 samples/s, "
+        "flow-euler-1 ~1318/s, dpm++-20 ~143/s): a speed claim is half "
         "a result without its quality cost.",
         "",
         "| model | steps | rel-FID | rel-KID×10³ | SWD×10³ |",
