@@ -45,10 +45,19 @@ from pathlib import Path
 # progress lines still reach the artifact. Opt out: DMC_TPU_KEEP_STDERR=1.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 if os.environ.get("DMC_TPU_KEEP_STDERR", "0") != "1":
-    _real_stderr = os.dup(2)
-    os.dup2(os.open("/tmp/bench_xla_stderr.log",
-                    os.O_WRONLY | os.O_CREAT | os.O_TRUNC), 2)
-    sys.stderr = os.fdopen(_real_stderr, "w", buffering=1)
+    # pid in the side-file name + O_APPEND: concurrent processes (and
+    # __graft_entry__'s sibling redirect) must not truncate each other's
+    # log; close the side fd after dup2; fall back to keeping stderr if
+    # /tmp is unwritable (ADVICE r4).
+    try:
+        _real_stderr = os.dup(2)
+        _side_fd = os.open(f"/tmp/bench_xla_stderr.{os.getpid()}.log",
+                           os.O_WRONLY | os.O_CREAT | os.O_APPEND)
+        os.dup2(_side_fd, 2)
+        os.close(_side_fd)
+        sys.stderr = os.fdopen(_real_stderr, "w", buffering=1)
+    except OSError:
+        pass
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
@@ -179,6 +188,16 @@ def _leg_dpmpp16():
     return sps
 
 
+def _leg_ddpm1000():
+    """The reference's own slowest published row: ancestral DDPM over the
+    full 1000-step grid (docs/cifar10_runs.md:106 — 18m29s for 80 images
+    on Titan XP, 0.072 samples/s). Completes the baseline-vs-repo table
+    row-for-row (r4 VERDICT next-step #8)."""
+    model, params = _unet(jnp.bfloat16)
+    sps, _ = _timed_sps(_sample_run(model, params, "ddpm", steps=1000))
+    return sps
+
+
 def _leg_latent():
     """LDM pipeline end to end: 16x16x4 latent UNet DDIM-50 + VAE decode
     (configs/cifar10_latent_unet.py geometry, f=2 KL-VAE)."""
@@ -249,10 +268,13 @@ def _leg_few_step(kind, steps):
     return sps
 
 
-def _leg_train_step(batch=128):
+def _leg_train_step(batch=128, model_channels=128, num_res_blocks=2):
     """Full train step (fwd + bwd + clip + AdamW + EMA) imgs/s at
     `mixed_precision: bf16`, batch 128 — the docs/benchmarks.md training
-    table's UNet row, driven through the real DiffusionTrainer step."""
+    table's UNet row, driven through the real DiffusionTrainer step.
+    `model_channels`/`num_res_blocks` exist so the bench-leg smoke test
+    (tests/test_bench_legs.py) can exercise the identical construction
+    path at toy size on CPU."""
     from diffusion_models_collection_tpu.datasets import (
         DataLoader, DiffusionDataset, ImageTransform,
     )
@@ -265,8 +287,9 @@ def _leg_train_step(batch=128):
     config = {
         "model_type": "unet",
         "model_params": {
-            "in_channels": 3, "model_channels": 128, "out_channels": 3,
-            "num_res_blocks": 2, "attention_resolutions": (16, 8),
+            "in_channels": 3, "model_channels": model_channels,
+            "out_channels": 3, "num_res_blocks": num_res_blocks,
+            "attention_resolutions": (16, 8),
             "channel_mult": (1, 2, 2, 2), "dropout": 0.1,
         },
         "image_size": (32, 32), "conditional": True, "num_classes": 10,
@@ -337,7 +360,14 @@ def _leg_serving(num_slots=16, num_requests=64, workers=8):
 
     model, params = _unet(jnp.bfloat16)
     fn = eval_model_fn(model, params)
-    d = DDIM(num_inference_steps=INFERENCE_STEPS, **BASE_CONFIG)
+    # Filter BASE_CONFIG like every other leg: DDIM.__init__ takes `eta`,
+    # not `ddim_eta` (r4 VERDICT weak #2 — this leg shipped its crash row).
+    d = DDIM(num_inference_steps=INFERENCE_STEPS,
+             eta=BASE_CONFIG["ddim_eta"], **{
+                 k: BASE_CONFIG[k]
+                 for k in ("num_timesteps", "beta_start", "beta_end",
+                           "beta_schedule")
+             })
     engine = ContinuousBatchingEngine(
         d.schedule, d._pair_fn(fn), image_shape=(32, 32, 3),
         num_slots=num_slots, num_inference_steps=INFERENCE_STEPS,
@@ -349,7 +379,7 @@ def _leg_serving(num_slots=16, num_requests=64, workers=8):
         warm = np.random.RandomState(0).randn(
             num_slots, 32, 32, 3).astype(np.float32)
         engine.submit(warm,
-                      labels=np.arange(1, num_slots + 1, dtype=np.int32),
+                      labels=(np.arange(num_slots, dtype=np.int32) % 10 + 1),
                       cfg_scale=CFG_SCALE)
 
         latencies = []
@@ -414,6 +444,7 @@ FAMILY_LEGS = [
     ("cifar10_dim_ddim50_cfg_bf16", lambda: _leg_model_ddim(
         _dim, jnp.bfloat16)),
     ("cifar10_unet_dpmpp16_cfg_bf16", _leg_dpmpp16),
+    ("cifar10_unet_ddpm1000_cfg_bf16", _leg_ddpm1000),
     ("cifar10_latent_ddim50_cfg_plus_decode", _leg_latent),
     ("cifar10_unet_consistency2_cfg", lambda: _leg_few_step(
         "consistency", 2)),

@@ -92,8 +92,11 @@ SLOW_MODULES = {
 # Individually-demoted heavy tests inside otherwise-fast modules
 # (round-4: the module-level split left the fast lane at 16 min measured;
 # these singles — per `pytest -m "not slow" --durations`, 1-core host —
-# account for ~10 of those minutes). Substring-matched against nodeid so
-# a bare name demotes every parametrization, a "[param]" suffix just one.
+# account for ~10 of those minutes). A bare name demotes every
+# parametrization of EXACTLY that test (suffix match on the nodeid with
+# "[param]" stripped — a bare entry must not also demote a future test
+# whose name merely extends it, ADVICE r4); a "[param]" entry demotes
+# just that parametrization (substring match).
 SLOW_TESTS = {
     "test_consistency.py::test_consistency_distillation_end_to_end",  # 100s
     "test_serving_engine.py::test_service_continuous_mode",           # 66s
@@ -112,6 +115,7 @@ SLOW_TESTS = {
     "test_pag.py::test_perturbed_model_shares_param_tree[unet]",      # 14s
     "test_quant.py::TestDiTQuant::test_checkpoint_compatible_and_close",
     "test_freeu.py::test_unit_factors_are_bitwise_parity",            # 16s
+    "test_bench_legs.py::test_train_step_leg_runs_tiny",              # 41s
 }
 
 
@@ -123,5 +127,9 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
         elif mod in SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
-        elif any(s in item.nodeid for s in SLOW_TESTS):
+        elif any(
+            (s in item.nodeid) if "[" in s
+            else item.nodeid.split("[")[0].endswith(s)
+            for s in SLOW_TESTS
+        ):
             item.add_marker(pytest.mark.slow)

@@ -158,6 +158,13 @@ def phase_vae(args):
         z = codec.encode_mode(x[i:i + 50])
         recon.append(np.asarray(codec.decode(z)))
     recon01 = np.clip((np.concatenate(recon) + 1.0) / 2.0, 0.0, 1.0)
+
+    # visual evidence: rows alternate real / its reconstruction
+    from diffusion_models_collection_tpu.utils.helpers import save_image_grid
+
+    pairs = np.concatenate([real01[:8], recon01[:8],
+                            real01[8:16], recon01[8:16]])
+    save_image_grid(pairs, ASSETS / "vae_recon_pairs.png", nrow=8)
     return [("VAE reconstruction (encode→decode, quality ceiling)",
              rel_metrics(real01, recon01))]
 
@@ -203,18 +210,21 @@ def phase_latent(args):
         if not ckpt_path.exists():
             continue
         out_json = args.workdir / f"metrics_{ckpt_path.stem}.json"
-        if out_json.exists():  # resumable across tunnel stalls
-            data = json.loads(out_json.read_text())
-            rows.append((tag, {k: data[k] for k in EVAL_KEYS if k in data}))
-            continue
-        run([REPO / "evaluate.py", "--checkpoint", ckpt_path,
-             "--sampling_method", "ddim", "--num_inference_steps", "50",
-             "--num_samples", str(args.eval_samples),
-             "--batch_size", str(args.eval_batch),
-             "--seed", str(args.seed), "--use_ema",
-             "--save_images_dir", "", "--output", out_json])
+        img_dir = args.workdir / f"images_{ckpt_path.stem}"
+        if not out_json.exists():  # resumable across tunnel stalls
+            run([REPO / "evaluate.py", "--checkpoint", ckpt_path,
+                 "--sampling_method", "ddim", "--num_inference_steps", "50",
+                 "--num_samples", str(args.eval_samples),
+                 "--batch_size", str(args.eval_batch),
+                 "--seed", str(args.seed), "--use_ema",
+                 "--save_images_dir", img_dir, "--output", out_json])
         data = json.loads(out_json.read_text())
         rows.append((tag, {k: data[k] for k in EVAL_KEYS if k in data}))
+        grid = img_dir / "generate_grid_1.png"
+        if grid.exists():  # visual evidence next to the metric row
+            import shutil
+
+            shutil.copy(grid, ASSETS / f"latent_{ckpt_path.stem}.png")
     return rows
 
 
@@ -279,6 +289,13 @@ def phase_sr(args):
     up01 = np.clip(
         (np.asarray(sr_lib.upsample(lr, (32, 32))) + 1.0) / 2.0, 0.0, 1.0
     )
+
+    # visual evidence: rows alternate true HR / bilinear / SR3 output
+    from diffusion_models_collection_tpu.utils.helpers import save_image_grid
+
+    triples = np.concatenate([real01[:8], up01[:8], sr01[:8],
+                              real01[8:16], up01[8:16], sr01[8:16]])
+    save_image_grid(triples, ASSETS / "sr_hr_bilinear_sr3.png", nrow=8)
     return [
         ("bilinear 16→32 upsample (baseline to beat)",
          rel_metrics(real01, up01)),
@@ -324,6 +341,24 @@ def write_doc(args):
                 f"{fmt(m.get('swd_avg', '—'))} |"
             )
     lines.append("")
+    grids = [
+        ("vae_recon_pairs.png",
+         "VAE reconstruction pairs (rows alternate real / reconstruction)"),
+        ("sr_hr_bilinear_sr3.png",
+         "SR 16→32 (rows alternate true HR / bilinear baseline / SR3)"),
+    ] + sorted(
+        (g.name, f"latent UNet DDIM-50 samples ({g.stem.split('latent_')[-1]})")
+        for g in ASSETS.glob("latent_*.png")
+    )
+    shown = [(n, cap) for n, cap in grids if (ASSETS / n).exists()]
+    if shown:
+        lines.append("## Grids")
+        lines.append("")
+        for name, cap in shown:
+            lines.append(f"{cap}:")
+            lines.append("")
+            lines.append(f"![](assets/pipelines_quality/{name})")
+            lines.append("")
     DOC.write_text("\n".join(lines))
 
 
