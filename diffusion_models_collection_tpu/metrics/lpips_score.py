@@ -275,7 +275,12 @@ def calculate_all_metrics(real_images, fake_images, weights_path=None,
         # k-NN manifold P&R has no ranking resolution at small N (every
         # imperfect generator scores exactly 0) — skip rather than
         # publish dead columns. PrecisionRecall.compute is still
-        # available directly for callers who want it anyway.
+        # available directly for callers who want it anyway. The
+        # machine-readable marker lets JSON consumers distinguish
+        # "skipped at this N" from "never computed" (ADVICE r4: dropping
+        # the keys silently was a breaking schema change for small-N
+        # runs).
+        metrics["precision_recall_skipped_below_n"] = MIN_SAMPLES_RECOMMENDED
         print(
             f"\nSkipping precision/recall: {n_min} samples < "
             f"{MIN_SAMPLES_RECOMMENDED} minimum for a meaningful k-NN "

@@ -689,9 +689,21 @@ class ConsistencyTrainingTrainer:
                     {"ct/loss": avg, "ct/grid_size": grid_size},
                     step=epoch,
                 )
-            # every epoch: a long CT run must survive interruption
-            # (resume_path consumes these)
-            self._save(epoch, state, best)
+            # Rate-limited like DiffusionTrainer.save_checkpoint
+            # (trainer.py `save_current_interval`): each _save is TWO
+            # full device->host gathers + multi-hundred-MB pickle writes
+            # — saving every epoch was the root cause of the "iCT step
+            # ~60x slower than the ordinary train step" anomaly
+            # (docs/fewstep_quality_run.md r4): at fixture scale a
+            # 7-step epoch is ~1 s of compute vs ~1 min of checkpoint
+            # IO through the tunnel. The final epoch always saves so a
+            # finished run never ends unpersisted; resume_path consumes
+            # whatever the last interval wrote.
+            save_every = int(
+                self.config.get("save_current_interval", 1) or 1
+            )
+            if epoch % save_every == 0 or epoch == self.epochs:
+                self._save(epoch, state, best)
         if self.is_main_process:
             print("Consistency training completed!")
             self.tracker.finish()

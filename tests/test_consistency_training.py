@@ -435,3 +435,32 @@ def test_ct_cli_train_then_sample(tmp_path):
         check=True, env=env, cwd=str(tmp_path), timeout=900,
     )
     assert (out_dir / "samples.png").exists()
+
+
+def test_ct_save_current_interval_rate_limits_io(tmp_path):
+    """`save_current_interval` rate-limits the per-epoch checkpoint
+    writes (r4: saving two full pickles EVERY epoch made the iCT step
+    look ~60x slower than the ordinary train step at fixture scale —
+    the slowdown was checkpoint IO, not compute). The final epoch always
+    saves regardless of the interval."""
+    from diffusion_models_collection_tpu.factory import get_model
+    from diffusion_models_collection_tpu.utils import checkpoint as ckpt_lib
+    from diffusion_models_collection_tpu.utils.consistency_trainer import (
+        ConsistencyTrainingTrainer,
+    )
+    from diffusion_models_collection_tpu.utils.tracker import NullTracker
+
+    cfg = _ct_config(tmp_path, epochs=3, save_current_interval=2)
+    trainer = ConsistencyTrainingTrainer(
+        get_model(cfg), _loader(), cfg,
+        rng=jax.random.PRNGKey(0), tracker=NullTracker(),
+    )
+    saves = []
+    orig = trainer._save
+    trainer._save = lambda epoch, state, best: (
+        saves.append(epoch), orig(epoch, state, best))
+    trainer.train()
+    # epoch 2 (interval) + epoch 3 (final always saves); NOT epoch 1
+    assert saves == [2, 3]
+    ckpt = tmp_path / "ct" / "current_model.ckpt"
+    assert ckpt_lib.load_checkpoint(ckpt)["epoch"] == 3

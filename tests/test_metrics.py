@@ -377,6 +377,9 @@ def test_calculate_all_metrics_uncalibrated_manifest_and_pr_gate():
     fake = r.random((16, 32, 32, 3), dtype=np.float32)
     m = calculate_all_metrics(real, fake)
     assert "precision" not in m and "recall" not in m
+    # machine-readable skip marker (ADVICE r4): consumers can tell
+    # "skipped at this N" from "never computed"
+    assert m["precision_recall_skipped_below_n"] >= 16
     manifest = m["_uncalibrated"]
     assert "FID" in manifest and "LPIPS_diversity" in manifest
     assert all(k in m for k in manifest)  # names only for present keys
