@@ -345,12 +345,15 @@ def _leg_train_step(batch=128, model_channels=128, num_res_blocks=2):
     return batch * 8 / (t12 - t4)
 
 
-def _leg_serving(num_slots=16, num_requests=64, workers=8):
+def _leg_serving(num_slots=16, num_requests=64, workers=8,
+                 steps_per_tick=5):
     """Continuous-batching serving latency: p50/p99 per-request latency
     (time-to-finished-image) and steady-state throughput for a stream of
     single-image CFG requests against the slot engine, vs the
     whole-trajectory batch sampler's all-or-nothing latency at the same
-    capacity. Returns (p50_ms, extras)."""
+    capacity. steps_per_tick=5 amortizes the tunnel round-trip per
+    dispatch (measured decisive — see docs/benchmarks.md serving
+    section). Returns (p50_ms, extras)."""
     import threading
 
     from diffusion_models_collection_tpu.diffusion import DDIM
@@ -372,6 +375,7 @@ def _leg_serving(num_slots=16, num_requests=64, workers=8):
         d.schedule, d._pair_fn(fn), image_shape=(32, 32, 3),
         num_slots=num_slots, num_inference_steps=INFERENCE_STEPS,
         num_timesteps=BASE_CONFIG["num_timesteps"], conditional=True,
+        steps_per_tick=min(steps_per_tick, INFERENCE_STEPS),
     )
     engine.start()
     try:
@@ -430,6 +434,7 @@ def _leg_serving(num_slots=16, num_requests=64, workers=8):
         "batch_mode_latency_ms": round(batch_median * 1e3, 1),
         "num_slots": num_slots,
         "num_requests": num_requests,
+        "steps_per_tick": min(steps_per_tick, INFERENCE_STEPS),
     }
     return p50 * 1e3, extras
 

@@ -49,7 +49,7 @@ from .diffusion.schedule import NoiseSchedule, ddim_timesteps
 @functools.partial(
     jax.jit,
     static_argnames=("use_cfg", "clip_denoised", "p_threshold",
-                     "guidance_rescale", "cfg_interval"),
+                     "guidance_rescale", "cfg_interval", "steps_per_tick"),
     donate_argnums=(1,),
 )
 def _tick(
@@ -67,42 +67,54 @@ def _tick(
     p_threshold: Optional[float],
     guidance_rescale: float,
     cfg_interval,
+    steps_per_tick: int = 1,
 ):
-    """Advance every active, unfinished slot by one DDIM step."""
+    """Advance every active, unfinished slot by `steps_per_tick` DDIM
+    steps in ONE compiled program (fori_loop over the identical
+    single-step body, so each slot's trajectory stays bit-identical to
+    the scan sampler's; slots that finish mid-tick stop advancing)."""
     n_steps = grid.shape[0]
-    idx = jnp.clip(pos, 0, n_steps - 1)
-    t = grid[idx]
-    # next grid time per slot; the final transition uses -1 (terminal
-    # alpha_bar = 1 convention shared with the scan sampler)
-    t_next = jnp.where(
-        idx + 1 < n_steps, grid[jnp.clip(idx + 1, 0, n_steps - 1)], -1
-    )
 
-    if use_cfg:
-        # the scan samplers' exact CFG path (fused [cond; uncond] batch,
-        # guidance rescale, cfg interval), with a PER-SLOT scale — the
-        # lerp/rescale/gate are all per-sample ops, so a broadcastable
-        # [B, 1, 1, 1] scale composes for free
-        s = cfg.reshape(-1, *((1,) * (x.ndim - 1)))
-        eps, x0 = base.cfg_eps_x0(
-            model_fn, x, t, y, s,
-            guidance_rescale=guidance_rescale, schedule=schedule,
-            cfg_interval=cfg_interval,
+    def one_step(x, pos):
+        idx = jnp.clip(pos, 0, n_steps - 1)
+        t = grid[idx]
+        # next grid time per slot; the final transition uses -1 (terminal
+        # alpha_bar = 1 convention shared with the scan sampler)
+        t_next = jnp.where(
+            idx + 1 < n_steps, grid[jnp.clip(idx + 1, 0, n_steps - 1)], -1
         )
-        # CFG parity with DDIM.sample_with_cfg: dynamic thresholding
-        # (reference ddim.py:299-327) when p_threshold is set
-        x0 = base.constrain_x0(x0, p_threshold, clip_denoised)
-    else:
-        eps, x0 = model_fn(x, t, y)
-        if clip_denoised:
-            x0 = jnp.clip(x0, -1.0, 1.0)
 
-    x_new = ddim_step(schedule, x, t, t_next, eps, x0, 0.0, None)
-    running = active & (pos < n_steps)
-    mask = running.reshape(-1, *((1,) * (x.ndim - 1)))
-    x = jnp.where(mask, x_new, x)
-    pos = jnp.where(running, pos + 1, pos)
-    return x, pos
+        if use_cfg:
+            # the scan samplers' exact CFG path (fused [cond; uncond]
+            # batch, guidance rescale, cfg interval), with a PER-SLOT
+            # scale — the lerp/rescale/gate are all per-sample ops, so a
+            # broadcastable [B, 1, 1, 1] scale composes for free
+            s = cfg.reshape(-1, *((1,) * (x.ndim - 1)))
+            eps, x0 = base.cfg_eps_x0(
+                model_fn, x, t, y, s,
+                guidance_rescale=guidance_rescale, schedule=schedule,
+                cfg_interval=cfg_interval,
+            )
+            # CFG parity with DDIM.sample_with_cfg: dynamic thresholding
+            # (reference ddim.py:299-327) when p_threshold is set
+            x0 = base.constrain_x0(x0, p_threshold, clip_denoised)
+        else:
+            eps, x0 = model_fn(x, t, y)
+            if clip_denoised:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+
+        x_new = ddim_step(schedule, x, t, t_next, eps, x0, 0.0, None)
+        running = active & (pos < n_steps)
+        mask = running.reshape(-1, *((1,) * (x.ndim - 1)))
+        x = jnp.where(mask, x_new, x)
+        pos = jnp.where(running, pos + 1, pos)
+        return x, pos
+
+    if steps_per_tick == 1:
+        return one_step(x, pos)
+    return jax.lax.fori_loop(
+        0, steps_per_tick, lambda _, c: one_step(*c), (x, pos)
+    )
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
@@ -157,6 +169,7 @@ class ContinuousBatchingEngine:
         timesteps=None,
         guidance_rescale: float = 0.0,
         cfg_interval=None,
+        steps_per_tick: int = 1,
     ):
         self.schedule = schedule
         self.pair_fn = pair_fn
@@ -182,10 +195,27 @@ class ContinuousBatchingEngine:
             jnp.int32,
         )
         self.num_steps = int(self.grid.shape[0])
+        # >1 amortizes the per-dispatch round-trip (decisive on the
+        # tunneled runtime: ~7x engine overhead measured at 1) at the
+        # cost of admission/completion granularity of k steps
+        self.steps_per_tick = int(steps_per_tick)
+        if not 1 <= self.steps_per_tick <= self.num_steps:
+            raise ValueError(
+                f"steps_per_tick must be in [1, {self.num_steps}], got "
+                f"{steps_per_tick}"
+            )
         h, w, c = image_shape
         self._x = jnp.zeros((self.num_slots, h, w, c), jnp.float32)
         # idle slots park at pos = S (finished)
         self._pos = jnp.full((self.num_slots,), self.num_steps, jnp.int32)
+        # Host-side shadow of pos: advancement is deterministic (+k per
+        # tick for active slots, clamped), so completion detection needs
+        # NO per-tick device readback — the old [B] pos/active readbacks
+        # were 2 tunnel round-trips per ~5 ms of compute and dominated
+        # engine latency. The device pos stays authoritative for math;
+        # the shadow only schedules readbacks of finished images.
+        self._shadow_pos = np.full((self.num_slots,), self.num_steps,
+                                   np.int64)
         self._y = jnp.zeros((self.num_slots,), jnp.int32)
         self._cfg = jnp.ones((self.num_slots,), jnp.float32)
         self._active = jnp.zeros((self.num_slots,), jnp.bool_)
@@ -297,6 +327,7 @@ class ContinuousBatchingEngine:
                                  jnp.float32),
                     )
                 )
+                self._shadow_pos[req.slots] = 0
             if not have_work:
                 self._work.wait(timeout=0.1)
                 self._work.clear()
@@ -309,13 +340,24 @@ class ContinuousBatchingEngine:
                 p_threshold=self.p_threshold,
                 guidance_rescale=self.guidance_rescale,
                 cfg_interval=self.cfg_interval,
+                steps_per_tick=self.steps_per_tick,
             )
             self.ticks += 1
 
-            # small host readback per tick: [B] ints/bools
-            pos = np.asarray(self._pos)
-            active = np.asarray(self._active)
-            done_slots = np.nonzero(active & (pos >= self.num_steps))[0]
+            # NO per-tick device readback: the shadow advances exactly
+            # as the device pos does (active slots +k, clamped), so
+            # completion is detected host-side and the only transfers
+            # are finished images below.
+            running = np.zeros((self.num_slots,), bool)
+            with self._lock:
+                for s in self._inflight:
+                    running[s] = True
+            self._shadow_pos[running] = np.minimum(
+                self._shadow_pos[running] + self.steps_per_tick,
+                self.num_steps,
+            )
+            done_slots = np.nonzero(
+                running & (self._shadow_pos >= self.num_steps))[0]
             if done_slots.size:
                 finished: dict[int, _Request] = {}
                 with self._lock:

@@ -66,7 +66,8 @@ class SamplerService:
                  num_inference_steps: int | None = None, batch_size: int = 16,
                  use_ema: bool = False, config: dict | None = None,
                  mixed_precision: str | None = None, max_queue: int = 8,
-                 continuous: bool = False, tome_ratio: float = 0.0,
+                 continuous: bool = False, steps_per_tick: int = 1,
+                 tome_ratio: float = 0.0,
                  tome_mlp: bool = False, quantize: str | None = None):
         payload = load_checkpoint(checkpoint_path)
         self.config = config or payload.get("config")
@@ -174,6 +175,7 @@ class SamplerService:
                 cfg_interval=self.diffusion.cfg_interval,
                 conditional=self.conditional,
                 clip_denoised=self.diffusion.clip_sample,
+                steps_per_tick=steps_per_tick,
             ).start()
 
     def _resolve_labels(self, num_samples: int, labels):
@@ -395,6 +397,12 @@ def main(argv=None):
                              "DDIM engine over --batch_size slots; requests "
                              "join mid-flight instead of waiting for whole "
                              "batch trajectories")
+    parser.add_argument("--steps_per_tick", type=int, default=1,
+                        help="with --continuous: denoising steps per "
+                             "compiled engine tick — >1 amortizes the "
+                             "per-dispatch host round-trip (decisive on "
+                             "remote/tunneled runtimes) at the cost of "
+                             "admission granularity of that many steps")
     parser.add_argument("--tome_ratio", type=float, default=0.0,
                         help="Token Merging (DiT checkpoints): merge this "
                              "fraction of patch tokens per block — "
@@ -416,6 +424,7 @@ def main(argv=None):
         mixed_precision=args.mixed_precision,
         max_queue=args.max_queue,
         continuous=args.continuous,
+        steps_per_tick=args.steps_per_tick,
         tome_ratio=args.tome_ratio,
         tome_mlp=args.tome_mlp,
         quantize=args.quantize,

@@ -33,7 +33,7 @@ def _model_fn():
     return jax.tree_util.Partial(fn)
 
 
-def _make(conditional, num_slots=4):
+def _make(conditional, num_slots=4, steps_per_tick=1):
     ddim = DDIM(num_timesteps=T, num_inference_steps=STEPS, eta=0.0)
     engine = ContinuousBatchingEngine(
         ddim.schedule,
@@ -44,6 +44,7 @@ def _make(conditional, num_slots=4):
         num_timesteps=T,
         conditional=conditional,
         clip_denoised=True,
+        steps_per_tick=steps_per_tick,
     )
     return ddim, engine
 
@@ -341,3 +342,51 @@ def test_service_continuous_rejects_non_vp_checkpoint(tmp_path):
     with pytest.raises(ValueError, match="diffusion_type"):
         serve_mod.SamplerService(str(path), sampling_method="ddim",
                                  continuous=True)
+
+
+@pytest.mark.parametrize("spt", [2, 3, STEPS])
+def test_steps_per_tick_parity_and_staggered(spt):
+    """steps_per_tick>1 (fori_loop over the identical step body) keeps
+    every slot's trajectory bit-comparable to the scan sampler, including
+    requests admitted on different ticks (shadow-pos completion must not
+    deliver early or late). spt=STEPS = whole trajectory in one tick."""
+    ddim, engine = _make(conditional=True, num_slots=6, steps_per_tick=spt)
+    engine.start()
+    try:
+        noise_a, noise_b = _noise(12, 2), _noise(13, 3)
+        lab_a = np.array([1, 2], np.int32)
+        lab_b = np.array([3, 4, 5], np.int32)
+        results = {}
+
+        def run_a():
+            results["a"] = engine.submit(noise_a, lab_a, cfg_scale=1.5)
+
+        th = threading.Thread(target=run_a)
+        th.start()
+        time.sleep(0.2)
+        results["b"] = engine.submit(noise_b, lab_b, cfg_scale=2.5)
+        th.join(timeout=120)
+        assert not th.is_alive()
+
+        for key, noise, lab, scale in (
+            ("a", noise_a, lab_a, 1.5),
+            ("b", noise_b, lab_b, 2.5),
+        ):
+            ref = ddim.sample_with_cfg(
+                _model_fn(), (len(lab), H, W, C), jnp.asarray(lab),
+                jax.random.PRNGKey(0), cfg_scale=scale,
+                init_noise=jnp.asarray(noise),
+            )
+            np.testing.assert_allclose(
+                results[key], np.asarray(ref), atol=1e-5,
+                err_msg=f"request {key} diverged at steps_per_tick={spt}",
+            )
+    finally:
+        engine.stop()
+
+
+def test_steps_per_tick_validation():
+    with pytest.raises(ValueError, match="steps_per_tick"):
+        _make(conditional=False, steps_per_tick=0)
+    with pytest.raises(ValueError, match="steps_per_tick"):
+        _make(conditional=False, steps_per_tick=STEPS + 1)
