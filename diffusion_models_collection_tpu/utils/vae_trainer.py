@@ -245,10 +245,25 @@ class VAETrainer:
         return grid
 
     # ---------------------------------------------------------- checkpoints
-    def save_checkpoint(self, epoch: int, is_best: bool = False):
+    def save_checkpoint(self, epoch: int, is_best: bool = False,
+                        is_last: bool = False):
         """Same schema + rotation contract as DiffusionTrainer
-        (trainer.py:328-365) so checkpoint tooling works unchanged."""
+        (trainer.py:328-365) so checkpoint tooling works unchanged —
+        including its IO gates: `save_current_interval` rate-limits the
+        per-epoch current_model.ckpt write and `save_best` can disable
+        the best file (each write is a full host gather + pickle; at
+        fixture scale ungated writes made the 0.17 s VAE epoch take
+        ~13 s of wall time — the same bug class as the iCT one). The
+        final epoch always writes current_model.ckpt."""
         if not self.is_main_process:
+            return
+        save_current_every = int(
+            self.config.get("save_current_interval", 1) or 1
+        )
+        write_current = is_last or epoch % save_current_every == 0
+        write_best = is_best and bool(self.config.get("save_best", True))
+        write_periodic = epoch % self.save_interval == 0
+        if not (write_current or write_best or write_periodic):
             return
 
         def write(path):
@@ -264,10 +279,11 @@ class VAETrainer:
                 format=self.config.get("checkpoint_format", "pickle"),
             )
 
-        write(self.save_dir / "current_model.ckpt")
-        if is_best:
+        if write_current:
+            write(self.save_dir / "current_model.ckpt")
+        if write_best:
             write(self.save_dir / "best_model.ckpt")
-        if epoch % self.save_interval == 0:
+        if write_periodic:
             write(self.save_dir / f"model_epoch_{epoch:04d}.ckpt")
 
     def load_checkpoint(self, checkpoint_path):
@@ -324,7 +340,8 @@ class VAETrainer:
             is_best = avg_loss < self.best_loss
             if is_best:
                 self.best_loss = avg_loss
-            self.save_checkpoint(epoch, is_best)
+            self.save_checkpoint(epoch, is_best,
+                                 is_last=epoch == self.epochs)
             if (
                 epoch >= self.sample_start_epoch
                 and epoch % self.sample_interval == 0
