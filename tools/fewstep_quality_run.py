@@ -108,11 +108,31 @@ def eval_native(args, ckpt, tag, steps):
 
 def teacher_cfg(args):
     sys.path.insert(0, str(REPO))
-    from diffusion_models_collection_tpu.utils.checkpoint import (
-        load_checkpoint,
-    )
+    if Path(args.teacher).exists():
+        from diffusion_models_collection_tpu.utils.checkpoint import (
+            load_checkpoint,
+        )
 
-    cfg = dict(load_checkpoint(str(args.teacher))["config"])
+        cfg = dict(load_checkpoint(str(args.teacher))["config"])
+    else:
+        # Weights-free fallback for the phases that only need the CONFIG
+        # template (ct, flow — both train from scratch): rebuild the
+        # exact fixture UNet recipe tools/fixture_quality_run.py trains
+        # the teacher with (T=200, terminal-SNR-scaled beta_end,
+        # ema 0.995). Workdirs under /tmp do not survive machine swaps;
+        # without this, a CT-only run would demand a 3000-epoch teacher
+        # retrain it never reads a weight from.
+        from diffusion_models_collection_tpu.utils.helpers import (
+            load_config,
+        )
+
+        cfg = dict(load_config(str(REPO / "configs/cifar10_unet.py")))
+        cfg["beta_end"] = cfg["beta_end"] * cfg["num_timesteps"] / 200
+        cfg.update(num_timesteps=200, ema_decay=0.995, batch_size=32)
+        print(f"teacher checkpoint {args.teacher} absent — using the "
+              "fixture-recipe config template (valid for the "
+              "weights-free phases: ct, flow/reflow)",
+              file=sys.stderr, flush=True)
     # normalize the dataset keys at the fixture protocol regardless of
     # where the teacher was trained
     cfg.update(dataset="cifar10", data_root=str(FIXTURES),
