@@ -325,9 +325,10 @@ def write_doc(args):
         f"(fixed seed {args.seed}). SWD is calibrated (weight-free); "
         "rel-FID/rel-KID are relative statistics. Lower is better. "
         "These rows pair with the speed rows in `docs/benchmarks.md` "
-        "(latent+decode ~283 samples/s, SR cascade ~14.8/s). "
-        "Pixel-space comparator: the UNet fixture run's DDIM-50 row "
-        "(SWD×10³ ≈ 212 after 3000 epochs).",
+        "(latent+decode ~272 samples/s, SR cascade ~14.8/s). "
+        "Pixel-space comparator: the UNet fixture run's post-fix "
+        "DDIM-50 rows (SWD×10³ 96.6 at the SWD-best epoch 1000, 130.9 "
+        "at epoch 3000 — docs/fixture_quality_run.md).",
         "",
         "| pipeline row | rel-FID | rel-KID×10³ | SWD×10³ |",
         "|---|---|---|---|",
