@@ -303,6 +303,13 @@ def write_doc(args):
                 f"{fmt(m.get('swd_avg', '—'))} |"
             )
     lines.append("")
+    # curated interpretation lives in a sidecar so doc regeneration
+    # never drops it (observed: the r5 ct-phase re-run deleted the
+    # hand-written Readings section)
+    readings = ASSETS / "readings.md"
+    if readings.exists():
+        lines.append(readings.read_text().rstrip())
+        lines.append("")
     DOC.write_text("\n".join(lines))
 
 
@@ -330,13 +337,17 @@ def main():
     args.workdir = Path(args.workdir)
     args.workdir.mkdir(parents=True, exist_ok=True)
     ASSETS.mkdir(parents=True, exist_ok=True)
-    if not args.teacher.exists():
+    wanted = [p.strip() for p in args.phases.split(",") if p.strip()]
+    # ct and flow train from scratch (teacher_cfg falls back to the
+    # fixture-recipe config template); every other phase reads teacher
+    # WEIGHTS and genuinely needs the checkpoint
+    weights_free = {"ct", "flow"}
+    if not args.teacher.exists() and not set(wanted) <= weights_free:
         raise SystemExit(
             f"teacher {args.teacher} missing — run "
-            "`python tools/fixture_quality_run.py --model unet` first"
+            "`python tools/fixture_quality_run.py --model unet` first "
+            f"(or restrict --phases to {sorted(weights_free)})"
         )
-
-    wanted = [p.strip() for p in args.phases.split(",") if p.strip()]
     bad = set(wanted) - set(PHASES)
     if bad:
         raise SystemExit(f"unknown phases: {sorted(bad)}")
