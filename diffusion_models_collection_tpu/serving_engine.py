@@ -128,9 +128,14 @@ def _admit(x, pos, y, cfg, active, slots, noise, labels, scales):
     return x, pos, y, cfg, active
 
 
-@jax.jit
-def _retire(active, slots):
-    return active.at[slots].set(False)
+# NOTE: there is deliberately NO per-completion device op. Retiring a
+# slot used to scatter active[slots]=False and gather x[done_slots] —
+# both compile PER DISTINCT slot-count, and under load the completion
+# sizes vary (1..B), so the tunnel paid a multi-second remote compile
+# for every new size (observed: 14 s p99 spikes mid-sweep). A finished
+# slot is already inert in _tick (pos == n_steps gates `running`), so
+# retirement is purely host-side bookkeeping and recycled slots are
+# reactivated by _admit.
 
 
 @dataclass
@@ -317,13 +322,29 @@ class ContinuousBatchingEngine:
                 admitted = self._try_admit_locked()
                 have_work = bool(self._inflight)
             for req in admitted:
+                # pad every admission to num_slots entries (duplicate
+                # writes of identical values are harmless) so _admit
+                # compiles exactly ONCE instead of once per request
+                # size — same per-size remote-compile hazard as the
+                # retired gather/scatter above
+                k = len(req.slots)
+                pad = self.num_slots - k
+                slots = np.concatenate(
+                    [req.slots, np.repeat(req.slots[:1], pad)]
+                ).astype(np.int32)
+                noise = np.concatenate(
+                    [req.noise, np.repeat(req.noise[:1], pad, axis=0)]
+                )
+                labels = np.concatenate(
+                    [req.labels, np.repeat(req.labels[:1], pad)]
+                ).astype(np.int32)
                 self._x, self._pos, self._y, self._cfg, self._active = (
                     _admit(
                         self._x, self._pos, self._y, self._cfg,
-                        self._active, jnp.asarray(req.slots),
-                        jnp.asarray(req.noise),
-                        jnp.asarray(req.labels, jnp.int32),
-                        jnp.full((len(req.slots),), req.cfg_scale,
+                        self._active, jnp.asarray(slots),
+                        jnp.asarray(noise),
+                        jnp.asarray(labels),
+                        jnp.full((self.num_slots,), req.cfg_scale,
                                  jnp.float32),
                     )
                 )
@@ -366,16 +387,15 @@ class ContinuousBatchingEngine:
                         if req is not None:
                             finished[id(req)] = req
                 # a request completes when ALL its slots are done
-                # (same grid length -> they finish on the same tick)
-                images = np.asarray(self._x[jnp.asarray(done_slots)])
-                by_slot = {int(s): images[i]
-                           for i, s in enumerate(done_slots)}
-                self._active = _retire(self._active,
-                                       jnp.asarray(done_slots, jnp.int32))
+                # (same grid length -> they finish on the same tick).
+                # Read back the WHOLE pool (one fixed-shape transfer,
+                # ~200 KB at 16x32x32x3) and index host-side: a
+                # x[done_slots] gather compiles per distinct count.
+                images = np.asarray(self._x)
                 with self._lock:
                     self._free.extend(int(s) for s in done_slots)
                 for req in finished.values():
                     req.result = np.stack(
-                        [by_slot[int(s)] for s in req.slots]
+                        [images[int(s)] for s in req.slots]
                     )
                     req.event.set()
