@@ -389,10 +389,12 @@ def test_evaluate_cli_fast_sampler(workdir):
         cwd=str(workdir),
     )
     metrics = json.loads(out_json.read_text())
-    # --no_swd opts out of the uncalibrated-env SWD default
+    # --no_swd opts out of the uncalibrated-env SWD default; the P&R
+    # small-N skip marker (ADVICE r4) is part of the schema at N=16
     assert set(metrics) == {"FID", "KID_mean", "KID_std", "IS_mean",
                             "IS_std", "LPIPS_diversity",
-                            "uncalibrated_relative_only"}
+                            "uncalibrated_relative_only",
+                            "precision_recall_skipped_below_n"}
     assert "evaluating with ddim sampling" in out
 
 
