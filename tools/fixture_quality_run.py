@@ -122,8 +122,9 @@ def train(args, workdir: Path) -> list:
     config = dict(load_config(str(REPO / f"configs/cifar10_{args.model}.py")))
     if args.model_overrides:
         # recipe knobs for the fixture regime (e.g. patch_size 4 halves
-        # the DiT/DiM token count — 200 images can't constrain a
-        # 256-token patch-2 model, observed as the round-3 DiT collapse)
+        # the DiT/DiM token count; NOTE the r5 DIT-P2FIX ablation showed
+        # the round-3 patch-2 collapse was the terminal-SNR defect, not
+        # token count — patch-2 trains fine on scaled betas)
         config["model_params"] = dict(
             config["model_params"], **json.loads(args.model_overrides)
         )
